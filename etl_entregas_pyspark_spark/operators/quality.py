@@ -1,0 +1,109 @@
+"""Data-quality rules (reference ``apply_data_quality``,
+``src/etl_entregas.py:117-172``) with order-preserving semantics:
+
+    P1 null/blank material -> P2 delivery-type IN-list -> P3 exact dedup
+    -> P4 country IN-list (no metric recorded for P4, parity quirk)
+
+Metric parity trap (SURVEY §7.1): the duplicate count is duplicates found
+AMONG rows that already passed P1+P2 (197 on the golden CSV, not the 227
+raw duplicates), so rule order is part of the spec.
+
+Scalability: the reference runs 11 uncached ``count()`` actions — each one
+re-executes the whole lineage from the source. Here the entire metric
+ladder is ONE aggregation pass (``quality_metrics``): conditional counts
+via ``sum(when(...))`` and the dedup ladder via ``count_distinct`` over a
+full-row struct, all computed map-side-partial then merged. At 100 TB this
+is a single scan + one exchange instead of ~7 full scans.
+
+The transformed DataFrame itself (``apply_quality``) stays a pure lazy
+plan: filter -> filter -> dropDuplicates -> filter, which Catalyst pushes
+into the scan where possible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def null_blank_predicate(column: str) -> Column:
+    """Rows to REMOVE under P1: NULL or trims to empty string."""
+    col = F.col(column)
+    return col.isNull() | (F.trim(col) == "")
+
+
+def keep_clean(df: DataFrame, column: str = "material") -> DataFrame:
+    """P1 — drop rows whose ``column`` is NULL/blank."""
+    return df.filter(~null_blank_predicate(column))
+
+
+def keep_in_list(df: DataFrame, column: str, values: Sequence[str], normalize_upper: bool = False) -> DataFrame:
+    """P2/P4 — IN-list filter, optionally normalizing case first."""
+    col = F.upper(F.col(column)) if normalize_upper else F.col(column)
+    return df.filter(col.isin(list(values)))
+
+
+def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """P3 — exact duplicate removal; hash-shuffle on the dedup key set.
+
+    At scale: ``dropDuplicates`` is a partial-aggregate + exchange +
+    final-aggregate — Spark keeps one row per key per partition before the
+    shuffle, so the exchange carries at most one row per distinct key per
+    map partition, not the full input.
+    """
+    return df.dropDuplicates(list(subset) if subset else None)
+
+
+def apply_quality(df: DataFrame, config: Mapping[str, Any]) -> DataFrame:
+    """The composed P1→P2→P3→P4 lazy plan (no actions)."""
+    dq = config.get("data_quality", {})
+    rules = config.get("business_rules", {}).get("delivery_types", {})
+    valid_types = list(rules.get("routine", [])) + list(rules.get("bonus", []))
+    out = df
+    if dq.get("remove_null_material", True):
+        out = keep_clean(out, "material")
+    if valid_types:
+        out = keep_in_list(out, "tipo_entrega", valid_types)
+    if dq.get("remove_duplicates", True):
+        out = dedup_exact(out)
+    if dq.get("validate_country_codes", True) and dq.get("valid_countries"):
+        out = keep_in_list(out, "pais", [c.upper() for c in dq["valid_countries"]], normalize_upper=True)
+    return out
+
+
+def quality_metrics(df: DataFrame, config: Mapping[str, Any]) -> dict[str, int]:
+    """The full DQ metric ladder in a single aggregation pass.
+
+    Produces the same values as the reference's sequential
+    count-after-each-rule (``src/etl_entregas.py:127-169``) without
+    re-scanning the source per rule.
+    """
+    dq = config.get("data_quality", {})
+    rules = config.get("business_rules", {}).get("delivery_types", {})
+    valid_types = list(rules.get("routine", [])) + list(rules.get("bonus", []))
+    valid_countries = [c.upper() for c in dq.get("valid_countries", [])]
+
+    p1_removed = null_blank_predicate("material")
+    p2_removed = (~p1_removed) & ~F.col("tipo_entrega").isin(valid_types)
+    passes_12 = (~p1_removed) & F.col("tipo_entrega").isin(valid_types)
+    row_struct = F.struct(*[F.col(c) for c in df.columns])
+    valid_country = F.upper(F.col("pais")).isin(valid_countries)
+
+    agg = df.agg(
+        F.count(F.lit(1)).alias("input_rows"),
+        F.sum(p1_removed.cast("long")).alias("null_material_removed"),
+        F.sum(p2_removed.cast("long")).alias("invalid_type_removed"),
+        F.sum(passes_12.cast("long")).alias("rows_after_filters"),
+        F.count_distinct(F.when(passes_12, row_struct)).alias("distinct_after_filters"),
+        F.count_distinct(F.when(passes_12 & valid_country, row_struct)).alias("final_rows"),
+    ).collect()[0]
+
+    return {
+        "input_rows": int(agg["input_rows"]),
+        "null_material_removed": int(agg["null_material_removed"] or 0),
+        "invalid_type_removed": int(agg["invalid_type_removed"] or 0),
+        "duplicates_removed": int(agg["rows_after_filters"] - agg["distinct_after_filters"]),
+        "final_rows": int(agg["final_rows"]),
+    }
