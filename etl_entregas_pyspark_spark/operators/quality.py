@@ -73,12 +73,13 @@ def apply_quality(df: DataFrame, config: Mapping[str, Any]) -> DataFrame:
     return out
 
 
-def quality_metrics(df: DataFrame, config: Mapping[str, Any]) -> dict[str, int]:
-    """The full DQ metric ladder in a single aggregation pass.
+def metrics_frame(df: DataFrame, config: Mapping[str, Any]) -> DataFrame:
+    """The full DQ metric ladder as a ONE-row, one-pass aggregate plan.
 
-    Produces the same values as the reference's sequential
-    count-after-each-rule (``src/etl_entregas.py:127-169``) without
-    re-scanning the source per rule.
+    Same values as the reference's sequential count-after-each-rule
+    (``src/etl_entregas.py:127-169``) without re-scanning the source per
+    rule: conditional counts are ``sum(when(...))`` and the dedup ladder is
+    ``count_distinct`` over a full-row struct — all map-side partial.
     """
     dq = config.get("data_quality", {})
     rules = config.get("business_rules", {}).get("delivery_types", {})
@@ -91,19 +92,19 @@ def quality_metrics(df: DataFrame, config: Mapping[str, Any]) -> dict[str, int]:
     row_struct = F.struct(*[F.col(c) for c in df.columns])
     valid_country = F.upper(F.col("pais")).isin(valid_countries)
 
-    agg = df.agg(
+    return df.agg(
         F.count(F.lit(1)).alias("input_rows"),
         F.sum(p1_removed.cast("long")).alias("null_material_removed"),
         F.sum(p2_removed.cast("long")).alias("invalid_type_removed"),
-        F.sum(passes_12.cast("long")).alias("rows_after_filters"),
-        F.count_distinct(F.when(passes_12, row_struct)).alias("distinct_after_filters"),
+        (
+            F.sum(passes_12.cast("long"))
+            - F.count_distinct(F.when(passes_12, row_struct))
+        ).alias("duplicates_removed"),
         F.count_distinct(F.when(passes_12 & valid_country, row_struct)).alias("final_rows"),
-    ).collect()[0]
+    )
 
-    return {
-        "input_rows": int(agg["input_rows"]),
-        "null_material_removed": int(agg["null_material_removed"] or 0),
-        "invalid_type_removed": int(agg["invalid_type_removed"] or 0),
-        "duplicates_removed": int(agg["rows_after_filters"] - agg["distinct_after_filters"]),
-        "final_rows": int(agg["final_rows"]),
-    }
+
+def quality_metrics(df: DataFrame, config: Mapping[str, Any]) -> dict[str, int]:
+    """``metrics_frame`` collected to a plain dict (one action)."""
+    agg = metrics_frame(df, config).collect()[0]
+    return {k: int(agg[k] or 0) for k in agg.asDict()}

@@ -1,0 +1,141 @@
+"""Event-time windowing over the ``events`` table — the batch-mode
+equivalents of the streaming surface (SURVEY.md §2.9): tumbling, sliding
+and session windows plus JSON property extraction.
+
+``F.window`` / ``F.session_window`` on a batch DataFrame produce exactly
+the same assignments Structured Streaming produces per micro-batch, which
+is what makes these oracle-checkable; the live ``readStream`` path reuses
+the same expressions (etl_entregas_pyspark_spark.streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_entregas_pyspark_spark.queries.registry import register
+from etl_entregas_pyspark_spark.queries.relational import _dsum_sql, dsum
+
+
+def E(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with a proper timestamp column.
+
+    The driver's parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; with ``parquet.nanosAsLong`` it arrives as a
+    bigint of epoch-nanos, converted here to a micros timestamp by
+    truncation — exactly what DuckDB's reader does natively, so both
+    engines see identical values."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+@register(
+    "q30_events_tumbling",
+    f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value', 6)} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="1-hour tumbling window aggregation per event type",
+)
+def q30_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), 6).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "q31_events_sliding",
+    f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start, value FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           {_dsum_sql('value', 6)} AS total_value
+    FROM assigned GROUP BY window_start
+    """,
+    doc="sliding window (1h size, 30m slide): every event lands in exactly two windows",
+)
+def q31_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), 6).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "q32_events_session",
+    f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           {_dsum_sql('value', 6)} AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="session windows (30-minute inactivity gap, exclusive end — Spark session_window semantics) "
+    "oracle-checked against a lag/cumsum sessionization",
+)
+def q32_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q33_events_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="semi-structured JSON property extraction + aggregation",
+)
+def q33_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )

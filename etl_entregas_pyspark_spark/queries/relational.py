@@ -1,0 +1,737 @@
+"""Relational query corpus over the TPC-H-ish star schema: scans, filters,
+projections, the full join family, grouped/rollup/cube aggregation, window
+functions, sort/limit/top-k, set operations, and the scalar-function
+library (SURVEY.md §2.2–§2.8).
+
+The reference exercises only scan→filter→derive→project (its §2 inventory
+has zero joins/aggs/windows); everything here is the declared capability
+surface of the new engine, expressed as pure DataFrame plans so Catalyst
+handles pushdown/pruning/join-strategy selection.
+
+Float determinism: every double sum is computed as ``sum(decimal-cast)``
+then cast back to double — decimal addition is exact and order-independent,
+so results are bitwise identical regardless of partitioning, on Spark and
+on the DuckDB oracle alike.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_entregas_pyspark_spark.queries.registry import register
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Deterministic order-independent sum of doubles: per-row fixed-point
+    quantization ``floor(x·10^scale)`` to bigint, exact integer sum, back to
+    double. ``floor`` of the same IEEE double is identical on every engine
+    (unlike double→decimal casts: Spark rounds HALF_UP on the shortest
+    repr, DuckDB truncates — they disagree on half-boundary values), and
+    the integer sum is partitioning-invariant."""
+    q = 10 ** scale
+    return F.sum(F.floor(col * F.lit(float(q))).cast("long")).cast("double") / F.lit(float(q))
+
+
+def rnd(col: Column, scale: int) -> Column:
+    """Deterministic half-up rounding of a double: floor(x·10^k + 0.5)/10^k.
+    Same caveat as dsum — native round() disagrees across engines on
+    half-boundary shortest-repr values (1.005 → 1.01 vs 1.00)."""
+    q = float(10 ** scale)
+    return F.floor(col * F.lit(q) + F.lit(0.5)).cast("long") / F.lit(q)
+
+
+def _ts(s: str) -> Column:
+    return F.to_timestamp(F.lit(s))
+
+
+# SQL fragments mirroring dsum() / rnd()
+def _dsum_sql(expr: str, scale: int = 4) -> str:
+    q = "1" + "0" * scale + ".0"
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * {q}) AS BIGINT)) AS DOUBLE) / {q}"
+
+
+def _rnd_sql(expr: str, scale: int) -> str:
+    q = "1" + "0" * scale + ".0"
+    return f"FLOOR(({expr}) * {q} + 0.5) / {q}"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_rnd_sql(_dsum_sql('l_quantity') + ' / COUNT(*)', 4)} AS avg_qty,
+           {_rnd_sql(_dsum_sql('l_extendedprice') + ' / COUNT(*)', 4)} AS avg_price,
+           {_rnd_sql(_dsum_sql('l_discount', 6) + ' / COUNT(*)', 6)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 flavor: grouped pricing summary with exact decimal sums",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _ts("2000-12-01"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        rnd(dsum(F.col("l_quantity")) / F.count("*"), 4).alias("avg_qty"),
+        rnd(dsum(F.col("l_extendedprice")) / F.count("*"), 4).alias("avg_price"),
+        rnd(dsum(F.col("l_discount"), 6) / F.count("*"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q06_global_agg",
+    f"""
+    SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 flavor: global ungrouped aggregate with selective filter",
+)
+def q06_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q27_conditional_agg",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           {_rnd_sql("CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)} AS finished_share
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="single-pass conditional aggregation (sum-of-when — the engine's quality-metric pattern)",
+)
+def q27_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    fin = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(fin).alias("n_finished"),
+        rnd(F.sum(fin).cast("double") / F.count("*"), 4).alias("finished_share"),
+    )
+
+
+@register(
+    "q28_having",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
+    ) GROUP BY n_orders
+    """,
+    doc="aggregate-of-aggregate with HAVING",
+)
+def q28_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders")).filter(F.col("n_orders") >= 8)
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "q12_rollup",
+    f"""
+    SELECT r_name, n_name,
+           GROUPING(r_name) AS grp_region, GROUPING(n_name) AS grp_nation,
+           COUNT(*) AS n_customers,
+           {_dsum_sql('c_acctbal', 2)} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="hierarchical rollup with GROUPING indicators",
+)
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").alias("grp_region"),
+        F.grouping("n_name").alias("grp_nation"),
+        F.count("*").alias("n_customers"),
+        dsum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+@register(
+    "q13_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS grp_flag, GROUPING(l_linestatus) AS grp_status,
+           COUNT(*) AS n_rows, {_dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="full cube over two dimensions",
+)
+def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("grp_flag"),
+        F.grouping("l_linestatus").alias("grp_status"),
+        F.count("*").alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "q03_top_orders",
+    f"""
+    SELECT l_orderkey,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 flavor: 3-way join + grouped revenue + deterministic top-k",
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1998-01-01"))
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1998-01-01"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 flavor: EXISTS decorrelated to a left-semi join",
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01")) & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q05_region_revenue",
+    f"""
+    SELECT n_name, {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'REGION_1'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 flavor: 6-way join with small dims broadcast",
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@register(
+    "q07_left_join_counts",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders_1995
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                 AND o_orderdate < TIMESTAMP '1996-01-01') o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+    doc="left outer join preserving unmatched rows (COUNT of nullable side)",
+)
+def q07_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01")) & (F.col("o_orderdate") < _ts("1996-01-01"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey, c.c_mktsegment)
+        .agg(F.count(o.o_orderkey).alias("n_orders_1995"))
+    )
+
+
+@register(
+    "q08_anti_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_inactive
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01')
+    GROUP BY c_mktsegment
+    """,
+    doc="left-anti join: customers with no orders in the window",
+)
+def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01")) & (F.col("o_orderdate") < _ts("1995-07-01"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+@register(
+    "q09_semi_join",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY c_nationkey
+    """,
+    doc="left-semi join: customers having at least one finished order",
+)
+def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q10_full_outer",
+    """
+    SELECT COALESCE(cu.nk, su.nk) AS nationkey,
+           COALESCE(cu.n_customers, 0) AS n_customers,
+           COALESCE(su.n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) cu
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) su
+    ON cu.nk = su.nk
+    """,
+    doc="full outer join of two aggregates with COALESCE null-merge",
+)
+def q10_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    su = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    joined = cu.join(su, cu.nk == su.nk, "full_outer")
+    return joined.select(
+        F.coalesce(cu.nk, su.nk).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "q11_broadcast_brand",
+    f"""
+    SELECT p_brand, COUNT(*) AS n_items,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="fact ⋈ broadcast(dim) aggregation — the scalable form of the map-literal lookup",
+)
+def q11_broadcast_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(revenue).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q14_window_topn",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="per-group top-N via row_number with unique tie-break",
+)
+def q14_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q15_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="running total per customer (exact decimal accumulation)",
+)
+def q15_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "q16_window_lag",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           {_rnd_sql('''o_totalprice - LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)''', 2)} AS delta_vs_prev
+    FROM orders
+    """,
+    doc="lag: per-customer order-to-order spend delta (NULL for first order)",
+)
+def q16_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        rnd(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_vs_prev"),
+    )
+
+
+@register(
+    "q17_window_rank_ntile",
+    f"""
+    SELECT o_orderkey,
+           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+           {_rnd_sql('PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey)', 6)} AS prank
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="global ntile + percent_rank (the true top-20% flag the reference approximates with a constant)",
+)
+def q17_window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        rnd(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / distinct / set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="global deterministic top-k (TakeOrderedAndProject, no full sort)",
+)
+def q18_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q19_set_ops",
+    """
+    SELECT 'both' AS tag, nk FROM
+        (SELECT DISTINCT c_nationkey AS nk FROM customer
+         INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS tag, nk FROM
+        (SELECT DISTINCT c_nationkey AS nk FROM customer
+         EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'all' AS tag, nk FROM
+        (SELECT DISTINCT c_nationkey AS nk FROM customer
+         UNION SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+    doc="union / intersect / except over nation keys, tagged",
+)
+def q19_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    su = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = cu.intersect(su).select(F.lit("both").alias("tag"), "nk")
+    conly = cu.exceptAll(su).distinct().select(F.lit("customer_only").alias("tag"), "nk")
+    union = cu.union(su).distinct().select(F.lit("all").alias("tag"), "nk")
+    return both.unionAll(conly).unionAll(union)
+
+
+@register(
+    "q20_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="distinct pairs (hash-aggregate dedup)",
+)
+def q20_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function library (F1–F22 re-exercised over the star schema)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_type) AS type_upper,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '#', p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           TRIM(CONCAT('  ', p_brand, '  ')) AS brand_trim
+    FROM part
+    """,
+    doc="string function battery (upper/substr/length/concat/replace/lpad/trim)",
+)
+def q21_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
+    )
+
+
+@register(
+    "q22_date_funcs",
+    """
+    SELECT o_orderdate,
+           YEAR(o_orderdate) AS y, QUARTER(o_orderdate) AS q,
+           MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d,
+           DAYOFWEEK(o_orderdate) + 1 AS dow,
+           WEEKOFYEAR(o_orderdate) AS woy,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderdate
+    """,
+    doc="temporal derivations (year/quarter/month/day/dayofweek/weekofyear/trunc); "
+    "dow normalized to Spark's 1=Sunday convention on the oracle side",
+)
+def q22_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.groupBy("o_orderdate").agg(F.count("*").alias("n_orders")).select(
+        "o_orderdate",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("woy"),
+        F.date_trunc("month", d).alias("month_start"),
+        "n_orders",
+    )
+
+
+@register(
+    "q23_null_handling",
+    """
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS closed_price,
+           o_orderstatus IS NULL AS is_null_status
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    doc="null semantics: nullif / coalesce / CASE-to-null / IS NULL",
+)
+def q23_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    st = F.col("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        F.nullif(st, F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif(st, F.lit("O")), F.lit("OPEN")).alias("status_filled"),
+        F.when(st == "O", F.lit(None).cast("double")).otherwise(F.col("o_totalprice")).alias("closed_price"),
+        st.isNull().alias("is_null_status"),
+    )
+
+
+@register(
+    "q24_case_buckets",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity <= 20 THEN 'BAJO' WHEN l_quantity <= 35 THEN 'MEDIO'
+                WHEN l_quantity <= 45 THEN 'ALTO' ELSE 'MUY_ALTO' END AS rango_volumen,
+           CASE WHEN l_quantity * l_extendedprice > 1000000 THEN TRUE ELSE FALSE END AS es_alto_valor,
+           CASE WHEN l_discount = 0 THEN TRUE ELSE FALSE END AS sin_descuento,
+           {_rnd_sql('l_extendedprice * (1 - l_discount)', 2)} AS precio_neto
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+    doc="entregas-style derived columns (bucket CASE chains, boolean flags, rounded arithmetic — F2/F16/F17/F18 parity shapes)",
+)
+def q24_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(q <= 20, "BAJO").when(q <= 35, "MEDIO").when(q <= 45, "ALTO").otherwise("MUY_ALTO").alias("rango_volumen"),
+        F.when(q * F.col("l_extendedprice") > 1000000, F.lit(True)).otherwise(F.lit(False)).alias("es_alto_valor"),
+        F.when(F.col("l_discount") == 0, F.lit(True)).otherwise(F.lit(False)).alias("sin_descuento"),
+        rnd(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("precio_neto"),
+    )
+
+
+@register(
+    "q25_map_lookup",
+    """
+    SELECT n_name,
+           CASE n_regionkey WHEN 0 THEN 'AMERICA' WHEN 1 THEN 'ASIA' WHEN 2 THEN 'EUROPE'
+                            WHEN 3 THEN 'AFRICA' WHEN 4 THEN 'OCEANIA' END AS region_alias
+    FROM nation
+    """,
+    doc="map-literal lookup (F6 parity: miss → NULL); scalable form is q11's broadcast join",
+)
+def q25_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = T(spark, sf_dir, "nation")
+    names = {0: "AMERICA", 1: "ASIA", 2: "EUROPE", 3: "AFRICA", 4: "OCEANIA"}
+    m = F.create_map(*chain.from_iterable((F.lit(k), F.lit(v)) for k, v in names.items()))
+    return n.select("n_name", m[F.col("n_regionkey")].alias("region_alias"))
+
+
+@register(
+    "q26_math_funcs",
+    f"""
+    SELECT p_partkey,
+           ABS(p_retailprice - 1000) AS abs_delta,
+           CAST(CEIL(p_retailprice / 100) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_floor,
+           {_rnd_sql('SQRT(p_retailprice)', 4)} AS price_sqrt,
+           {_rnd_sql('LN(p_retailprice + 1)', 4)} AS price_ln,
+           {_rnd_sql('POWER(p_size, 2)', 1)} AS size_sq,
+           MOD(p_size, 7) AS size_mod
+    FROM part
+    """,
+    doc="math battery (abs/ceil/floor/sqrt/ln/power/mod; transcendentals rounded to absorb libm ulp differences)",
+)
+def q26_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.abs(price - 1000).alias("abs_delta"),
+        F.ceil(price / 100).alias("price_ceil"),
+        F.floor(price / 100).alias("price_floor"),
+        rnd(F.sqrt(price), 4).alias("price_sqrt"),
+        rnd(F.log(price + 1), 4).alias("price_ln"),
+        rnd(F.pow(F.col("p_size"), 2), 1).alias("size_sq"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )

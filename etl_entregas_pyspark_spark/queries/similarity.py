@@ -1,0 +1,418 @@
+"""Similarity-search and near-duplicate operators (north-star surface,
+BASELINE.json): brute-force cosine top-k, k-NN label voting, IVF-style
+bucketed ANN, MinHash-LSH near-dup pairs, and SimHash fingerprints.
+
+Cross-engine determinism strategy (verified empirically, see
+tests/test_similarity.py):
+
+- float32 × float32 products are exact in double (24-bit mantissas), and
+  both Spark's ``aggregate`` and DuckDB's ``list_sum`` fold sequentially,
+  so dot products / norms / cosines are **bitwise identical** across
+  engines — no rounding needed.
+- hash functions are ``md5`` (identical algorithm everywhere) with the
+  first 15 hex digits parsed as a 60-bit integer: Spark
+  ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+  ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``.
+
+Scale notes (100 TB target):
+- MinHash-LSH is the scalable near-dup path: candidate generation is an
+  equi-join on (band_id, band_hash) — a plain hash shuffle whose output is
+  ~|true pairs|, never the O(n²) cross product. Exact Jaccard verification
+  touches only candidates.
+- Brute-force cosine is the small-query-set baseline (|Q| × |C| scales
+  linearly in candidates); the IVF variant prunes candidates to one
+  centroid bucket, the standard inverted-file ANN layout.
+- Everything is built-in Catalyst expressions — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_entregas_pyspark_spark.queries.registry import register
+from etl_entregas_pyspark_spark.queries.relational import T
+
+# MinHash parameters: 12 hash functions in 4 bands of 3 rows.
+# P(candidate | J) = 1 - (1 - J^3)^4  →  0.63 at J=0.6, 0.995 at J=0.9.
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3
+JACCARD_THRESHOLD = 0.5
+
+
+# ---------------------------------------------------------------------------
+# shared expression builders (Spark side)
+# ---------------------------------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact double dot product of two float32 arrays (sequential fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def md5_int(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space tokenizer)."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _sh_sql(n: int = 3) -> str:
+    """DuckDB twin of word_shingles (1-based list indexing)."""
+    gram = " || ' ' || ".join(f"string_split(text,' ')[i+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len(string_split(text,' ')) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-{n - 1}), "
+        f"i -> {gram})) ELSE [] END"
+    )
+
+
+def _md5_int_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}),1,15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# q50 — vector plumbing: exact norms over the embedding column
+# ---------------------------------------------------------------------------
+
+@register(
+    "q50_vector_norms",
+    """
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+    FROM embeddings
+    """,
+    doc="ArrayType(float) column plumbing: per-vector dimension and exact L2 norm",
+)
+def q50_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(sq_norm(F.col("embedding"))).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+_COSINE_PAIR_SQL = """
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine
+    FROM embeddings q JOIN embeddings c ON c.vec_id >= 8
+    WHERE q.vec_id < 8
+"""
+
+
+@register(
+    "q51_cosine_topk",
+    f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ({_COSINE_PAIR_SQL})
+    ) WHERE rank <= 10
+    """,
+    doc="brute-force cosine top-10 for 8 query vectors (exact doubles, unique tie-break)",
+)
+def q51_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — k-NN label vote (classification over the top-k result)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q52_knn_label_vote",
+    f"""
+    WITH topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM ({_COSINE_PAIR_SQL})
+        ) WHERE rank <= 10
+    ), votes AS (
+        SELECT t.query_id, e.label, COUNT(*) AS n_votes
+        FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+        GROUP BY t.query_id, e.label
+    )
+    SELECT query_id, label AS predicted_label, n_votes FROM (
+        SELECT query_id, label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS rn
+        FROM votes
+    ) WHERE rn = 1
+    """,
+    doc="10-NN majority-label vote per query vector (deterministic tie-break on label)",
+)
+def q52_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk = q51_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    labels = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        topk.join(F.broadcast(labels), topk.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — MinHash-LSH near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+def _minhash_bands_spark(sh: Column) -> list[Column]:
+    """N_BANDS band-hash strings from the minhash signature of shingle set."""
+    mh = [
+        F.array_min(F.transform(sh, lambda s, j=j: md5_int(F.concat(F.lit(f"mh{j}|"), s))))
+        for j in range(N_HASHES)
+    ]
+    return [
+        F.md5(
+            F.concat_ws(
+                ",", *[mh[b * ROWS_PER_BAND + r].cast("string") for r in range(ROWS_PER_BAND)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+
+
+# build the oracle SQL programmatically so the constants stay in sync
+def _q53_oracle() -> str:
+    seeded = ["'mh%d|' || s" % j for j in range(N_HASHES)]
+    mh = [
+        f"list_min(list_transform(sh, s -> {_md5_int_sql(seeded[j])})) AS mh{j}"
+        for j in range(N_HASHES)
+    ]
+    bands = [
+        "md5(" + " || ',' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ) + f") AS band_{b}"
+        for b in range(N_BANDS)
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band_{b} AS band_hash FROM sigs" for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_sh_sql(3)} AS sh FROM documents
+    ), mh AS (
+        SELECT doc_id, sh, {', '.join(mh)} FROM sh
+    ), sigs AS (
+        SELECT doc_id, sh, {', '.join(bands)} FROM mh
+    ), band_long AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_long a JOIN band_long b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+    FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "q53_minhash_near_dup",
+    _q53_oracle(),
+    doc="MinHash-LSH near-dup pairs: 12 md5 minhashes, 4 bands × 3 rows, "
+    "band-bucket equi-join candidates, exact Jaccard ≥ 0.5 verification "
+    "(the scalable O(candidates) near-dup path, never O(n²))",
+)
+def q53_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    sigs = d.select("doc_id", "sh", *_minhash_bands_spark(F.col("sh")))
+    band_long = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a, b = band_long.alias("a"), band_long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / union
+    return (
+        cand.join(x, "doc_a").join(y, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _q54_oracle() -> str:
+    th = _md5_int_sql("'sh|' || t")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(toks, t -> (({th} >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    )
+    SELECT doc_id, {bits} AS simhash FROM d
+    """
+
+
+@register(
+    "q54_simhash",
+    _q54_oracle(),
+    doc=f"{_SIMHASH_BITS}-bit SimHash per document over distinct tokens "
+    "(bit b set iff the +1/−1 majority of token-hash bit b is positive)",
+)
+def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+
+    def bit_term(b: int) -> Column:
+        vote = F.aggregate(
+            F.transform(
+                F.col("toks"),
+                lambda t: (
+                    F.shiftright(md5_int(F.concat(F.lit("sh|"), t)), b).bitwiseAND(F.lit(1))
+                ) * 2 - 1,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+
+    simhash = bit_term(0)
+    for b in range(1, _SIMHASH_BITS):
+        simhash = simhash + bit_term(b)
+    return d.select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# q55 — IVF-style bucketed ANN: centroid assignment
+# ---------------------------------------------------------------------------
+
+@register(
+    "q55_ivf_assign",
+    """
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+    ), dist AS (
+        SELECT e.vec_id, c.centroid_id,
+               list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+                        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, centroid_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+        FROM dist
+    )
+    SELECT centroid_id, COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) AS sum_d2
+    FROM assigned WHERE rn = 1 GROUP BY centroid_id
+    """,
+    doc="IVF inverted-file layout: assign every vector to its nearest of 8 "
+    "fixed centroids (exact L2², deterministic argmin) and report bucket stats; "
+    "at scale the ANN search probes only the query's bucket",
+)
+def q55_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c_emb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", diff2.alias("d2"))
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("d2").cast("decimal(28,12)")).cast("double").alias("sum_d2"),
+    )

@@ -1,0 +1,191 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+surface, BASELINE.json): token statistics, document fingerprinting (exact
+dedup), language-ID heuristics, quality scoring, and word-level Jaccard
+near-duplicate pairs.
+
+Everything is built-in Catalyst expressions (split/transform/aggregate/
+array_intersect/md5) — zero Python UDFs, so the whole surface scales as
+ordinary whole-stage-codegen plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_entregas_pyspark_spark.queries.registry import register
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+
+
+@register(
+    "q40_text_stats",
+    f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           LIST_SUM(LIST_TRANSFORM(string_split(text, ' '), t -> LENGTH(t))) AS token_chars,
+           {_rnd_sql(
+               "CAST(LIST_SUM(LIST_TRANSFORM(string_split(text, ' '), t -> LENGTH(t))) AS DOUBLE)"
+               " / LEN(string_split(text, ' '))", 4)} AS avg_token_len
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="per-document token counting (whitespace tokenizer) and length stats",
+)
+def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        tok_chars.alias("token_chars"),
+        rnd(tok_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+@register(
+    "q41_lang_profile",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           {_rnd_sql('CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)', 2)} AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    doc="corpus profile per language",
+)
+def q41_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        rnd(F.sum("n_chars").cast("double") / F.count("*"), 2).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "q42_fingerprint_dedup",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT MD5(LOWER(text))) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT MD5(LOWER(text))) AS n_exact_dups
+    FROM documents GROUP BY source
+    """,
+    doc="exact deduplication by content fingerprint (md5 of normalized text)",
+)
+def q42_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.col("text")))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_exact_dups"),
+    )
+
+
+def _occurrences(col: F.Column, needle: str) -> F.Column:
+    """Non-overlapping occurrence count via replace-and-measure (identical
+    semantics in Spark and DuckDB)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(needle)))) / len(needle)
+
+
+def _occurrences_sql(expr: str, needle: str) -> str:
+    return (
+        f"(LENGTH(' ' || {expr} || ' ') - LENGTH(REPLACE(' ' || {expr} || ' ', '{needle}', '')))"
+        f" / {len(needle)}"
+    )
+
+
+@register(
+    "q43_langid_heuristic",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN {_occurrences_sql('text', ' the ')} + {_occurrences_sql('text', ' a ')} > 0
+                    THEN 1 ELSE 0 END) AS n_en_guess
+    FROM documents GROUP BY source
+    """,
+    doc="n-gram/stopword language-ID heuristic (en stopword hits)",
+)
+def q43_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    en_score = _occurrences(F.col("text"), " the ") + _occurrences(F.col("text"), " a ")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(en_score > 0, 1).otherwise(0)).alias("n_en_guess"),
+    )
+
+
+@register(
+    "q44_quality_score",
+    f"""
+    SELECT doc_id,
+           {_rnd_sql(
+               "0.5 * LEAST(1.0, CAST(LENGTH(text) AS DOUBLE) / 400)"
+               " + 0.5 * (CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS DOUBLE)"
+               "          / LEN(string_split(text, ' ')))", 4)} AS quality
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="document quality score: length saturation + lexical diversity (distinct-token ratio)",
+)
+def q44_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    length_term = F.least(F.lit(1.0), F.length("text").cast("double") / 400)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return d.select("doc_id", rnd(0.5 * length_term + 0.5 * diversity, 4).alias("quality"))
+
+
+@register(
+    "q45_word_jaccard_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, LIST_DISTINCT(string_split(text, ' ')) AS tokens
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_rnd_sql('''CAST(LEN(LIST_INTERSECT(a.tokens, b.tokens)) AS DOUBLE)
+                 / (LEN(a.tokens) + LEN(b.tokens) - LEN(LIST_INTERSECT(a.tokens, b.tokens)))''', 4)} AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.tokens, b.tokens)) AS DOUBLE)
+          / (LEN(a.tokens) + LEN(b.tokens) - LEN(LIST_INTERSECT(a.tokens, b.tokens))) >= 0.5
+    """,
+    doc="word-level Jaccard near-dup pairs with (lang, source) blocking — "
+    "the exact-verification stage of a near-dup pipeline",
+)
+def q45_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id", "lang", "source",
+            F.array_distinct(F.split(F.col("text"), " ")).alias("tokens"),
+        )
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast("double")
+    union = F.size(F.col("a.tokens")) + F.size(F.col("b.tokens")) - F.size(
+        F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))
+    )
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            rnd(jac, 4).alias("jaccard"),
+        )
+    )
