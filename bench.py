@@ -1,0 +1,91 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full computation, zero
+driver collect — the honest distributed cost). Session startup is excluded
+from per-query times, matching how the reference's published numbers are
+startup-dominated while ours measure data throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+# breadth over the capability surface: agg / join family / window / top-k /
+# events / text-dedup / similarity / entregas pipeline
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q05_region_revenue",
+    "q06_global_agg",
+    "q11_broadcast_brand",
+    "q14_window_topn",
+    "q18_topk_orders",
+    "q30_events_tumbling",
+    "q32_events_session",
+    "q42_fingerprint_dedup",
+    "q45_word_jaccard_pairs",
+    "q51_cosine_topk",
+    "q53_minhash_near_dup",
+    "q60_entregas_pipeline",
+    "q61_entregas_quality_metrics",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = (
+        SparkSession.builder.appName("etl-entregas-bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_entregas_pyspark_spark import queries as q
+
+    # warm-up: JVM JIT + parquet footer caches, so per-query times measure
+    # data throughput rather than first-touch compilation
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = q.REGISTRY[name]
+        t0 = time.time()
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -211,12 +211,22 @@ def q52_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q53 — MinHash-LSH near-duplicate pairs
 # ---------------------------------------------------------------------------
 
-def _minhash_bands_spark(sh: Column) -> list[Column]:
-    """N_BANDS band-hash strings from the minhash signature of shingle set."""
-    mh = [
-        F.array_min(F.transform(sh, lambda s, j=j: md5_int(F.concat(F.lit(f"mh{j}|"), s))))
-        for j in range(N_HASHES)
-    ]
+# Universal-hash family over a Mersenne prime: h_j(x) = (a_j·x + b_j) mod P
+# with x < P < 2^31, so a_j·x < 2^62 never overflows int64 (identical
+# arithmetic in Spark and DuckDB). ONE md5 per shingle, N_HASHES cheap
+# integer mixes — instead of N_HASHES md5 evaluations per shingle.
+_P = 2147483647
+_A = [(1103515245 * j + 12345) % _P or 1 for j in range(1, N_HASHES + 1)]
+_B = [(1566083941 * j + 55555) % _P for j in range(1, N_HASHES + 1)]
+
+
+def _minhash_bands_spark(hs: Column) -> list[Column]:
+    """N_BANDS band-hash strings from the minhash signature of the
+    pre-hashed shingle array ``hs`` (elements already reduced mod P)."""
+    def _mix(j: int):
+        return lambda h: (_A[j] * h + _B[j]) % _P
+
+    mh = [F.array_min(F.transform(hs, _mix(j))) for j in range(N_HASHES)]
     return [
         F.md5(
             F.concat_ws(
@@ -229,9 +239,8 @@ def _minhash_bands_spark(sh: Column) -> list[Column]:
 
 # build the oracle SQL programmatically so the constants stay in sync
 def _q53_oracle() -> str:
-    seeded = ["'mh%d|' || s" % j for j in range(N_HASHES)]
     mh = [
-        f"list_min(list_transform(sh, s -> {_md5_int_sql(seeded[j])})) AS mh{j}"
+        f"list_min(list_transform(hs, h -> ({_A[j]} * h + {_B[j]}) % {_P})) AS mh{j}"
         for j in range(N_HASHES)
     ]
     bands = [
@@ -246,8 +255,10 @@ def _q53_oracle() -> str:
     return f"""
     WITH sh AS (
         SELECT doc_id, {_sh_sql(3)} AS sh FROM documents
+    ), hashed AS (
+        SELECT doc_id, sh, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs FROM sh
     ), mh AS (
-        SELECT doc_id, sh, {', '.join(mh)} FROM sh
+        SELECT doc_id, sh, {', '.join(mh)} FROM hashed
     ), sigs AS (
         SELECT doc_id, sh, {', '.join(bands)} FROM mh
     ), band_long AS (
@@ -274,10 +285,18 @@ def _q53_oracle() -> str:
     "(the scalable O(candidates) near-dup path, never O(n²))",
 )
 def q53_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", word_shingles(F.col("text")).alias("sh")
+    # repartition before the CPU-heavy signature stage: the testdata is a
+    # single-row-group file (one input split), and at any scale the hash
+    # stage should run on evenly-sized partitions, not source splits
+    d = (
+        T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
     )
-    sigs = d.select("doc_id", "sh", *_minhash_bands_spark(F.col("sh")))
+    hs = F.transform(F.col("sh"), lambda s: md5_int(s) % _P)
+    sigs = d.select("doc_id", "sh", hs.alias("hs")).select(
+        "doc_id", "sh", *_minhash_bands_spark(F.col("hs"))
+    )
     band_long = sigs.select(
         "doc_id",
         F.explode(
@@ -287,15 +306,23 @@ def q53_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
-    a, b = band_long.alias("a"), band_long.alias("b")
+    # candidate pairs via ONE aggregation (groupBy bucket → in-bucket pair
+    # explosion) instead of a self-join that would execute the signature
+    # lineage twice; bucket sizes are ~near-dup-cluster sized, so the k²
+    # in-bucket blowup is bounded and the shuffle carries only (bucket, ids)
+    buckets = (
+        band_long.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_grid = F.flatten(
+        F.transform(ids, lambda x: F.transform(ids, lambda y: F.struct(x.alias("a"), y.alias("b"))))
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_grid).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
     x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -318,15 +345,17 @@ _SIMHASH_BITS = 16
 
 
 def _q54_oracle() -> str:
-    th = _md5_int_sql("'sh|' || t")
     bits = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(toks, t -> (({th} >> {b}) & 1) * 2 - 1)) > 0 "
+        f"(CASE WHEN list_sum(list_transform(ths, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
         f"THEN {1 << b} ELSE 0 END)"
         for b in range(_SIMHASH_BITS)
     )
     return f"""
     WITH d AS (
-        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+        SELECT doc_id,
+               list_transform(list_distinct(string_split(text, ' ')),
+                              t -> {_md5_int_sql("'sh|' || t")}) AS ths
+        FROM documents
     )
     SELECT doc_id, {bits} AS simhash FROM d
     """
@@ -339,17 +368,23 @@ def _q54_oracle() -> str:
     "(bit b set iff the +1/−1 majority of token-hash bit b is positive)",
 )
 def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    d = (
+        T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(F.split(F.col("text"), " ")),
+                lambda t: md5_int(F.concat(F.lit("sh|"), t)),
+            ).alias("ths"),
+        )
     )
 
     def bit_term(b: int) -> Column:
         vote = F.aggregate(
             F.transform(
-                F.col("toks"),
-                lambda t: (
-                    F.shiftright(md5_int(F.concat(F.lit("sh|"), t)), b).bitwiseAND(F.lit(1))
-                ) * 2 - 1,
+                F.col("ths"),
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1,
             ),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
