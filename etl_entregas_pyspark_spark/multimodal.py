@@ -1,0 +1,124 @@
+"""Multimodal column support (north-star surface, BASELINE.json): treat
+image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, and run decode / feature-extraction / frame-sampling as
+Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the decode kernel is STUBBED:
+``_decode_stub`` derives deterministic pseudo-metadata from the payload
+bytes (documented, testable), and ``decode_media`` accepts any
+``(bytes) -> dict`` kernel so a real decoder (PIL/ffmpeg/librosa) drops in
+without touching the Spark plumbing. Everything Spark-side — schema,
+batching, partition sizing — is real and tested.
+
+Scale design:
+- payloads stay in executors end-to-end (no driver collect); Arrow moves
+  them Python↔JVM in columnar batches;
+- ``repartition`` before the decode stage sizes partitions by payload
+  bytes, not row count (decode is the expensive step);
+- metadata lands in a flat struct column so downstream filtering/grouping
+  is ordinary Catalyst (decode once, query many).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("source_uri", StringType()),
+    ]
+)
+
+DECODED_META_FIELDS = [
+    StructField("byte_len", LongType()),
+    StructField("sha256", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+]
+
+DecodeKernel = Callable[[bytes], dict[str, Any]]
+
+
+def _decode_stub(payload: bytes) -> dict[str, Any]:
+    """Deterministic fake decoder: real decode libs are absent in this
+    container (STUB — swap for PIL/ffmpeg in production). Pseudo-dimensions
+    are derived from the content hash so tests get stable, content-dependent
+    values with the exact schema a real decoder would fill."""
+    digest = hashlib.sha256(payload).hexdigest()
+    seed = int(digest[:8], 16)
+    return {
+        "byte_len": len(payload),
+        "sha256": digest,
+        "width": 64 + seed % 1024,
+        "height": 64 + (seed >> 10) % 1024,
+        "n_frames": 1 + (seed >> 20) % 64,
+    }
+
+
+def decode_media(
+    df: DataFrame,
+    kernel: DecodeKernel = _decode_stub,
+    content_col: str = "content",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Append decoded metadata columns via an Arrow-batched mapInPandas
+    stage. Output schema = input columns (minus payload) + metadata — the
+    payload is dropped post-decode so downstream stages shuffle only
+    metadata, never the blobs."""
+    import pandas as pd
+
+    passthrough = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = StructType(passthrough + DECODED_META_FIELDS)
+    meta_names = [f.name for f in DECODED_META_FIELDS]
+    pass_names = [f.name for f in passthrough]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            meta = [kernel(bytes(p)) for p in pdf[content_col]]
+            out = pdf[pass_names].copy()
+            for name in meta_names:
+                out[name] = [m[name] for m in meta]
+            yield out
+
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 10,
+    n_frames_col: str = "n_frames",
+) -> DataFrame:
+    """Explode each video row into sampled frame indices (0, n, 2n, …) —
+    pure Catalyst (sequence+explode), no Python."""
+    idx = F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_nth))
+    return df.withColumn("frame_index", F.explode(idx))
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Corpus profile over decoded metadata (plain Catalyst aggregation)."""
+    return df.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.countDistinct("sha256").alias("n_unique_payloads"),
+        F.avg("width").alias("avg_width"),
+        F.avg("height").alias("avg_height"),
+    )

@@ -1,0 +1,17 @@
+from etl_entregas_pyspark_spark.streaming.streams import (
+    EVENTS_SCHEMA,
+    read_event_stream,
+    sessionized_stream,
+    sliding_counts_stream,
+    start_memory_sink,
+    tumbling_counts_stream,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_event_stream",
+    "tumbling_counts_stream",
+    "sliding_counts_stream",
+    "sessionized_stream",
+    "start_memory_sink",
+]

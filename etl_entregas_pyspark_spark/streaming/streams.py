@@ -1,0 +1,114 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — green-field; the
+reference has no streaming at all).
+
+The aggregation expressions are shared with the batch queries q30–q32
+(queries/events.py): ``F.window`` / ``F.session_window`` assign identical
+windows in batch and streaming, so the batch DuckDB oracle checks the same
+semantics the live stream computes per micro-batch. Watermarks bound state:
+an aggregation over event-time windows keeps only windows newer than
+``max(event_time) - watermark``, which is what makes these operators run
+indefinitely at scale (state size ∝ active windows × keys, not history).
+
+Sinks: ``start_memory_sink`` (tests/demos) — production sinks are the
+ordinary ``writeStream.format("parquet"|"kafka"|...)`` with checkpointing;
+nothing engine-specific is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-based event stream with an explicit schema (streaming sources
+    must not infer). ``maxFilesPerTrigger`` paces micro-batches."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .format(fmt)
+        .load(path)
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """q30's aggregation as a stream: per-window/event-type counts+sums."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """q31's sliding-window aggregation as a stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """q32's session windows as a stream (merging session state per user)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
+    """Run the stream into an in-memory table (query result readable as
+    ``spark.table(name)``); caller awaits/stops the returned query."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )

@@ -1,0 +1,64 @@
+"""Registry contract + fast oracle differential pass at sf0.001.
+
+The heavyweight full run lives in tools/check_correctness.py (sf0.01);
+this keeps a representative subset inside `pytest tests/` so the suite
+alone proves the oracle contract end-to-end.
+"""
+
+import duckdb
+import pytest
+
+from etl_entregas_pyspark_spark import queries as q
+from tests.conftest import SF_DIR
+
+from tools.check_correctness import TABLES, canon_rows
+
+SUBSET = [
+    "q01_pricing_summary",
+    "q05_region_revenue",
+    "q14_window_topn",
+    "q19_set_ops",
+    "q30_events_tumbling",
+    "q42_fingerprint_dedup",
+    "q51_cosine_topk",
+    "q53_minhash_near_dup",
+    "q60_entregas_pipeline",
+    "q61_entregas_quality_metrics",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def test_registry_complete():
+    assert len(q.REGISTRY) >= 45
+    # every entry has a spark callable; oracle SQL for all but declared rows-only
+    for name, spec in q.REGISTRY.items():
+        assert callable(spec.spark), name
+    assert set(SUBSET) <= set(q.REGISTRY)
+
+
+def test_entry_contract():
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) == len(q.REGISTRY)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_match(spark, oracle, name):
+    spec = q.REGISTRY[name]
+    sdf = spec.spark(spark, SF_DIR)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    res = oracle.sql(spec.oracle)
+    d_cols, d_rows = [d[0] for d in res.description], res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert canon_rows(s_cols, s_rows) == canon_rows(d_cols, d_rows)

@@ -1,0 +1,89 @@
+"""Streaming equivalence: the Structured Streaming pipelines must produce
+exactly the batch F.window results (the oracle-checked q30–q32 semantics)
+once the whole input is processed."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_entregas_pyspark_spark.queries.events import E
+from etl_entregas_pyspark_spark.streaming import (
+    read_event_stream,
+    sessionized_stream,
+    start_memory_sink,
+    tumbling_counts_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Events parquet rewritten with micros timestamps in 4 files, so the
+    file stream source has several micro-batches to chew through."""
+    out = tempfile.mkdtemp(prefix="events_stream_")
+    E(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _run_to_completion(stream_df, name):
+    q = start_memory_sink(stream_df, name, output_mode="complete")
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    _run_to_completion(tumbling_counts_stream(stream), "tumbling_sink")
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.table("tumbling_sink").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    _run_to_completion(sessionized_stream(stream), "session_sink")
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events")
+    )
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.table("session_sink").collect()
+    }
+    want = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    assert got == want
+
+
+def test_watermark_bounds_state(spark, events_dir):
+    """Append-mode with a watermark emits only finalized windows — the
+    state-bounding behavior that keeps the operator viable on an unbounded
+    stream."""
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    agg = tumbling_counts_stream(stream, watermark="1 hour")
+    q = start_memory_sink(agg, "wm_sink", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.table("wm_sink")
+    # every emitted window must be strictly older than max(ts) - watermark
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).collect()[0][0]
+    for r in emitted.collect():
+        assert r.window_start < max_ts
