@@ -60,9 +60,17 @@ def main() -> None:
 
     from etl_entregas_pyspark_spark import queries as q
 
-    # warm-up: JVM JIT + parquet footer caches, so per-query times measure
-    # data throughput rather than first-touch compilation
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm-up: JVM JIT, codegen, shuffle and noop-sink classloading, parquet
+    # footer caches — so per-query times measure data throughput rather than
+    # first-touch compilation
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"), F.count("*"))
+        .write.format("noop").mode("overwrite").save()
+    )
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
     times: dict[str, float] = {}

@@ -256,7 +256,8 @@ def _q53_oracle() -> str:
     WITH sh AS (
         SELECT doc_id, {_sh_sql(3)} AS sh FROM documents
     ), hashed AS (
-        SELECT doc_id, sh, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs FROM sh
+        SELECT doc_id, sh, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs
+        FROM sh WHERE len(sh) > 0
     ), mh AS (
         SELECT doc_id, sh, {', '.join(mh)} FROM hashed
     ), sigs AS (
@@ -292,49 +293,55 @@ def q53_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
     )
     hs = F.transform(F.col("sh"), lambda s: md5_int(s) % _P)
     sigs = d.select("doc_id", "sh", hs.alias("hs")).select(
         "doc_id", "sh", *_minhash_bands_spark(F.col("hs"))
     )
+    # ONE pass: explode band membership carrying the shingle set, group by
+    # bucket, explode in-bucket pairs, verify Jaccard inline. No self-join
+    # (which would run the signature lineage twice), no join-back for
+    # verification (which would recompute shingles twice more). Bucket
+    # sizes are ~near-dup-cluster sized, so the k² in-bucket pair blowup is
+    # bounded; the shuffle carries (bucket, doc_id, shingles) — at 100 TB
+    # swap the inline shingle payload for a join-back against a persisted
+    # shingle table if docs are huge, but the plan shape stays one
+    # aggregation + one explode.
     band_long = sigs.select(
         "doc_id",
+        "sh",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
                 for b in range(N_BANDS)
             ])
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
-    # candidate pairs via ONE aggregation (groupBy bucket → in-bucket pair
-    # explosion) instead of a self-join that would execute the signature
-    # lineage twice; bucket sizes are ~near-dup-cluster sized, so the k²
-    # in-bucket blowup is bounded and the shuffle carries only (bucket, ids)
+    ).select("doc_id", "sh", "band.band_id", "band.band_hash")
     buckets = (
         band_long.groupBy("band_id", "band_hash")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
-    ids = F.col("ids")
+    docs = F.col("docs")
     pair_grid = F.flatten(
-        F.transform(ids, lambda x: F.transform(ids, lambda y: F.struct(x.alias("a"), y.alias("b"))))
+        F.transform(docs, lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))))
     )
-    cand = (
+    pairs = (
         buckets.select(F.explode(pair_grid).alias("p"))
-        .filter(F.col("p.a") < F.col("p.b"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
+        .filter(F.col("p.a.doc_id") < F.col("p.b.doc_id"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.sh").alias("sh_a"),
+            F.col("p.b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    x = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = inter / union
-    return (
-        cand.join(x, "doc_a").join(y, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-    )
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
