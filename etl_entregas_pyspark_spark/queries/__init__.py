@@ -30,6 +30,7 @@ from etl_entregas_pyspark_spark.queries import relational  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import events  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import text  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import similarity  # noqa: E402,F401
+from etl_entregas_pyspark_spark.queries import sketches  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import entregas  # noqa: E402,F401
 
 __all__ = [

@@ -1,0 +1,208 @@
+"""Sketch / quantile / tokenizer-fingerprint operators rounding out the
+SURVEY §2 + north-star inventory.
+
+- approx_count_distinct (HLL++) and percentile_approx are
+  algorithm-specific sketches: Spark's and DuckDB's implementations
+  legitimately differ, so they register WITHOUT an oracle (the driver
+  records a rows-only check) — their exact twins (q36) carry the oracle.
+- exact percentiles interpolate identically (both engines implement the
+  SQL-standard continuous quantile), so q36 is fully oracle-checked.
+- the BPE-ish regex tokenizer and rolling-hash fingerprints are plain
+  Catalyst expressions with DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_entregas_pyspark_spark.queries.registry import register
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+
+
+@register(
+    "q34_approx_distinct",
+    None,  # HLL++ is implementation-specific — rows-only check by design
+    doc="approx_count_distinct (HLL++, rsd=0.01) per order status — the "
+    "scale substitute for exact count_distinct; exact twin is q36",
+)
+def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q35_approx_quantiles",
+    None,  # KLL/GK sketches differ across engines — rows-only by design
+    doc="percentile_approx of order totals per priority (sketch-based; "
+    "exact twin is q36)",
+)
+def q35_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_approx"),
+    )
+
+
+@register(
+    "q36_exact_percentiles",
+    f"""
+    SELECT o_orderpriority,
+           {_rnd_sql('quantile_cont(o_totalprice, 0.5)', 4)} AS p50,
+           {_rnd_sql('quantile_cont(o_totalprice, 0.95)', 4)} AS p95,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="exact continuous percentiles (SQL-standard linear interpolation — "
+    "identical semantics in Spark `percentile` and DuckDB `quantile_cont`)",
+)
+def q36_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        rnd(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        rnd(F.percentile("o_totalprice", 0.95), 4).alias("p95"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "q46_regex_tokens",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_unique,
+           len(list_filter(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+                           t -> length(t) >= 5)) AS n_long_tokens
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="BPE-ish regex tokenizer (letter runs / digit runs / single "
+    "punctuation) — token counting without a trained vocab",
+)
+def q46_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 5)).alias("n_long_tokens"),
+    )
+
+
+# rolling polynomial hash over codepoints, base 31 mod 2^31-1 — identical
+# integer arithmetic in both engines (acc < 2^31, acc*31 + c < 2^36 < 2^63)
+_RP = 2147483647
+
+
+@register(
+    "q47_rolling_fingerprint",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               list_reduce(list_prepend(0, list_transform(string_split(text, ''), c -> unicode(c))),
+                           (acc, c) -> (CAST(acc AS BIGINT) * 31 + c) % {_RP}) AS fingerprint
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fingerprint) AS n_unique_fp
+    FROM fp GROUP BY source
+    """,
+    doc="document fingerprinting via rolling polynomial hash over "
+    "codepoints (base 31 mod 2^31-1) — an md5-free content fingerprint "
+    "whose incremental form supports chunk-level dedup",
+)
+def q47_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % _RP,
+    )
+    return (
+        d.select("doc_id", "source", fp.alias("fingerprint"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56 — embedding-cosine near-dup with hyperplane-LSH blocking
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+_COS_THRESHOLD = 0.4
+
+_SIG_SQL = f"""
+        SELECT e.vec_id, e.embedding,
+               list_sum(list_transform(generate_series(1, {_N_PLANES}),
+                   j -> CASE WHEN list_sum(list_transform(list_zip(e.embedding, p.plane[j]),
+                                  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) > 0
+                        THEN 1 << (j - 1) ELSE 0 END)) AS sig
+        FROM embeddings e CROSS JOIN
+             (SELECT list(embedding ORDER BY vec_id) AS plane
+              FROM embeddings WHERE vec_id < {_N_PLANES}) p
+"""
+
+
+@register(
+    "q56_cosine_near_dup",
+    f"""
+    WITH sig AS ({_SIG_SQL}),
+    cand AS (
+        SELECT a.vec_id AS vec_a, a.embedding AS emb_a,
+               b.vec_id AS vec_b, b.embedding AS emb_b
+        FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           list_sum(list_transform(list_zip(emb_a, emb_b),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(emb_a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(emb_b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine
+    FROM cand
+    WHERE list_sum(list_transform(list_zip(emb_a, emb_b),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(emb_a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(emb_b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= {_COS_THRESHOLD}
+    """,
+    doc=f"embedding near-dup pairs: {_N_PLANES}-bit hyperplane-LSH signature "
+    "(sign of dot with fixed reference vectors) blocks candidates, exact "
+    "cosine ≥ 0.9 verifies — the O(candidates) alternative to an O(n²) "
+    "pairwise scan",
+)
+def q56_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.similarity import dot, sq_norm
+
+    e = T(spark, sf_dir, "embeddings")
+    planes = [
+        r.embedding
+        for r in e.filter(F.col("vec_id") < _N_PLANES).orderBy("vec_id").collect()
+    ]
+
+    def bit(j: int) -> Column:
+        plane = F.array(*[F.lit(float(v)) for v in planes[j]])
+        return F.when(dot(F.col("embedding"), plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    sig = bit(0)
+    for j in range(1, _N_PLANES):
+        sig = sig + bit(j)
+    signed = e.select("vec_id", "embedding", sig.alias("sig"))
+    a, b = signed.alias("a"), signed.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(sq_norm(F.col("a.embedding"))) * F.sqrt(sq_norm(F.col("b.embedding")))
+    )
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= _COS_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cosine"))
+    )
