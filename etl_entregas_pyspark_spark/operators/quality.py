@@ -89,18 +89,25 @@ def metrics_frame(df: DataFrame, config: Mapping[str, Any]) -> DataFrame:
     p1_removed = null_blank_predicate("material")
     p2_removed = (~p1_removed) & ~F.col("tipo_entrega").isin(valid_types)
     passes_12 = (~p1_removed) & F.col("tipo_entrega").isin(valid_types)
-    row_struct = F.struct(*[F.col(c) for c in df.columns])
     valid_country = F.upper(F.col("pais")).isin(valid_countries)
 
-    return df.agg(
-        F.count(F.lit(1)).alias("input_rows"),
-        F.sum(p1_removed.cast("long")).alias("null_material_removed"),
-        F.sum(p2_removed.cast("long")).alias("invalid_type_removed"),
+    # Two-phase shape: groupBy(all columns) first, then one scalar
+    # aggregate over the (distinct row, multiplicity) pairs. A single-agg
+    # formulation with two count_distinct(struct) would plan an Expand —
+    # 3× the input rows through the shuffle; here the exchange carries at
+    # most one pre-aggregated row per distinct input row per map partition,
+    # and every rule predicate is evaluated once per DISTINCT row.
+    per_row = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("row_multiplicity"))
+    n = F.col("row_multiplicity")
+    return per_row.agg(
+        F.sum(n).alias("input_rows"),
+        F.sum(F.when(p1_removed, n).otherwise(F.lit(0))).alias("null_material_removed"),
+        F.sum(F.when(p2_removed, n).otherwise(F.lit(0))).alias("invalid_type_removed"),
         (
-            F.sum(passes_12.cast("long"))
-            - F.count_distinct(F.when(passes_12, row_struct))
+            F.sum(F.when(passes_12, n).otherwise(F.lit(0)))
+            - F.count(F.when(passes_12, F.lit(1)))
         ).alias("duplicates_removed"),
-        F.count_distinct(F.when(passes_12 & valid_country, row_struct)).alias("final_rows"),
+        F.count(F.when(passes_12 & valid_country, F.lit(1))).alias("final_rows"),
     )
 
 
