@@ -1,0 +1,65 @@
+"""Multimodal-column query: drives the Arrow-batched ``mapInPandas``
+decode stage (multimodal.py) through the oracle gate.
+
+Binary payloads are synthesized deterministically from ``documents.text``
+(utf-8 encode), so the DuckDB oracle can replicate the stub decoder's
+arithmetic exactly: sha256 hex digests match across Python hashlib /
+DuckDB ``sha256()``, and the pseudo-dimensions are pure integer ops on the
+first 8 hex digits. This is the strongest available check that the
+Python-side batch plumbing (schema, Arrow transfer, per-batch kernel
+application) is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_entregas_pyspark_spark.multimodal import decode_media
+from etl_entregas_pyspark_spark.queries.registry import register
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+
+
+@register(
+    "q57_multimodal_decode",
+    f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS byte_len,
+               sha256(text) AS sha,
+               CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) AS seed
+        FROM documents
+    )
+    SELECT kind,
+           COUNT(*) AS n_items,
+           SUM(byte_len) AS total_bytes,
+           COUNT(DISTINCT sha) AS n_unique_payloads,
+           {_rnd_sql('CAST(SUM(64 + seed % 1024) AS DOUBLE) / COUNT(*)', 2)} AS avg_width,
+           {_rnd_sql('CAST(SUM(64 + (seed >> 10) % 1024) AS DOUBLE) / COUNT(*)', 2)} AS avg_height
+    FROM media GROUP BY kind
+    """,
+    doc="binary multimodal columns end-to-end: synthesize payloads, decode "
+    "via the Arrow-batched mapInPandas stub kernel, profile per kind — the "
+    "oracle recomputes the kernel arithmetic in SQL, proving the Python "
+    "batch plumbing is lossless",
+)
+def q57_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.concat(F.lit("mem://doc/"), F.col("doc_id").cast("string")).alias("source_uri"),
+    )
+    decoded = decode_media(media, batch_partitions=spark.sparkContext.defaultParallelism)
+    return decoded.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.countDistinct("sha256").alias("n_unique_payloads"),
+        rnd(F.sum("width").cast("double") / F.count("*"), 2).alias("avg_width"),
+        rnd(F.sum("height").cast("double") / F.count("*"), 2).alias("avg_height"),
+    )
