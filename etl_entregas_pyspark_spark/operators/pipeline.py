@@ -68,11 +68,16 @@ class EntregasPipeline:
 
         metrics: dict[str, Any] = {"data_quality": dq_metrics}
         if write:
-            # cache: the frame is consumed twice (write + output count)
-            final = final.cache()
-            metrics.update(self.load(final))
-            metrics["output_rows"] = final.count()
-            final.unpersist()
+            # Observation: the output-row metric rides the write pass itself
+            # (observe() accumulates during the action) — no cache, no second
+            # materialization, works at any data size.
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation("entregas_output")
+            observed = final.observe(obs, F.count(F.lit(1)).alias("output_rows"))
+            metrics.update(self.load(observed))
+            metrics["output_rows"] = obs.get["output_rows"]
         metrics["duration_sec"] = round(time.time() - started, 3)
 
         metrics_path = self.config.get("paths", {}).get("metrics_file")
