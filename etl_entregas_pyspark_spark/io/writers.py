@@ -48,6 +48,29 @@ def write_partitioned(
         raise ValueError(f"unsupported sink format: {fmt!r}")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    fmt: str = "parquet",
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write (``bucketBy`` requires the table catalog, not a
+    bare path). Two tables bucketed identically on their join key join
+    WITHOUT a shuffle — at 100 TB that removes the dominant exchange from
+    every fact-fact join that repeats the key (see SCALE.md, Joins).
+    Sorted buckets additionally drop the sort from sort-merge joins."""
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_metrics_json(metrics: Mapping[str, Any], path: str) -> None:
     """Driver-side metrics JSON (reference ``main.py:233-238``)."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
