@@ -1,0 +1,62 @@
+"""applyInPandasWithState: after the stream drains, the latest emitted
+per-user state must equal the batch aggregate over all input."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_entregas_pyspark_spark.queries.events import E
+from etl_entregas_pyspark_spark.streaming import read_event_stream
+from etl_entregas_pyspark_spark.streaming.stateful import running_user_totals
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="events_state_")
+    E(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_running_totals_match_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # update mode appends one row per (user, batch); the LAST row per user
+    # is the final state
+    emitted = spark.table("user_totals")
+    w = (
+        emitted.withColumn("rn", F.monotonically_increasing_id())
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value", "last_ts"), "rn").alias("s"))
+        .select("user_id", "s.n_events", "s.total_value", "s.last_ts")
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts) for r in w.collect()}
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts) for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], u
+        assert got[u][1] == pytest.approx(want[u][1], rel=1e-9), u
+        assert got[u][2] == want[u][2], u
