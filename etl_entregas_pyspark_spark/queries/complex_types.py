@@ -1,0 +1,106 @@
+"""Pivot, typed JSON parsing, and the array-function battery — the §2.8
+"no usage in reference" categories (arrays, maps beyond F6, JSON, pivot)
+exposed as first-class, oracle-checked capabilities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from etl_entregas_pyspark_spark.queries.events import E
+from etl_entregas_pyspark_spark.queries.registry import register
+from etl_entregas_pyspark_spark.queries.relational import T
+
+_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "q29_pivot",
+    f"""
+    SELECT o_orderpriority,
+           {', '.join(f"SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS status_{s}" for s in _STATUSES)},
+           COUNT(*) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot: order counts per priority × status (fixed pivot values so "
+    "the plan is a single aggregate, no extra distinct pass)",
+)
+def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    # explicit pivot values avoid the extra job Spark otherwise runs to
+    # discover them — at 100 TB that discovery is a full distinct scan
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    for s in _STATUSES:
+        pivoted = pivoted.withColumnRenamed(s, f"status_{s}")
+    total = o.groupBy("o_orderpriority").agg(F.count("*").alias("total"))
+    out = pivoted.join(total, "o_orderpriority")
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(f"status_{s}"), F.lit(0)).alias(f"status_{s}") for s in _STATUSES],
+        "total",
+    )
+
+
+@register(
+    "q37_from_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="typed JSON parsing: from_json with an explicit schema into a "
+    "struct column (vs q33's path extraction) — schema-on-read for "
+    "semi-structured props",
+)
+def q37_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    schema = StructType.fromDDL("k BIGINT")
+    parsed = e.select("event_type", F.from_json("props", schema).alias("p")).filter(
+        F.col("p.k").isNotNull()
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("p.k").alias("sum_k"),
+        F.countDistinct("p.k").alias("n_distinct_k"),
+    )
+
+
+@register(
+    "q38_array_funcs",
+    """
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_words,
+           list_sort(string_split(p_name, ' ')) AS words_sorted,
+           list_slice(list_sort(string_split(p_name, ' ')), 1, 2) AS first_two,
+           list_reverse(list_sort(string_split(p_name, ' ')))[1] AS last_word,
+           list_contains(string_split(p_name, ' '), 'green') AS has_green,
+           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined,
+           list_sort(string_split(p_name, ' '))[1] AS first_word
+    FROM part WHERE p_partkey <= 2000
+    """,
+    doc="array-function battery: size/sort/slice/reverse/contains/join/"
+    "element_at over split word arrays",
+)
+def q38_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    words = F.split("p_name", " ")
+    sorted_w = F.sort_array(words)
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        sorted_w.alias("words_sorted"),
+        F.slice(sorted_w, 1, 2).alias("first_two"),
+        F.element_at(F.reverse(sorted_w), 1).alias("last_word"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.array_join(sorted_w, "-").alias("joined"),
+        F.element_at(sorted_w, 1).alias("first_word"),
+    )
