@@ -1,5 +1,6 @@
 from etl_entregas_pyspark_spark.streaming.streams import (
     EVENTS_SCHEMA,
+    dedup_stream,
     read_event_stream,
     sessionized_stream,
     sliding_counts_stream,
@@ -10,6 +11,7 @@ from etl_entregas_pyspark_spark.streaming.streams import (
 __all__ = [
     "EVENTS_SCHEMA",
     "read_event_stream",
+    "dedup_stream",
     "tumbling_counts_stream",
     "sliding_counts_stream",
     "sessionized_stream",

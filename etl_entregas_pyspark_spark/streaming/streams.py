@@ -103,6 +103,16 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state holds one
+    entry per key and expires past the watermark, so it runs indefinitely;
+    plain dropDuplicates on a stream would grow state forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     """Run the stream into an in-memory table (query result readable as
     ``spark.table(name)``); caller awaits/stops the returned query."""

@@ -87,3 +87,29 @@ def test_watermark_bounds_state(spark, events_dir):
     max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).collect()[0][0]
     for r in emitted.collect():
         assert r.window_start < max_ts
+
+
+def test_stream_dedup_drops_redelivered_events(spark, events_dir, tmp_path_factory):
+    """Duplicate the input files (simulated redelivery): the deduped stream
+    must contain each event_id exactly once."""
+    import shutil as _sh, glob, os
+    dup_dir = str(tmp_path_factory.mktemp("events_dup"))
+    for i, f in enumerate(glob.glob(f"{events_dir}/part-*.parquet")):
+        _sh.copy(f, os.path.join(dup_dir, f"a{i}.parquet"))
+        _sh.copy(f, os.path.join(dup_dir, f"b{i}.parquet"))  # redelivery
+
+    from etl_entregas_pyspark_spark.streaming import dedup_stream
+    stream = read_event_stream(spark, dup_dir, max_files_per_trigger=2)
+    # watermark must cover the full replay horizon: files aren't
+    # time-ordered here, so a short watermark would (correctly) drop
+    # old-but-new events as late arrivals
+    q = start_memory_sink(
+        dedup_stream(stream, watermark="30 days"), "dedup_sink", output_mode="append"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.table("dedup_sink")
+    n_unique = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert emitted.count() == n_unique
+    assert emitted.select("event_id").distinct().count() == n_unique
