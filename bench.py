@@ -35,6 +35,8 @@ HEADLINE = [
     "q45_word_jaccard_pairs",
     "q51_cosine_topk",
     "q53_minhash_near_dup",
+    "q56_cosine_near_dup",
+    "q57_multimodal_decode",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -55,7 +55,11 @@ def q57_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
         F.concat(F.lit("mem://doc/"), F.col("doc_id").cast("string")).alias("source_uri"),
     )
-    decoded = decode_media(media, batch_partitions=spark.sparkContext.defaultParallelism)
+    # size the decode stage by payload volume, not core count: these are
+    # KB-scale payloads, so a handful of Arrow batches beats one python
+    # worker per core (worker spin-up would dominate); real image/video
+    # workloads size this by bytes-per-partition (see multimodal.py)
+    decoded = decode_media(media, batch_partitions=min(8, spark.sparkContext.defaultParallelism))
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n_items"),
         F.sum("byte_len").alias("total_bytes"),
