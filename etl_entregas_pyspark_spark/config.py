@@ -113,7 +113,14 @@ def _coerce(value: str) -> Any:
 
 
 def apply_dotlist(config: Mapping[str, Any], dotlist: list[str]) -> dict[str, Any]:
-    """Apply ``a.b.c=value`` overrides (highest precedence)."""
+    """Apply ``a.b.c=value`` overrides (highest precedence).
+
+    Dotted segments normally descend nested dicts, but if at any level the
+    REMAINING dotted path exists as a literal key (the ``spark.configs``
+    map stores flat ``spark.sql.*`` keys), it is assigned directly — so
+    ``spark.configs.spark.sql.shuffle.partitions=64`` updates the flat key
+    instead of growing a nested tree inside the conf map.
+    """
     out = copy.deepcopy(dict(config))
     for item in dotlist:
         if "=" not in item:
@@ -121,10 +128,16 @@ def apply_dotlist(config: Mapping[str, Any], dotlist: list[str]) -> dict[str, An
         path, raw = item.split("=", 1)
         keys = path.strip().split(".")
         node = out
-        for key in keys[:-1]:
-            node = node.setdefault(key, {})
+        i = 0
+        while i < len(keys) - 1:
+            remaining = ".".join(keys[i:])
+            if isinstance(node, dict) and remaining in node:
+                keys = keys[:i] + [remaining]
+                break
+            node = node.setdefault(keys[i], {})
             if not isinstance(node, dict):
-                raise ValueError(f"cannot descend into non-dict at {key!r} in {path!r}")
+                raise ValueError(f"cannot descend into non-dict at {keys[i]!r} in {path!r}")
+            i += 1
         node[keys[-1]] = _coerce(raw)
     return out
 

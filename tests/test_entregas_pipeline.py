@@ -208,3 +208,29 @@ class TestGoldenLadder:
         out_df = spark.read.option("header", "true").csv(str(tmp_path / "out"))
         assert out_df.count() == 123
         assert len(out_df.columns) == 29
+
+
+class TestConfigLayering:
+    def test_yaml_env_overlays(self):
+        from etl_entregas_pyspark_spark.config import load_config
+
+        dev = load_config(base="config/config.yaml", env="develop")
+        assert dev["environment"] == "develop"
+        assert str(dev["spark"]["configs"]["spark.sql.shuffle.partitions"]) == "8"
+        main = load_config(base="config/config.yaml", env="main")
+        assert str(main["spark"]["configs"]["spark.sql.shuffle.partitions"]) == "200"
+        # base values survive where the overlay is silent
+        assert main["business_rules"]["units_conversion"]["CS"] == 20
+
+    def test_dotlist_reaches_flat_spark_conf_keys(self):
+        from etl_entregas_pyspark_spark.config import load_config
+
+        cfg = load_config(
+            base="config/config.yaml",
+            env="main",
+            dotlist=["spark.configs.spark.sql.shuffle.partitions=64"],
+        )
+        assert str(cfg["spark"]["configs"]["spark.sql.shuffle.partitions"]) == "64"
+        assert "spark" not in cfg["spark"]["configs"] or not isinstance(
+            cfg["spark"]["configs"].get("spark"), dict
+        )

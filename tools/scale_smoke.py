@@ -1,0 +1,77 @@
+"""Scale smoke: replicate the sf0.1 fact tables N× in /tmp (unique keys per
+replica, so join/group cardinalities scale too) and re-run headline plans.
+Verifies no driver-side collects, no plan blow-ups, and roughly linear
+scaling as data grows beyond the bench point.
+
+Usage: python tools/scale_smoke.py [replicas=16]
+Prints one JSON line: {"replicas": N, "rows": {...}, "queries": {name: sec}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
+           "q06_global_agg", "q14_window_topn", "q18_topk_orders"]
+# fact tables replicated with shifted keys; dims copied as-is
+FACTS = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey", "o_custkey"]}
+KEY_STRIDE = 100_000_000
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    out_dir = tempfile.mkdtemp(prefix="scale_smoke_")
+    spark = (
+        SparkSession.builder.appName("scale-smoke")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    try:
+        rows = {}
+        for name in ("region", "nation", "customer", "supplier", "part", "events",
+                     "documents", "embeddings"):
+            shutil.copy(f"{SRC}/{name}.parquet", f"{out_dir}/{name}.parquet")
+        for name, keys in FACTS.items():
+            base = spark.read.parquet(f"{SRC}/{name}.parquet")
+            rep = spark.range(replicas).select(F.col("id").alias("__rep__"))
+            scaled = base.crossJoin(rep)
+            for k in keys:
+                scaled = scaled.withColumn(k, F.col(k) + F.col("__rep__") * KEY_STRIDE)
+            scaled.drop("__rep__").repartition(32).write.mode("overwrite").parquet(
+                f"{out_dir}/{name}.parquet"
+            )
+            rows[name] = spark.read.parquet(f"{out_dir}/{name}.parquet").count()
+
+        from etl_entregas_pyspark_spark import queries as q
+
+        times = {}
+        for name in QUERIES:
+            t0 = time.time()
+            q.REGISTRY[name].spark(spark, out_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 2)
+        print(json.dumps({"replicas": replicas, "rows": rows, "queries": times}))
+    finally:
+        spark.stop()
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
