@@ -35,6 +35,7 @@ from etl_entregas_pyspark_spark.queries import media  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import complex_types  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import subqueries  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import asof  # noqa: E402,F401
+from etl_entregas_pyspark_spark.queries import advanced  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import entregas  # noqa: E402,F401
 
 __all__ = [

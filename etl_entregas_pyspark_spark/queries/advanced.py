@@ -1,0 +1,159 @@
+"""Range join and iterative connected components — the last two "operators
+Spark lacks natively", built per the SURVEY §2.11 recipe (compose
+built-ins; never O(n²), never a UDF).
+
+q59 range join: a naive interval join is a cartesian theta-join. The
+scalable decomposition buckets time into fixed grains: each interval
+explodes to the grains it overlaps (bounded by interval_len/grain + 1),
+the probe side joins on its single grain — an EQUI-join whose output is
+only candidate pairs — then the exact range predicate filters. Oracle:
+the plain theta join (DuckDB is fine with it at oracle scale).
+
+q62 connected components: near-dup pairs (q53's output) form a graph;
+production dedup keeps one doc per component. Iterative min-label
+propagation (driver-controlled loop, converges in O(diameter) rounds —
+near-dup clusters have tiny diameters). Oracle: recursive CTE computing
+min reachable id per node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_entregas_pyspark_spark.queries.events import E
+from etl_entregas_pyspark_spark.queries.registry import register
+
+_GRAIN_S = 600  # 10-minute buckets = the interval length → ≤ 2 buckets/interval
+
+
+@register(
+    "q59_range_join",
+    """
+    WITH intervals AS (
+        SELECT event_id AS error_id, ts AS start_ts, ts + INTERVAL '10 minutes' AS end_ts
+        FROM events WHERE event_type = 'error'
+    ), clicks AS (
+        SELECT event_id AS click_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT i.error_id, COUNT(c.click_id) AS n_clicks,
+           MIN(c.click_id) AS first_click_id
+    FROM intervals i LEFT JOIN clicks c
+      ON c.ts >= i.start_ts AND c.ts < i.end_ts
+    GROUP BY i.error_id
+    """,
+    doc="range join: clicks within 10 minutes after each error — bucketed "
+    "equi-join decomposition (interval → overlapped grains, probe → its "
+    "grain) instead of a cartesian theta-join",
+)
+def q59_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    grain = F.lit(_GRAIN_S)
+    intervals = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + _GRAIN_S * 1_000_000).alias("end_us"),
+    )
+    # explode each interval across every grain it overlaps (≤ 2 here)
+    exploded = intervals.select(
+        "error_id", "start_us", "end_us",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_us") / 1_000_000 / grain),
+                F.floor((F.col("end_us") - 1) / 1_000_000 / grain),
+            )
+        ).alias("bucket"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+        F.floor(F.unix_micros("ts") / 1_000_000 / grain).alias("bucket"),
+    )
+    matched = (
+        exploded.join(clicks, "bucket")
+        .filter((F.col("c_us") >= F.col("start_us")) & (F.col("c_us") < F.col("end_us")))
+        .select("error_id", "click_id")
+    )
+    return (
+        intervals.select("error_id")
+        .join(matched, "error_id", "left")
+        .groupBy("error_id")
+        .agg(
+            F.count("click_id").alias("n_clicks"),
+            F.min("click_id").alias("first_click_id"),
+        )
+    )
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.similarity import q53_minhash_near_dup
+
+    return q53_minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+
+
+def _q62_oracle() -> str:
+    from etl_entregas_pyspark_spark.queries.similarity import _q53_oracle
+
+    return _Q62_TEMPLATE.replace("{Q53}", _q53_oracle())
+
+
+_Q62_TEMPLATE = """
+    WITH RECURSIVE pairs AS (
+        {Q53}
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT a AS doc FROM edges
+    ), reach AS (
+        SELECT doc, doc AS comp FROM nodes
+        UNION
+        SELECT e.b AS doc, reach.comp FROM reach JOIN edges e ON reach.doc = e.a
+    ), labels AS (
+        SELECT doc, MIN(comp) AS component FROM reach GROUP BY doc
+    )
+    SELECT component, COUNT(*) AS n_docs, MAX(doc) AS max_doc
+    FROM labels GROUP BY component
+    """
+
+
+@register(
+    "q62_dedup_components",
+    _q62_oracle(),
+    doc="near-dup cluster formation: connected components over q53's pair "
+    "graph via iterative min-label propagation (converges in O(diameter) "
+    "rounds); canonical doc per cluster = min id. Oracle: recursive CTE.",
+)
+def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _near_dup_edges(spark, sf_dir)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct().cache()
+    labels = edges.select(F.col("doc_a").alias("doc"), F.col("doc_a").alias("component")).distinct()
+
+    # min-label propagation; near-dup components are tiny cliques, so this
+    # converges in a handful of rounds (each round = one join + one agg)
+    for _ in range(20):
+        neighbor_min = (
+            labels.join(edges, labels.doc == edges.doc_a)
+            .groupBy(F.col("doc_b").alias("doc"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select("doc", F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.groupBy("component").agg(
+        F.count("*").alias("n_docs"), F.max("doc").alias("max_doc")
+    )
