@@ -1,0 +1,105 @@
+"""Dataset-management operators for training pipelines: reproducible
+splits and benchmark decontamination — both pure equi-join/hash plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_entregas_pyspark_spark.queries.registry import register
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+from etl_entregas_pyspark_spark.queries.similarity import _md5_int_sql, md5_int
+
+# content-hash split: reproducible across runs/engines AND stable under
+# re-partitioning or row additions (unlike rand(seed) or row_number)
+_SPLIT_BUCKETS = 10  # 8/1/1 train/val/test
+
+
+@register(
+    "q63_deterministic_split",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN {_md5_int_sql('text')} % {_SPLIT_BUCKETS} < 8 THEN 'train'
+                    WHEN {_md5_int_sql('text')} % {_SPLIT_BUCKETS} = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           {_rnd_sql('CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)', 2)} AS avg_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM assigned GROUP BY split
+    """,
+    doc="reproducible train/val/test split (8/1/1) keyed on the content "
+    "hash — stable under repartitioning, engine changes, and corpus "
+    "growth, unlike rand(seed) or positional splits",
+)
+def q63_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bucket = md5_int(F.col("text")) % _SPLIT_BUCKETS
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return d.select("doc_id", "n_chars", split.alias("split")).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        rnd(F.sum("n_chars").cast("double") / F.count("*"), 2).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_NGRAM = 8
+_BENCH_DOCS = 10  # doc_id < 10 plays the held-out benchmark set
+
+
+@register(
+    "q64_decontamination",
+    f"""
+    WITH bench_grams AS (
+        SELECT DISTINCT unnest(CASE WHEN len(string_split(text,' ')) >= {_NGRAM}
+            THEN list_transform(generate_series(1, len(string_split(text,' ')) - {_NGRAM - 1}),
+                 i -> array_to_string(list_slice(string_split(text,' '), i, i + {_NGRAM - 1}), ' '))
+            ELSE [] END) AS gram
+        FROM documents WHERE doc_id < {_BENCH_DOCS}
+    ), corpus_grams AS (
+        SELECT doc_id, unnest(CASE WHEN len(string_split(text,' ')) >= {_NGRAM}
+            THEN list_transform(generate_series(1, len(string_split(text,' ')) - {_NGRAM - 1}),
+                 i -> array_to_string(list_slice(string_split(text,' '), i, i + {_NGRAM - 1}), ' '))
+            ELSE [] END) AS gram
+        FROM documents WHERE doc_id >= {_BENCH_DOCS}
+    )
+    SELECT c.doc_id, COUNT(DISTINCT c.gram) AS n_hit_grams
+    FROM corpus_grams c JOIN bench_grams b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+    doc=f"benchmark decontamination: corpus documents sharing any "
+    f"{_NGRAM}-gram with the held-out set (doc_id < {_BENCH_DOCS}), with "
+    "hit counts — a broadcast/equi-join on the gram, never a pairwise scan",
+)
+def q64_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= _NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_NGRAM - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(_NGRAM)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench = (
+        d.filter(F.col("doc_id") < _BENCH_DOCS)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    corpus = (
+        d.filter(F.col("doc_id") >= _BENCH_DOCS)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    # the benchmark gram set is small → broadcast; at corpus scale this is
+    # a map-side semi-join, no shuffle of the corpus grams
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )

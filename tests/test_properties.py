@@ -20,17 +20,18 @@ def test_rnd_and_dsum_match_duckdb(spark_prop, values):
     df = spark_prop.createDataFrame([(v,) for v in values], ["x"]).repartition(4)
     got_sum = df.agg(dsum(F.col("x"), 4).alias("s")).collect()[0].s
     got_rnd = sorted(r.r for r in df.select(rnd(F.col("x"), 2).alias("r")).collect())
-    vals_sql = ",".join(f"(CAST({v!r} AS DOUBLE))" for v in values)
-    want_sum = duckdb.sql(
-        "SELECT CAST(SUM(CAST(FLOOR(x * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0"
-        f" FROM (VALUES {vals_sql}) t(x)"
+    # feed DuckDB through a TABLE, not literals: its constant folding of
+    # literal arithmetic uses extended precision (900719925.9999999 *
+    # 10000.0 folds to ...60000.0 instead of the IEEE ...59999.998), while
+    # its runtime vectorized arithmetic is IEEE — and the real oracles only
+    # ever do column arithmetic over parquet
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    want_sum = con.sql(
+        "SELECT CAST(SUM(CAST(FLOOR(x * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 FROM t"
     ).fetchone()[0]
-    want_rnd = sorted(
-        r[0]
-        for r in duckdb.sql(
-            f"SELECT FLOOR(x * 100.0 + 0.5) / 100.0 FROM (VALUES {vals_sql}) t(x)"
-        ).fetchall()
-    )
+    want_rnd = sorted(r[0] for r in con.sql("SELECT FLOOR(x * 100.0 + 0.5) / 100.0 FROM t").fetchall())
     assert got_sum == want_sum  # bitwise, any partitioning
     assert got_rnd == want_rnd  # bitwise, per value
 
