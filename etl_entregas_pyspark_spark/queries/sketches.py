@@ -206,3 +206,48 @@ def q56_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _COS_THRESHOLD)
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cos.alias("cosine"))
     )
+
+
+@register(
+    "q65_statistical_moments",
+    f"""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_quantity * 10000.0) AS BIGINT) AS qq,
+               CAST(FLOOR(l_discount * 1000000.0) AS BIGINT) AS qd
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {_rnd_sql('''(CAST(SUM(qq*qq) AS DOUBLE) - CAST(SUM(qq) AS DOUBLE)*SUM(qq)/COUNT(*))
+               / (COUNT(*) - 1) / 1e8''', 4)} AS var_qty,
+           {_rnd_sql('''(CAST(SUM(qq*qd) AS DOUBLE) - CAST(SUM(qq) AS DOUBLE)*SUM(qd)/COUNT(*))
+               / ((COUNT(*) - 1)
+                  * SQRT((CAST(SUM(qq*qq) AS DOUBLE) - CAST(SUM(qq) AS DOUBLE)*SUM(qq)/COUNT(*)) / (COUNT(*) - 1))
+                  * SQRT((CAST(SUM(qd*qd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE)*SUM(qd)/COUNT(*)) / (COUNT(*) - 1)))''',
+               4)} AS corr_qty_disc
+    FROM q GROUP BY l_returnflag
+    """,
+    doc="statistical moments (variance, Pearson correlation) over "
+    "fixed-point-quantized values: the integer sums Σx, Σx², Σxy are exact "
+    "and order-independent, so the derived moments are deterministic under "
+    "any partitioning — the portable form of stddev/corr at scale",
+)
+def q65_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    qq = F.floor(F.col("l_quantity") * 10000.0).cast("long")
+    qd = F.floor(F.col("l_discount") * 1000000.0).cast("long")
+    q = li.select("l_returnflag", qq.alias("qq"), qd.alias("qd"))
+    n = F.count(F.lit(1))
+    sqq, sqd = F.sum("qq"), F.sum("qd")
+    sqq2 = F.sum(F.col("qq") * F.col("qq"))
+    sqd2 = F.sum(F.col("qd") * F.col("qd"))
+    sqqd = F.sum(F.col("qq") * F.col("qd"))
+    var_q = (sqq2.cast("double") - sqq.cast("double") * sqq / n) / (n - 1)
+    var_d = (sqd2.cast("double") - sqd.cast("double") * sqd / n) / (n - 1)
+    cov = (sqqd.cast("double") - sqq.cast("double") * sqd / n) / (n - 1)
+    return q.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        rnd(var_q / 1e8, 4).alias("var_qty"),
+        rnd(cov / (F.sqrt(var_q) * F.sqrt(var_d)), 4).alias("corr_qty_disc"),
+    )
