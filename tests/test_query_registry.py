@@ -22,6 +22,11 @@ SUBSET = [
     "q42_fingerprint_dedup",
     "q51_cosine_topk",
     "q53_minhash_near_dup",
+    "q57_multimodal_decode",
+    "q58_asof_join",
+    "q59_range_join",
+    "q63_deterministic_split",
+    "q65_statistical_moments",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
