@@ -37,6 +37,10 @@ HEADLINE = [
     "q53_minhash_near_dup",
     "q56_cosine_near_dup",
     "q57_multimodal_decode",
+    "q58_asof_join",
+    "q59_range_join",
+    "q63_deterministic_split",
+    "q64_decontamination",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -16,12 +16,19 @@ zero row-at-a-time Python UDFs on hot paths.
 from etl_entregas_pyspark_spark.config import deep_merge, load_config
 from etl_entregas_pyspark_spark.session import build_session
 from etl_entregas_pyspark_spark.operators.pipeline import EntregasPipeline
+from etl_entregas_pyspark_spark.operators.skew import salted_aggregate, salted_broadcast_left
+from etl_entregas_pyspark_spark.multimodal import decode_media, media_stats, sample_frames
 
 __all__ = [
     "deep_merge",
     "load_config",
     "build_session",
     "EntregasPipeline",
+    "salted_aggregate",
+    "salted_broadcast_left",
+    "decode_media",
+    "media_stats",
+    "sample_frames",
 ]
 
 __version__ = "0.1.0"

@@ -94,6 +94,7 @@ def q64_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = (
         d.filter(F.col("doc_id") >= _BENCH_DOCS)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(grams).alias("gram"))
     )
     # the benchmark gram set is small → broadcast; at corpus scale this is
