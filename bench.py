@@ -79,12 +79,18 @@ def main() -> None:
     )
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
+    # one untimed pass per query first: interpreted higher-order-function
+    # expressions C2-compile only after a few executions, and a single cold
+    # sample can read 3x the steady-state cost. The timed pass then measures
+    # data throughput — the quantity that scales to the design point.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = q.REGISTRY[name]
-        t0 = time.time()
-        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    for timed in (False, True):
+        for name in HEADLINE:
+            spec = q.REGISTRY[name]
+            t0 = time.time()
+            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if timed:
+                times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
     print(
