@@ -104,3 +104,70 @@ def q64_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_hit_grams"))
     )
+
+
+_CHUNK, _STRIDE = 32, 24  # tokens per chunk / stride (8-token overlap)
+
+
+@register(
+    "q66_chunking",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, CAST(FLOOR(CAST(GREATEST(len(toks) - {_CHUNK}, 0) AS DOUBLE) / {_STRIDE}) AS BIGINT))) AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks,
+               unnest(generate_series(0, CAST(FLOOR(CAST(GREATEST(len(toks) - {_CHUNK}, 0) AS DOUBLE) / {_STRIDE}) AS BIGINT))) * {_STRIDE} + 1,
+               unnest(generate_series(0, CAST(FLOOR(CAST(GREATEST(len(toks) - {_CHUNK}, 0) AS DOUBLE) / {_STRIDE}) AS BIGINT))) * {_STRIDE} + {_CHUNK}), ' ') AS chunk_text
+    FROM t
+    """,
+    doc=f"RAG-style chunking: overlapping {_CHUNK}-token windows with "
+    f"stride {_STRIDE} via sequence+slice — pure Catalyst, no UDTF, one "
+    "row per (doc, chunk)",
+)
+def q66_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split("text", " ")
+    n_chunks = F.floor(
+        F.greatest(F.size(toks) - _CHUNK, F.lit(0)).cast("double") / _STRIDE
+    ).cast("long")
+    chunked = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _STRIDE + 1
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", F.slice(F.col("toks"), start, F.lit(_CHUNK))).alias("chunk_text"),
+    )
+
+
+_PER_STRATUM = 5
+
+
+@register(
+    "q67_stratified_sample",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id, n_chars, rn FROM ranked WHERE rn <= {_PER_STRATUM}
+    """,
+    doc=f"deterministic stratified sample: exactly {_PER_STRATUM} docs per "
+    "language, ordered by content hash — reproducible eval-set construction "
+    "(rand()-based sampling is neither exact-count nor engine-portable)",
+)
+def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _PER_STRATUM)
+    )
