@@ -458,3 +458,60 @@ def q55_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.sum(F.col("d2").cast("decimal(28,12)")).cast("double").alias("sum_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — int8 embedding quantization (storage-efficient ANN)
+# ---------------------------------------------------------------------------
+
+_Q8_SCALE = 127.0 / 4.0  # embeddings are ~N(0,1): clip at ±4σ
+
+
+@register(
+    "q68_int8_quantization",
+    f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(GREATEST(-127, LEAST(127,
+                        CAST(FLOOR(CAST(x AS DOUBLE) * {_Q8_SCALE} + 0.5) AS BIGINT))) AS BIGINT)) AS q8
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           SUM(list_sum(list_transform(q8, x -> x * x))) AS sum_q8_sq_norm,
+           MIN(list_min(q8)) AS min_q8, MAX(list_max(q8)) AS max_q8
+    FROM q GROUP BY label
+    """,
+    doc="int8 embedding quantization (symmetric, ±4σ clip): 4x smaller "
+    "vectors whose integer dot products are exact and engine-portable — "
+    "the storage/bandwidth play for ANN at 100 TB; per-label integrity "
+    "stats over the quantized codes",
+)
+def q68_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x.cast("double") * _Q8_SCALE + 0.5).cast("long"),
+            ),
+        ),
+    )
+    sq = F.aggregate(
+        F.transform(F.col("q8"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("vec_id", "label", q8.alias("q8"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(sq).alias("sum_q8_sq_norm"),
+            F.min(F.array_min("q8")).alias("min_q8"),
+            F.max(F.array_max("q8")).alias("max_q8"),
+        )
+    )
