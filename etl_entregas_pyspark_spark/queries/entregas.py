@@ -27,7 +27,7 @@ the reference's published output, not DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.operators import filters, quality
