@@ -5,6 +5,7 @@ from etl_entregas_pyspark_spark.streaming.streams import (
     sessionized_stream,
     sliding_counts_stream,
     start_memory_sink,
+    stream_stream_join,
     tumbling_counts_stream,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "tumbling_counts_stream",
     "sliding_counts_stream",
     "sessionized_stream",
+    "stream_stream_join",
     "start_memory_sink",
 ]

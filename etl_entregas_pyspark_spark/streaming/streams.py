@@ -103,6 +103,45 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "1 hour",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Stream–stream inner join: each left event matched to right events of
+    the same user within the trailing ``lookback``. Watermarks on BOTH
+    sides plus the time-range join condition bound the buffered state —
+    Spark evicts right rows older than (left watermark − lookback), which
+    is what lets two unbounded streams join forever."""
+    l = (
+        left.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") < F.col("l_ts")),
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same key within the
     watermark horizon (``dropDuplicatesWithinWatermark`` — state holds one

@@ -113,3 +113,39 @@ def test_stream_dedup_drops_redelivered_events(spark, events_dir, tmp_path_facto
     n_unique = spark.read.parquet(events_dir).select("event_id").distinct().count()
     assert emitted.count() == n_unique
     assert emitted.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Two watermarked streams joined on user + trailing time range must
+    produce exactly the batch join's pairs once both streams drain."""
+    from etl_entregas_pyspark_spark.streaming import stream_stream_join
+
+    left = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    right = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    q = start_memory_sink(
+        stream_stream_join(left, right), "ssj_sink", output_mode="append"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.l_id, r.r_id) for r in spark.table("ssj_sink").select("l_id", "r_id").collect()
+    }
+
+    batch = spark.read.parquet(events_dir)
+    l = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_user"), F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    )
+    r = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"), F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts")
+    )
+    want = {
+        (row.l_id, row.r_id)
+        for row in l.join(
+            r,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("r_ts") < F.col("l_ts")),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
