@@ -20,7 +20,7 @@ _STATUSES = ["F", "O", "P"]
     "q29_pivot",
     f"""
     SELECT o_orderpriority,
-           {', '.join(f"SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS status_{s}" for s in _STATUSES)},
+           {', '.join(f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS status_{s}" for s in _STATUSES)},
            COUNT(*) AS total
     FROM orders GROUP BY o_orderpriority
     """,
@@ -52,7 +52,7 @@ def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
     FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
     GROUP BY event_type

@@ -33,7 +33,7 @@ from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
     )
     SELECT kind,
            COUNT(*) AS n_items,
-           SUM(byte_len) AS total_bytes,
+           CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT sha) AS n_unique_payloads,
            {_rnd_sql('CAST(SUM(64 + seed % 1024) AS DOUBLE) / COUNT(*)', 2)} AS avg_width,
            {_rnd_sql('CAST(SUM(64 + (seed >> 10) % 1024) AS DOUBLE) / COUNT(*)', 2)} AS avg_height

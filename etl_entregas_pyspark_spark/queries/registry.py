@@ -33,9 +33,55 @@ def register(name: str, oracle: Optional[str], doc: str = "") -> Callable[[Spark
     return wrap
 
 
+# The driver's CORRECTNESS gate checks the first 50 queries in the order
+# ``queries()`` yields them. Round 1 proved the relational/events/text/
+# similarity/sketches battery green but left the flagship pipeline and the
+# newest LLM-pipeline operators outside the window. This list pins the
+# queries that still need (or just regained) driver verification to the
+# front; everything else follows in registration order, so the window is
+# always "all unproven queries + as many previously-proven as fit".
+_PRIORITY = [
+    "q60_entregas_pipeline",
+    "q61_entregas_quality_metrics",
+    "q71_alto_valor_flag",
+    "q57_multimodal_decode",
+    "q58_asof_join",
+    "q59_range_join",
+    "q62_dedup_components",
+    "q29_pivot",
+    "q37_from_json",
+    "q38_array_funcs",
+    "q39_scalar_subquery",
+    "q49_posexplode",
+    "q63_deterministic_split",
+    "q64_decontamination",
+    "q66_chunking",
+    "q67_stratified_sample",
+    "q69_trailing_range_window",
+    "q70_gap_fill_forward",
+    "q65_statistical_moments",
+    # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
+    "q27_conditional_agg",
+    "q33_events_json",
+    "q40_text_stats",
+    "q43_langid_heuristic",
+    "q68_int8_quantization",
+]
+
+
+def _ordered() -> list[str]:
+    prio = [n for n in _PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(prio)]
+    return prio + rest
+
+
 def all_queries() -> dict[str, SparkQuery]:
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered()}
 
 
 def all_oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered()
+        if REGISTRY[name].oracle is not None
+    }

@@ -479,7 +479,7 @@ _Q8_SCALE = 127.0 / 4.0  # embeddings are ~N(0,1): clip at ±4σ
     )
     SELECT label,
            COUNT(*) AS n_vectors,
-           SUM(list_sum(list_transform(q8, x -> x * x))) AS sum_q8_sq_norm,
+           CAST(SUM(list_sum(list_transform(q8, x -> x * x))) AS BIGINT) AS sum_q8_sq_norm,
            MIN(list_min(q8)) AS min_q8, MAX(list_max(q8)) AS max_q8
     FROM q GROUP BY label
     """,

@@ -23,7 +23,7 @@ from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
     SELECT doc_id,
            LENGTH(text) AS n_chars_actual,
            LEN(string_split(text, ' ')) AS n_tokens,
-           LIST_SUM(LIST_TRANSFORM(string_split(text, ' '), t -> LENGTH(t))) AS token_chars,
+           CAST(LIST_SUM(LIST_TRANSFORM(string_split(text, ' '), t -> LENGTH(t))) AS BIGINT) AS token_chars,
            {_rnd_sql(
                "CAST(LIST_SUM(LIST_TRANSFORM(string_split(text, ' '), t -> LENGTH(t))) AS DOUBLE)"
                " / LEN(string_split(text, ' '))", 4)} AS avg_token_len
@@ -106,8 +106,8 @@ def _occurrences_sql(expr: str, needle: str) -> str:
     f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN {_occurrences_sql('text', ' the ')} + {_occurrences_sql('text', ' a ')} > 0
-                    THEN 1 ELSE 0 END) AS n_en_guess
+           CAST(SUM(CASE WHEN {_occurrences_sql('text', ' the ')} + {_occurrences_sql('text', ' a ')} > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_en_guess
     FROM documents GROUP BY source
     """,
     doc="n-gram/stopword language-ID heuristic (en stopword hits)",

@@ -5,6 +5,7 @@ import duckdb
 import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from etl_entregas_pyspark_spark.operators import quality
 from etl_entregas_pyspark_spark.queries.relational import dsum, rnd
@@ -59,6 +60,12 @@ entregas_rows = st.lists(
 COLUMNS = ["pais", "fecha_proceso", "transporte", "ruta", "tipo_entrega",
            "material", "precio", "cantidad", "unidad"]
 
+# explicit schema: inference raises CANNOT_DETERMINE_TYPE when hypothesis
+# generates an input whose `material` column is entirely None
+_ENTREGAS_SCHEMA = StructType(
+    [StructField(c, StringType(), nullable=True) for c in COLUMNS]
+)
+
 CONFIG = {
     "data_quality": {
         "remove_null_material": True,
@@ -77,7 +84,7 @@ CONFIG = {
 def test_single_pass_metrics_equal_sequential_counts(spark_prop, rows):
     """metrics_frame (one aggregation) must equal the reference's
     rule-by-rule sequential counting for ANY input."""
-    df = spark_prop.createDataFrame(rows, COLUMNS)
+    df = spark_prop.createDataFrame(rows, _ENTREGAS_SCHEMA)
     got = quality.quality_metrics(df, CONFIG)
 
     # sequential reference semantics, rule by rule

@@ -91,6 +91,7 @@ def main() -> int:
         try:
             res = con.sql(spec.oracle)
             d_cols = [d[0] for d in res.description]
+            d_types = [str(t) for t in res.types]
             d_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
@@ -98,6 +99,16 @@ def main() -> int:
             continue
 
         problems = []
+        # The driver fetches the oracle pandas-style, which renders HUGEINT
+        # as float64 ("4933.0" vs Spark's "4933") and breaks the value hash
+        # even when fetchall() matches bitwise. Any 128-bit integer column
+        # in an oracle is therefore a latent driver hash-fail: reject here.
+        huge = [f"{c}:{t}" for c, t in zip(d_cols, d_types) if "HUGEINT" in t]
+        if huge:
+            problems.append(
+                f"oracle emits 128-bit ints (driver renders as float64): {huge} "
+                "— wrap the aggregate in CAST(... AS BIGINT)"
+            )
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
