@@ -129,7 +129,15 @@ def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct().cache()
-    labels = edges.select(F.col("doc_a").alias("doc"), F.col("doc_a").alias("component")).distinct()
+    # materialize every round: without this the plan deepens by one
+    # join+agg per round and each `changed` action re-executes the whole
+    # accumulated lineage — O(rounds²) work. localCheckpoint (eager) cuts
+    # lineage so round N's plan is identical in shape to round 1's.
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"), F.col("doc_a").alias("component"))
+        .distinct()
+        .localCheckpoint()
+    )
 
     # min-label propagation; near-dup components are tiny cliques, so this
     # converges in a handful of rounds (each round = one join + one agg)
@@ -142,7 +150,10 @@ def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (
             labels.join(neighbor_min, "doc", "left")
             .select("doc", F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"))
+            .localCheckpoint()
         )
+        # both sides are materialized, so this is a cheap shallow join,
+        # not a re-execution of the propagation lineage
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")
