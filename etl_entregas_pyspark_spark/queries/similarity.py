@@ -220,17 +220,16 @@ _A = [(1103515245 * j + 12345) % _P or 1 for j in range(1, N_HASHES + 1)]
 _B = [(1566083941 * j + 55555) % _P for j in range(1, N_HASHES + 1)]
 
 
-def _minhash_bands_spark(hs: Column) -> list[Column]:
-    """N_BANDS band-hash strings from the minhash signature of the
-    pre-hashed shingle array ``hs`` (elements already reduced mod P)."""
-    def _mix(j: int):
-        return lambda h: (_A[j] * h + _B[j]) % _P
-
-    mh = [F.array_min(F.transform(hs, _mix(j))) for j in range(N_HASHES)]
+def _band_hashes(prefix: str = "mh") -> list[Column]:
+    """N_BANDS band-hash strings from minhash columns ``{prefix}0..{prefix}11``."""
     return [
         F.md5(
             F.concat_ws(
-                ",", *[mh[b * ROWS_PER_BAND + r].cast("string") for r in range(ROWS_PER_BAND)]
+                ",",
+                *[
+                    F.col(f"{prefix}{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
             )
         ).alias(f"band_{b}")
         for b in range(N_BANDS)
@@ -286,58 +285,76 @@ def _q53_oracle() -> str:
     "(the scalable O(candidates) near-dup path, never O(n²))",
 )
 def q53_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition before the CPU-heavy signature stage: the testdata is a
+    # Stage 1 — per-doc shingle table, computed ONCE and materialized
+    # (localCheckpoint = the in-session analog of the persisted shingle
+    # table you would keep at 100 TB). The signature math runs on the
+    # EXPLODED shingle stream: one md5 per (doc, shingle), then the 12
+    # universal-hash mixes as plain integer expressions that groupBy
+    # reduces with F.min — everything whole-stage-codegen'd, no
+    # interpreted higher-order-function lambdas, and partial (map-side)
+    # aggregation shrinks each minhash to one row per doc per partition
+    # before the exchange.
+    #
+    # Repartition before the CPU-heavy hash stage: the testdata is a
     # single-row-group file (one input split), and at any scale the hash
-    # stage should run on evenly-sized partitions, not source splits
-    d = (
+    # stage should run on evenly-sized partitions, not source splits.
+    ex = (
         T(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
-        .filter(F.size("sh") > 0)
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        .withColumn("h", md5_int(F.col("s")) % _P)
     )
-    hs = F.transform(F.col("sh"), lambda s: md5_int(s) % _P)
-    sigs = d.select("doc_id", "sh", hs.alias("hs")).select(
-        "doc_id", "sh", *_minhash_bands_spark(F.col("hs"))
+    per_doc = (
+        ex.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
+                for j in range(N_HASHES)
+            ],
+            # shingles are distinct per doc (word_shingles dedupes), so
+            # collecting the exploded stream reproduces the exact set
+            F.collect_list("s").alias("sh"),
+        )
+        .localCheckpoint()
     )
-    # ONE pass: explode band membership carrying the shingle set, group by
-    # bucket, explode in-bucket pairs, verify Jaccard inline. No self-join
-    # (which would run the signature lineage twice), no join-back for
-    # verification (which would recompute shingles twice more). Bucket
-    # sizes are ~near-dup-cluster sized, so the k² in-bucket pair blowup is
-    # bounded; the shuffle carries (bucket, doc_id, shingles) — at 100 TB
-    # swap the inline shingle payload for a join-back against a persisted
-    # shingle table if docs are huge, but the plan shape stays one
-    # aggregation + one explode.
-    band_long = sigs.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "sh", "band.band_id", "band.band_hash")
+
+    # Stage 2 — LSH banding over doc ids ONLY: the band shuffle carries
+    # (band_id, band_hash, doc_id), never the shingle payload.
+    band_long = (
+        per_doc.select("doc_id", *_band_hashes())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ])
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
     buckets = (
         band_long.groupBy("band_id", "band_hash")
-        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("docs"))
+        .agg(F.collect_list("doc_id").alias("docs"))
         .filter(F.size("docs") > 1)
     )
     docs = F.col("docs")
     pair_grid = F.flatten(
         F.transform(docs, lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))))
     )
-    pairs = (
+    cand = (
         buckets.select(F.explode(pair_grid).alias("p"))
-        .filter(F.col("p.a.doc_id") < F.col("p.b.doc_id"))
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.sh").alias("sh_a"),
-            F.col("p.b.sh").alias("sh_b"),
-        )
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+    # Stage 3 — exact-Jaccard verify via join-back against the materialized
+    # shingle table: candidates << corpus, so these joins move only the
+    # near-dup docs' shingle sets, not every doc's through every band.
+    sh_a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = inter / union
