@@ -141,51 +141,129 @@ def q44_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rnd(0.5 * length_term + 0.5 * diversity, 4).alias("quality"))
 
 
-@register(
-    "q45_word_jaccard_pairs",
-    f"""
+def _q45_oracle() -> str:
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        _A, _B, _P, _md5_int_sql, N_HASHES, N_BANDS, ROWS_PER_BAND,
+    )
+
+    mh = [
+        f"list_min(list_transform(hs, h -> ({_A[j]} * h + {_B[j]}) % {_P})) AS mh{j}"
+        for j in range(N_HASHES)
+    ]
+    bands = [
+        "md5(" + " || ',' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ) + f") AS band_{b}"
+        for b in range(N_BANDS)
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, lang, source, {b} AS band_id, band_{b} AS band_hash FROM sigs"
+        for b in range(N_BANDS)
+    )
+    jac = (
+        "CAST(LEN(LIST_INTERSECT(x.tokens, y.tokens)) AS DOUBLE) "
+        "/ (LEN(x.tokens) + LEN(y.tokens) - LEN(LIST_INTERSECT(x.tokens, y.tokens)))"
+    )
+    return f"""
     WITH toks AS (
         SELECT doc_id, lang, source, LIST_DISTINCT(string_split(text, ' ')) AS tokens
         FROM documents WHERE doc_id % 5 = 0
+    ), hashed AS (
+        SELECT doc_id, lang, source, tokens,
+               list_transform(tokens, t -> {_md5_int_sql('t')} % {_P}) AS hs
+        FROM toks
+    ), mh AS (
+        SELECT doc_id, lang, source, {', '.join(mh)} FROM hashed
+    ), sigs AS (
+        SELECT doc_id, lang, source, {', '.join(bands)} FROM mh
+    ), band_long AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_long a JOIN band_long b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {_rnd_sql('''CAST(LEN(LIST_INTERSECT(a.tokens, b.tokens)) AS DOUBLE)
-                 / (LEN(a.tokens) + LEN(b.tokens) - LEN(LIST_INTERSECT(a.tokens, b.tokens)))''', 4)} AS jaccard
-    FROM toks a JOIN toks b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(LEN(LIST_INTERSECT(a.tokens, b.tokens)) AS DOUBLE)
-          / (LEN(a.tokens) + LEN(b.tokens) - LEN(LIST_INTERSECT(a.tokens, b.tokens))) >= 0.5
-    """,
-    doc="word-level Jaccard near-dup pairs with (lang, source) blocking — "
-    "the exact-verification stage of a near-dup pipeline",
+    SELECT c.doc_a, c.doc_b, {_rnd_sql(jac, 4)} AS jaccard
+    FROM cand c JOIN toks x ON c.doc_a = x.doc_id JOIN toks y ON c.doc_b = y.doc_id
+    WHERE {jac} >= 0.5
+    """
+
+
+@register(
+    "q45_word_jaccard_pairs",
+    _q45_oracle(),
+    doc="word-level Jaccard near-dup verify fed by MinHash-band candidates "
+    "within (lang, source) blocks: the block key includes the band hash, so "
+    "candidate generation is O(collisions) — never the quadratic "
+    "all-pairs-within-block join a low-cardinality (lang, source) key alone "
+    "would plan",
 )
 def q45_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        _A, _B, _P, _band_hashes, md5_int, N_HASHES, N_BANDS,
+    )
+
+    # per-doc token table: minhash signature + the token set, one scan,
+    # materialized (see q53 for the pattern rationale)
+    ex = (
         T(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id", "lang", "source",
-            F.array_distinct(F.split(F.col("text"), " ")).alias("tokens"),
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
         )
+        .withColumn("h", md5_int(F.col("t")) % _P)
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast("double")
-    union = F.size(F.col("a.tokens")) + F.size(F.col("b.tokens")) - F.size(
-        F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))
+    per_doc = (
+        ex.groupBy("doc_id", "lang", "source")
+        .agg(
+            *[
+                F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
+                for j in range(N_HASHES)
+            ],
+            F.collect_list("t").alias("tokens"),
+        )
+        .localCheckpoint()
+    )
+    band_long = (
+        per_doc.select("doc_id", "lang", "source", *_band_hashes())
+        .select(
+            "doc_id", "lang", "source",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ])
+            ).alias("band"),
+        )
+        .select("doc_id", "lang", "source", "band.band_id", "band.band_hash")
+    )
+    buckets = (
+        band_long.groupBy("lang", "source", "band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    docs = F.col("docs")
+    pair_grid = F.flatten(
+        F.transform(docs, lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))))
+    )
+    cand = (
+        buckets.select(F.explode(pair_grid).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    tok_a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tok_a"))
+    tok_b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tok_b"))
+    pairs = cand.join(tok_a, "doc_a").join(tok_b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b"))).cast("double")
+    union = F.size("tok_a") + F.size("tok_b") - F.size(
+        F.array_intersect(F.col("tok_a"), F.col("tok_b"))
     )
     jac = inter / union
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.5)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            rnd(jac, 4).alias("jaccard"),
-        )
+    return pairs.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", rnd(jac, 4).alias("jaccard")
     )
