@@ -119,7 +119,11 @@ def apply_dotlist(config: Mapping[str, Any], dotlist: list[str]) -> dict[str, An
     REMAINING dotted path exists as a literal key (the ``spark.configs``
     map stores flat ``spark.sql.*`` keys), it is assigned directly — so
     ``spark.configs.spark.sql.shuffle.partitions=64`` updates the flat key
-    instead of growing a nested tree inside the conf map.
+    instead of growing a nested tree inside the conf map. Inside a known
+    flat-key map the remaining path is ALWAYS one flat key, even when it
+    does not pre-exist: ``spark.configs.spark.executor.memory=8g`` must
+    create the flat conf ``spark.executor.memory``, not a nested dict that
+    would later stringify into a garbage conf value.
     """
     out = copy.deepcopy(dict(config))
     for item in dotlist:
@@ -131,7 +135,9 @@ def apply_dotlist(config: Mapping[str, Any], dotlist: list[str]) -> dict[str, An
         i = 0
         while i < len(keys) - 1:
             remaining = ".".join(keys[i:])
-            if isinstance(node, dict) and remaining in node:
+            if isinstance(node, dict) and (
+                remaining in node or tuple(keys[:i]) in _FLAT_KEY_MAPS
+            ):
                 keys = keys[:i] + [remaining]
                 break
             node = node.setdefault(keys[i], {})
@@ -140,6 +146,11 @@ def apply_dotlist(config: Mapping[str, Any], dotlist: list[str]) -> dict[str, An
             i += 1
         node[keys[-1]] = _coerce(raw)
     return out
+
+
+# config subtrees whose keys are themselves dotted strings (Spark conf keys):
+# dotlist descent stops here and assigns the rest of the path as one key
+_FLAT_KEY_MAPS = {("spark", "configs")}
 
 
 def _load_file(path: Path) -> dict[str, Any]:

@@ -116,20 +116,24 @@ _CHUNK, _STRIDE = 32, 24  # tokens per chunk / stride (8-token overlap)
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 300
     )
     SELECT doc_id,
-           CAST(unnest(generate_series(0, CAST(FLOOR(CAST(GREATEST(len(toks) - {_CHUNK}, 0) AS DOUBLE) / {_STRIDE}) AS BIGINT))) AS BIGINT) AS chunk_id,
+           CAST(unnest(generate_series(0, CAST(CEIL(CAST(GREATEST(len(toks) - {_CHUNK}, 0) AS DOUBLE) / {_STRIDE}) AS BIGINT))) AS BIGINT) AS chunk_id,
            array_to_string(list_slice(toks,
-               unnest(generate_series(0, CAST(FLOOR(CAST(GREATEST(len(toks) - {_CHUNK}, 0) AS DOUBLE) / {_STRIDE}) AS BIGINT))) * {_STRIDE} + 1,
-               unnest(generate_series(0, CAST(FLOOR(CAST(GREATEST(len(toks) - {_CHUNK}, 0) AS DOUBLE) / {_STRIDE}) AS BIGINT))) * {_STRIDE} + {_CHUNK}), ' ') AS chunk_text
+               unnest(generate_series(0, CAST(CEIL(CAST(GREATEST(len(toks) - {_CHUNK}, 0) AS DOUBLE) / {_STRIDE}) AS BIGINT))) * {_STRIDE} + 1,
+               unnest(generate_series(0, CAST(CEIL(CAST(GREATEST(len(toks) - {_CHUNK}, 0) AS DOUBLE) / {_STRIDE}) AS BIGINT))) * {_STRIDE} + {_CHUNK}), ' ') AS chunk_text
     FROM t
     """,
     doc=f"RAG-style chunking: overlapping {_CHUNK}-token windows with "
     f"stride {_STRIDE} via sequence+slice — pure Catalyst, no UDTF, one "
-    "row per (doc, chunk)",
+    "row per (doc, chunk); CEIL on the chunk count emits a final partial "
+    "window so every trailing token is covered by at least one chunk",
 )
 def q66_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     toks = F.split("text", " ")
-    n_chunks = F.floor(
+    # CEIL, not FLOOR: when (len - CHUNK) is not a stride multiple the last
+    # window is partial — without it the trailing up-to-(STRIDE-1) tokens
+    # would silently appear in no chunk (tail-content loss in a RAG corpus)
+    n_chunks = F.ceil(
         F.greatest(F.size(toks) - _CHUNK, F.lit(0)).cast("double") / _STRIDE
     ).cast("long")
     chunked = d.select(
