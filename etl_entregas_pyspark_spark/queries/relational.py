@@ -508,7 +508,10 @@ def q16_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_rnd_sql('PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey)', 6)} AS prank
     FROM orders WHERE o_orderstatus = 'O'
     """,
-    doc="global ntile + percent_rank (the true top-20% flag the reference approximates with a constant)",
+    doc="global ntile + percent_rank (the true top-20% flag the reference "
+    "approximates with a constant). Deliberately the non-scalable shape — a "
+    "single-partition global sort; at scale use q71 (scalar percentile "
+    "threshold broadcast to a map-side flag) or q35 (percentile_approx)",
 )
 def q17_window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")

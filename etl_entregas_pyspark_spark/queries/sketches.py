@@ -251,3 +251,42 @@ def q65_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(var_q / 1e8, 4).alias("var_qty"),
         rnd(cov / (F.sqrt(var_q) * F.sqrt(var_d)), 4).alias("corr_qty_disc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — windowless percentile flag: q17's documented scale substitute
+# ---------------------------------------------------------------------------
+
+@register(
+    "q71_alto_valor_flag",
+    f"""
+    WITH thr AS (SELECT quantile_cont(o_totalprice, 0.8) AS t FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_alto_valor,
+           {_rnd_sql('MIN(thr.t)', 4)} AS p80_threshold
+    FROM orders CROSS JOIN thr
+    GROUP BY o_orderpriority
+    """,
+    doc="high-value flag from a data-driven top-20% threshold (the "
+    "es_alto_valor north-star, reference src/etl_entregas.py:372-378, with "
+    "the percentile computed instead of hard-coded): ONE scalar percentile "
+    "aggregate, broadcast to a map-side comparison — the shape that "
+    "replaces q17's global-sort percent_rank window at 100 TB. Exact "
+    "percentile here for oracle parity; at real scale swap in "
+    "percentile_approx (q35) without changing the plan shape.",
+)
+def q71_alto_valor_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    thr = o.agg(F.percentile(F.col("o_totalprice"), F.lit(0.8)).alias("t"))
+    return (
+        o.crossJoin(F.broadcast(thr))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("t"), 1).otherwise(0)
+            ).alias("n_alto_valor"),
+            rnd(F.min("t"), 4).alias("p80_threshold"),
+        )
+    )
