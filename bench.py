@@ -39,8 +39,13 @@ HEADLINE = [
     "q57_multimodal_decode",
     "q58_asof_join",
     "q59_range_join",
+    "q62_dedup_components",
     "q63_deterministic_split",
     "q64_decontamination",
+    "q66_chunking",
+    "q69_trailing_range_window",
+    "q70_gap_fill_forward",
+    "q71_alto_valor_flag",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
