@@ -117,14 +117,9 @@ _Q62_TEMPLATE = """
     """
 
 
-@register(
-    "q62_dedup_components",
-    _q62_oracle(),
-    doc="near-dup cluster formation: connected components over q53's pair "
-    "graph via iterative min-label propagation (converges in O(diameter) "
-    "rounds); canonical doc per cluster = min id. Oracle: recursive CTE.",
-)
-def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, component) for every doc in the near-dup pair graph, where
+    component = min doc id reachable (the canonical representative)."""
     pairs = _near_dup_edges(spark, sf_dir)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -165,6 +160,60 @@ def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.groupBy("component").agg(
+    return labels
+
+
+@register(
+    "q62_dedup_components",
+    _q62_oracle(),
+    doc="near-dup cluster formation: connected components over q53's pair "
+    "graph via iterative min-label propagation (converges in O(diameter) "
+    "rounds); canonical doc per cluster = min id. Oracle: recursive CTE.",
+)
+def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _component_labels(spark, sf_dir).groupBy("component").agg(
         F.count("*").alias("n_docs"), F.max("doc").alias("max_doc")
+    )
+
+
+def _q72_oracle() -> str:
+    from etl_entregas_pyspark_spark.queries.similarity import _q53_oracle
+
+    return _Q72_TEMPLATE.replace("{Q53}", _q53_oracle())
+
+
+_Q72_TEMPLATE = """
+    WITH RECURSIVE pairs AS (
+        {Q53}
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT a AS doc FROM edges
+    ), reach AS (
+        SELECT doc, doc AS comp FROM nodes
+        UNION
+        SELECT e.b AS doc, reach.comp FROM reach JOIN edges e ON reach.doc = e.a
+    ), labels AS (
+        SELECT doc, MIN(comp) AS component FROM reach GROUP BY doc
+    )
+    SELECT doc AS doc_id, component AS canonical_doc
+    FROM labels WHERE doc <> component
+    """
+
+
+@register(
+    "q72_dedup_materialize",
+    _q72_oracle(),
+    doc="production dedup resolution: the drop-list. Every non-canonical "
+    "member of a near-dup component (q53 pairs → q62 components) mapped to "
+    "its canonical keeper (min doc id); anti-joining this against the "
+    "corpus yields the deduplicated training set. Min-label propagation "
+    "already converges each doc's label to the component minimum, so the "
+    "drop-list is a filter on the label frame — no extra aggregation.",
+)
+def q72_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _component_labels(spark, sf_dir)
+    return labels.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("doc_id"), F.col("component").alias("canonical_doc")
     )

@@ -104,3 +104,25 @@ def q38_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(sorted_w, "-").alias("joined"),
         F.element_at(sorted_w, 1).alias("first_word"),
     )
+
+
+@register(
+    "q74_unpivot",
+    """
+    SELECT p_partkey, 'p_retailprice' AS attribute, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part WHERE p_partkey < 500
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS attribute, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey < 500
+    """,
+    doc="unpivot/melt: wide numeric attributes to long (key, attribute, "
+    "value) rows via DataFrame.unpivot — a single Expand over the scan "
+    "(rows x attributes, no shuffle, no join), q29's inverse",
+)
+def q74_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    ).unpivot(["p_partkey"], ["p_retailprice", "p_size"], "attribute", "value")

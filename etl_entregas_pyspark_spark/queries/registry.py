@@ -60,6 +60,10 @@ _PRIORITY = [
     "q69_trailing_range_window",
     "q70_gap_fill_forward",
     "q65_statistical_moments",
+    "q72_dedup_materialize",
+    "q73_ivf_search",
+    "q74_unpivot",
+    "q75_kmeans_step",
     # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
     "q27_conditional_agg",
     "q33_events_json",

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
 
 # MinHash parameters: 12 hash functions in 4 bands of 3 rows.
 # P(candidate | J) = 1 - (1 - J^3)^4  →  0.63 at J=0.6, 0.995 at J=0.9.
@@ -157,8 +157,10 @@ def q51_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    # broadcast the 8-ROW QUERY SIDE against the candidate scan: the
+    # candidate set is the 100-TB side, it must stream, never broadcast
     return (
-        q.crossJoin(F.broadcast(c))
+        c.crossJoin(F.broadcast(q))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
         .select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 10)
@@ -194,8 +196,10 @@ def q51_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q52_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = q51_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     labels = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # broadcast the 80-row top-k result into the label scan, not the other
+    # way round — the label table is corpus-sized
     votes = (
-        topk.join(F.broadcast(labels), topk.neighbor_id == labels.vec_id)
+        F.broadcast(topk).join(labels, topk.neighbor_id == labels.vec_id)
         .groupBy("query_id", "label")
         .agg(F.count("*").alias("n_votes"))
     )
@@ -531,4 +535,184 @@ def q68_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.array_min("q8")).alias("min_q8"),
             F.max(F.array_max("q8")).alias("max_q8"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — IVF probe search: the ANN query path over the q55 layout
+# ---------------------------------------------------------------------------
+
+_NPROBE = 2
+_IVF_TOPK = 3
+
+_IVF_ASSIGN_SQL = """
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+                            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                   c.centroid_id) AS rn
+        FROM {SRC} e CROSS JOIN cent c
+"""
+
+_CAND_ASSIGN_SQL = _IVF_ASSIGN_SQL.replace(
+    "{SRC}", "(SELECT * FROM embeddings WHERE vec_id >= 16)"
+)
+_PROBE_ASSIGN_SQL = _IVF_ASSIGN_SQL.replace(
+    "{SRC}", "(SELECT * FROM embeddings WHERE vec_id >= 8 AND vec_id < 16)"
+)
+
+
+@register(
+    "q73_ivf_search",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+    ), cand AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+            {_PROBE_ASSIGN_SQL}
+        ) WHERE rn <= {_NPROBE}
+    ), scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.q_emb, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine
+        FROM probes p JOIN cand c ON p.centroid_id = c.centroid_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_IVF_TOPK}
+    """,
+    doc=f"IVF ANN search over the q55 inverted-file layout: queries probe "
+    f"their {_NPROBE} nearest of 8 centroid buckets and rank only those "
+    f"buckets' vectors (~nprobe/C of the corpus scanned, vs q51's "
+    f"brute-force scan); cosine top-{_IVF_TOPK} per query with "
+    "deterministic tie-break. Centroids broadcast for assignment; the "
+    "probe join is an equi-join on centroid_id — bucket = partition key "
+    "at write time, so at scale each probe reads only its buckets.",
+)
+def q73_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c_emb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(src: DataFrame, keep: int) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
+        return (
+            src.crossJoin(F.broadcast(cent))
+            .select("vec_id", "embedding", "centroid_id", diff2.alias("d2"))
+            .select("*", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= keep)
+            .drop("d2", "rn")
+        )
+
+    cand = assign(e.filter(F.col("vec_id") >= 16), 1)
+    probes = assign(e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)), _NPROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+    )
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    # 16 probe rows broadcast into the bucketed candidate scan
+    return (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 — one k-means (Lloyd) step: recompute centroids from assignments
+# ---------------------------------------------------------------------------
+
+_KM_DIMS = 4  # report the first 4 dimensions of each updated centroid
+_KM_SCALE = 10_000_000  # float -> scaled-int for order-independent sums
+
+
+@register(
+    "q75_kmeans_step",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL.replace("vec_id >= 16", "vec_id >= 8")}
+        ) WHERE rn = 1
+    ), dims AS (
+        SELECT a.centroid_id, g.i - 1 AS pos,
+               CAST(FLOOR(CAST(a.embedding[g.i] AS DOUBLE) * {_KM_SCALE}) AS BIGINT) AS v
+        FROM assigned a CROSS JOIN generate_series(1, {_KM_DIMS}) AS g(i)
+    )
+    SELECT centroid_id, pos,
+           COUNT(*) AS n_assigned,
+           {_rnd_sql(f'CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / {_KM_SCALE} / COUNT(*)', 6)} AS new_coord
+    FROM dims GROUP BY centroid_id, pos
+    """,
+    doc=f"one k-means (Lloyd) iteration over the IVF layout: assign every "
+    "vector to its nearest of 8 centroids (broadcast argmin, as q55), then "
+    "recompute each centroid as the element-wise mean of its bucket — "
+    f"reported for the first {_KM_DIMS} dimensions. Sums use scaled-int "
+    "accumulation (order-independent, engine-portable); the iterative "
+    "driver loop is q62's localCheckpoint pattern applied to centroids, "
+    "which stay k x dim sized — broadcastable at any corpus scale.",
+)
+def q75_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c_emb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
+    assigned = (
+        e.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "centroid_id", diff2.alias("d2"))
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    dims = assigned.select(
+        "centroid_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_KM_DIMS))).alias("i"),
+        "embedding",
+    ).select(
+        "centroid_id",
+        (F.col("i") - 1).alias("pos"),
+        F.floor(
+            F.element_at("embedding", F.col("i")).cast("double") * _KM_SCALE
+        ).cast("long").alias("v"),
+    )
+    return dims.groupBy("centroid_id", "pos").agg(
+        F.count("*").alias("n_assigned"),
+        rnd(F.sum("v").cast("double") / _KM_SCALE / F.count("*"), 6).alias("new_coord"),
     )
