@@ -126,3 +126,32 @@ def q74_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("double").alias("p_retailprice"),
         F.col("p_size").cast("double").alias("p_size"),
     ).unpivot(["p_partkey"], ["p_retailprice", "p_size"], "attribute", "value")
+
+
+@register(
+    "q76_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="arbitrary GROUPING SETS (not expressible as rollup/cube) with a "
+    "GROUPING() id disambiguating NULL-as-total from NULL-as-value, via "
+    "the SQL API — one Expand + one aggregate, same plan family as "
+    "q12/q13",
+)
+def q76_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "orders").createOrReplaceTempView("q76_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+               COUNT(*) AS n_orders
+        FROM q76_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

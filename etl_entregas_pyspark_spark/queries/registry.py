@@ -64,6 +64,9 @@ _PRIORITY = [
     "q73_ivf_search",
     "q74_unpivot",
     "q75_kmeans_step",
+    "q76_grouping_sets",
+    "q77_edit_distance_pairs",
+    "q78_tfidf_top_terms",
     # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
     "q27_conditional_agg",
     "q33_events_json",

@@ -267,3 +267,128 @@ def q45_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(jac >= 0.5).select(
         "doc_a", "doc_b", rnd(jac, 4).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — edit-distance fuzzy-dup verify over the MinHash candidate set
+# ---------------------------------------------------------------------------
+
+_LEV_PREFIX = 80  # compare the first N chars: O(N^2) per pair, bounded
+
+
+def _q77_oracle() -> str:
+    from etl_entregas_pyspark_spark.queries.similarity import _q53_oracle
+
+    return f"""
+    WITH cand AS (
+        SELECT doc_a, doc_b FROM ({_q53_oracle()})
+    )
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(substr(x.text, 1, {_LEV_PREFIX}),
+                       substr(y.text, 1, {_LEV_PREFIX})) AS edit_distance,
+           {_rnd_sql(
+               f'''1.0 - CAST(levenshtein(substr(x.text, 1, {_LEV_PREFIX}),
+                                  substr(y.text, 1, {_LEV_PREFIX})) AS DOUBLE)
+               / GREATEST(LENGTH(substr(x.text, 1, {_LEV_PREFIX})),
+                          LENGTH(substr(y.text, 1, {_LEV_PREFIX})))''', 4)} AS lev_sim
+    FROM cand c
+    JOIN documents x ON c.doc_a = x.doc_id
+    JOIN documents y ON c.doc_b = y.doc_id
+    """
+
+
+@register(
+    "q77_edit_distance_pairs",
+    _q77_oracle(),
+    doc=f"character-level fuzzy-dup verification: Levenshtein distance and "
+    f"normalized similarity over the first {_LEV_PREFIX} chars of each "
+    "MinHash-LSH candidate pair (q53's near-dup output re-scored at "
+    "character granularity — the edit-distance stage only ever touches "
+    "candidates, never the corpus cross product)",
+)
+def q77_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.similarity import q53_minhash_near_dup
+
+    cand = q53_minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _LEV_PREFIX).alias("prefix")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pre_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pre_b"))
+    lev = F.levenshtein(F.col("pre_a"), F.col("pre_b"))
+    sim = F.lit(1.0) - lev.cast("double") / F.greatest(
+        F.length("pre_a"), F.length("pre_b")
+    )
+    return (
+        F.broadcast(cand)
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("edit_distance"),
+            rnd(sim, 4).alias("lev_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_DOCS = 100
+_TFIDF_TOPK = 3
+
+
+@register(
+    "q78_tfidf_top_terms",
+    f"""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {_TFIDF_DOCS}
+    ), n_docs AS (
+        SELECT COUNT(*) AS n FROM sub
+    ), tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM sub
+    ), tf_counts AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf_counts GROUP BY term
+    ), scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               {_rnd_sql('CAST(t.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / d.df)', 6)} AS tfidf
+        FROM tf_counts t JOIN df d ON t.term = d.term CROSS JOIN n_docs n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        SELECT doc_id, term, tf, df, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= {_TFIDF_TOPK}
+    """,
+    doc=f"TF-IDF: term frequency per (doc, term), document frequency per "
+    f"term, tfidf = tf * ln(N/df), top-{_TFIDF_TOPK} terms per document "
+    "with deterministic tie-break — two aggregations and one equi-join on "
+    "the term, each with map-side partial aggregation; the classic "
+    "keyword-extraction / relevance feature for a text corpus",
+)
+def q78_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sub = T(spark, sf_dir, "documents").filter(F.col("doc_id") < _TFIDF_DOCS)
+    n_docs = sub.agg(F.count("*").alias("n"))
+    tf = (
+        sub.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tfidf = rnd(
+        F.col("tf").cast("double") * F.log(F.col("n").cast("double") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", "df", tfidf.alias("tfidf"))
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+    )
