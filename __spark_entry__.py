@@ -22,9 +22,13 @@ from etl_entregas_pyspark_spark.session import tune_for_oracle  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    q60 is the reference's whole raison d'être (src/etl_entregas.py:92-518
+    re-expressed as one declarative plan): CSV-grade quality ladder →
+    filters → 28-column business projection."""
     tune_for_oracle(spark)
-    return q.REGISTRY["q01_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
+    return q.REGISTRY["q60_entregas_pipeline"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

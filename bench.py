@@ -46,6 +46,9 @@ HEADLINE = [
     "q69_trailing_range_window",
     "q70_gap_fill_forward",
     "q71_alto_valor_flag",
+    "q73_ivf_search",
+    "q77_edit_distance_pairs",
+    "q78_tfidf_top_terms",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

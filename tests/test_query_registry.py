@@ -29,6 +29,11 @@ SUBSET = [
     "q65_statistical_moments",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
+    "q71_alto_valor_flag",
+    "q72_dedup_materialize",
+    "q73_ivf_search",
+    "q76_grouping_sets",
+    "q78_tfidf_top_terms",
 ]
 
 
