@@ -139,3 +139,48 @@ def q33_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — skew-safe two-phase aggregation (salted), proven ≡ plain groupBy
+# ---------------------------------------------------------------------------
+
+@register(
+    "q79_salted_aggregate",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value', 6)} AS total_value,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+    """,
+    doc="hot-key-safe aggregation: 5 event types over the whole fact table "
+    "is the canonical skew shape (one reducer per key pins the stage). "
+    "operators/skew.salted_aggregate shuffles phase 1 on (key, salt) — the "
+    "hot key spreads over 16 reducers — and phase 2 merges the ≤16 "
+    "partials per key. The oracle is the PLAIN group-by: the salted plan "
+    "must be bit-identical to the naive one (merge-decomposable "
+    "aggregates; deterministic scaled-int sums are order-independent).",
+)
+def q79_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.operators.skew import salted_aggregate
+
+    e = E(spark, sf_dir).withColumn(
+        "v6", F.floor(F.col("value") * 1_000_000.0).cast("long")
+    )
+    out = salted_aggregate(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "sum_v6": ("v6", "sum"),
+            "max_user": ("user_id", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        (F.col("sum_v6").cast("double") / 1_000_000.0).alias("total_value"),
+        F.col("max_user").cast("bigint").alias("max_user"),
+    )

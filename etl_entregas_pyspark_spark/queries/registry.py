@@ -67,6 +67,7 @@ _PRIORITY = [
     "q76_grouping_sets",
     "q77_edit_distance_pairs",
     "q78_tfidf_top_terms",
+    "q79_salted_aggregate",
     # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
     "q27_conditional_agg",
     "q33_events_json",
