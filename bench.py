@@ -89,16 +89,19 @@ def main() -> None:
 
     # one untimed pass per query first: interpreted higher-order-function
     # expressions C2-compile only after a few executions, and a single cold
-    # sample can read 3x the steady-state cost. The timed pass then measures
-    # data throughput — the quantity that scales to the design point.
+    # sample can read 3x the steady-state cost. Then TWO timed passes,
+    # keeping the per-query minimum — a single pass is vulnerable to
+    # transient machine contention (GC, co-tenant load) inflating a few
+    # queries 3-4x; the min of two is the honest steady-state data cost.
     times: dict[str, float] = {}
-    for timed in (False, True):
+    for timed in (False, True, True):
         for name in HEADLINE:
             spec = q.REGISTRY[name]
             t0 = time.time()
             spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             if timed:
-                times[name] = round(time.time() - t0, 3)
+                dt = round(time.time() - t0, 3)
+                times[name] = min(times.get(name, dt), dt)
 
     total = round(sum(times.values()), 3)
     print(

@@ -23,9 +23,15 @@ from pyspark.sql import functions as F
 
 SRC = "/root/testdata/sf0.1"
 QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
-           "q06_global_agg", "q14_window_topn", "q18_topk_orders"]
-# fact tables replicated with shifted keys; dims copied as-is
-FACTS = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey", "o_custkey"]}
+           "q06_global_agg", "q14_window_topn", "q18_topk_orders",
+           "q53_minhash_near_dup", "q64_decontamination"]
+# fact tables replicated with shifted keys; dims copied as-is.
+# documents replicate with IDENTICAL text — deliberately: N× literal
+# duplication is the near-dup operator's worst case (every LSH bucket's
+# membership multiplies by N, the in-bucket pair grid by N²), i.e. the
+# common-crawl-style duplication profile the dedup path must survive.
+FACTS = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey", "o_custkey"],
+         "documents": ["doc_id"]}
 KEY_STRIDE = 100_000_000
 
 
@@ -47,7 +53,7 @@ def main() -> None:
     try:
         rows = {}
         for name in ("region", "nation", "customer", "supplier", "part", "events",
-                     "documents", "embeddings"):
+                     "embeddings"):
             shutil.copy(f"{SRC}/{name}.parquet", f"{out_dir}/{name}.parquet")
         for name, keys in FACTS.items():
             base = spark.read.parquet(f"{SRC}/{name}.parquet")
