@@ -184,3 +184,40 @@ def q79_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_v6").cast("double") / 1_000_000.0).alias("total_value"),
         F.col("max_user").cast("bigint").alias("max_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — latest record per key (CDC snapshot / upsert-compaction pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q80_latest_per_key",
+    """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="latest record per key (the CDC/upsert snapshot compaction): "
+    "row_number over (key ORDER BY ts DESC, id DESC) = 1 — one hash "
+    "shuffle on the key, per-partition sort bounded by per-key row "
+    "counts; the deterministic id tie-break makes concurrent same-ts "
+    "updates reproducible",
+)
+def q80_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = E(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.select("user_id", "event_id", "ts", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )

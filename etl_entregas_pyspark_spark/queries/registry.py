@@ -68,6 +68,8 @@ _PRIORITY = [
     "q77_edit_distance_pairs",
     "q78_tfidf_top_terms",
     "q79_salted_aggregate",
+    "q80_latest_per_key",
+    "q81_reconciliation",
     # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
     "q27_conditional_agg",
     "q33_events_json",

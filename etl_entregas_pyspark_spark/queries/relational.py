@@ -738,3 +738,60 @@ def q26_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.pow(F.col("p_size"), 2), 1).alias("size_sq"),
         (F.col("p_size") % 7).alias("size_mod"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — cross-table reconciliation (referential-integrity data quality)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q81_reconciliation",
+    f"""
+    WITH li AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_lines,
+               {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)} AS lines_total
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_orders,
+           CAST(SUM(CASE WHEN li.n_lines IS NOT NULL AND li.n_lines > 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_overfull,
+           {_rnd_sql('CAST(SUM(CAST(FLOOR(COALESCE(li.lines_total, 0.0) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0', 2)} AS recon_total
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc="cross-table reconciliation: per-order lineitem rollup LEFT-joined "
+    "back to orders — orphan orders (no lines), overfull orders, and the "
+    "reconciled monetary total per status. The pre-aggregate-then-join "
+    "shape shuffles each table once on the key it is already keyed by; "
+    "the classic fact-vs-detail integrity audit a 100-TB warehouse runs "
+    "nightly.",
+)
+def q81_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                2,
+            ).alias("lines_total"),
+        )
+    )
+    o = T(spark, sf_dir, "orders")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("n_orphan_orders"),
+        F.sum(
+            F.when(F.col("n_lines").isNotNull() & (F.col("n_lines") > 7), 1).otherwise(0)
+        ).alias("n_overfull"),
+        (
+            F.sum(
+                F.floor(F.coalesce(F.col("lines_total"), F.lit(0.0)) * 100.0).cast("long")
+            ).cast("double")
+            / 100.0
+        ).alias("recon_total"),
+    )
