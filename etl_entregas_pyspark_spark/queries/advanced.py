@@ -134,17 +134,35 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    # min-label propagation; near-dup components are tiny cliques, so this
-    # converges in a handful of rounds (each round = one join + one agg)
-    for _ in range(20):
+    # min-label propagation with POINTER JUMPING: each round takes the min
+    # over graph neighbours, then compresses component -> component-of-
+    # component (label ids are doc ids, so the jump is a self-join). The
+    # jump halves remaining path lengths — convergence in O(log diameter)
+    # rounds, so 30 rounds handle any component up to ~2^30 diameter.
+    # A silently-unconverged label frame would be a WRONG drop-list (q72),
+    # so exhausting the cap raises instead of returning.
+    converged = False
+    for _ in range(30):
         neighbor_min = (
             labels.join(edges, labels.doc == edges.doc_a)
             .groupBy(F.col("doc_b").alias("doc"))
             .agg(F.min("component").alias("n_comp"))
         )
+        propagated = labels.join(neighbor_min, "doc", "left").select(
+            "doc",
+            F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
+        )
+        jump = labels.select(
+            F.col("doc").alias("component"), F.col("component").alias("jumped")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc", "left")
-            .select("doc", F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"))
+            propagated.join(jump, "component", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("component"), F.coalesce("jumped", "component")
+                ).alias("component"),
+            )
             .localCheckpoint()
         )
         # both sides are materialized, so this is a cheap shallow join,
@@ -158,8 +176,14 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "connected-components propagation did not converge within 30 "
+            "pointer-jumping rounds (component diameter > ~2^30?)"
+        )
     return labels
 
 

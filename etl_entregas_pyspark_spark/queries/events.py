@@ -165,14 +165,18 @@ def q33_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q79_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_entregas_pyspark_spark.operators.skew import salted_aggregate
 
-    e = E(spark, sf_dir).withColumn(
-        "v6", F.floor(F.col("value") * 1_000_000.0).cast("long")
+    e = (
+        E(spark, sf_dir)
+        .withColumn("v6", F.floor(F.col("value") * 1_000_000.0).cast("long"))
+        # count on a literal-1 column: F.count(col) skips NULLs, and the
+        # oracle is COUNT(*) — a NULL event_id must still count
+        .withColumn("one", F.lit(1))
     )
     out = salted_aggregate(
         e,
         keys=["event_type"],
         aggs={
-            "n_events": ("event_id", "count"),
+            "n_events": ("one", "count"),
             "sum_v6": ("v6", "sum"),
             "max_user": ("user_id", "max"),
         },

@@ -240,6 +240,83 @@ def _band_hashes(prefix: str = "mh") -> list[Column]:
     ]
 
 
+def lsh_candidates(ex: DataFrame, block_cols: tuple[str, ...] = ()) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash-LSH pipeline over an exploded item stream.
+
+    ``ex`` must carry ``doc_id``, the ``block_cols``, one ``item`` string
+    per row, and its hash ``h`` (already reduced mod P). Returns
+    ``(per_doc, cand)``:
+
+    - ``per_doc`` — one row per doc: the 12 minhash minima plus the
+      collected ``items`` payload, materialized once via localCheckpoint
+      and reused by every downstream branch. (Note: constructing the
+      DataFrame therefore executes the signature stage — with AQE even a
+      lazy checkpoint materializes its exchanges at RDD-conversion time,
+      so eager-vs-lazy changes nothing; a plan dump of an LSH query costs
+      one stage-1 execution.)
+    - ``cand`` — deduped candidate pairs (doc_a < doc_b) from
+      ``(block_cols, band_id, band_hash)`` buckets. The band shuffle
+      carries doc ids only, never the payload; in-bucket pair explosion is
+      O(collisions), never an O(n²) self-join.
+
+    Minhash math runs on the exploded stream: one md5 per (doc, item) and
+    12 integer universal-hash mixes reduced by groupBy/min — all
+    whole-stage-codegen'd with map-side partial aggregation.
+    """
+    block = list(block_cols)
+    per_doc = (
+        ex.groupBy("doc_id", *block)
+        .agg(
+            *[
+                F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
+                for j in range(N_HASHES)
+            ],
+            F.collect_list("item").alias("items"),
+        )
+        .localCheckpoint()
+    )
+    band_long = (
+        per_doc.select("doc_id", *block, *_band_hashes())
+        .select(
+            "doc_id",
+            *block,
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ])
+            ).alias("band"),
+        )
+        .select("doc_id", *block, "band.band_id", "band.band_hash")
+    )
+    buckets = (
+        band_long.groupBy(*block, "band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    docs = F.col("docs")
+    pair_grid = F.flatten(
+        F.transform(docs, lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))))
+    )
+    cand = (
+        buckets.select(F.explode(pair_grid).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return per_doc, cand
+
+
+def jaccard_verify(
+    cand: DataFrame, per_doc: DataFrame, out_a: str = "sh_a", out_b: str = "sh_b"
+) -> DataFrame:
+    """Join candidate pairs back against the materialized per-doc payload
+    (candidates << corpus, so only near-dup docs' payloads move)."""
+    a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("items").alias(out_a))
+    b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("items").alias(out_b))
+    return cand.join(a, "doc_a").join(b, "doc_b")
+
+
 # build the oracle SQL programmatically so the constants stay in sync
 def _q53_oracle() -> str:
     mh = [
@@ -289,76 +366,19 @@ def _q53_oracle() -> str:
     "(the scalable O(candidates) near-dup path, never O(n²))",
 )
 def q53_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Stage 1 — per-doc shingle table, computed ONCE and materialized
-    # (localCheckpoint = the in-session analog of the persisted shingle
-    # table you would keep at 100 TB). The signature math runs on the
-    # EXPLODED shingle stream: one md5 per (doc, shingle), then the 12
-    # universal-hash mixes as plain integer expressions that groupBy
-    # reduces with F.min — everything whole-stage-codegen'd, no
-    # interpreted higher-order-function lambdas, and partial (map-side)
-    # aggregation shrinks each minhash to one row per doc per partition
-    # before the exchange.
-    #
     # Repartition before the CPU-heavy hash stage: the testdata is a
     # single-row-group file (one input split), and at any scale the hash
     # stage should run on evenly-sized partitions, not source splits.
+    # Shingles are distinct per doc (word_shingles dedupes), so the
+    # collected exploded stream reproduces the exact set.
     ex = (
         T(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
-        .withColumn("h", md5_int(F.col("s")) % _P)
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
+        .withColumn("h", md5_int(F.col("item")) % _P)
     )
-    per_doc = (
-        ex.groupBy("doc_id")
-        .agg(
-            *[
-                F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
-                for j in range(N_HASHES)
-            ],
-            # shingles are distinct per doc (word_shingles dedupes), so
-            # collecting the exploded stream reproduces the exact set
-            F.collect_list("s").alias("sh"),
-        )
-        .localCheckpoint()
-    )
-
-    # Stage 2 — LSH banding over doc ids ONLY: the band shuffle carries
-    # (band_id, band_hash, doc_id), never the shingle payload.
-    band_long = (
-        per_doc.select("doc_id", *_band_hashes())
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
-                    for b in range(N_BANDS)
-                ])
-            ).alias("band"),
-        )
-        .select("doc_id", "band.band_id", "band.band_hash")
-    )
-    buckets = (
-        band_long.groupBy("band_id", "band_hash")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") > 1)
-    )
-    docs = F.col("docs")
-    pair_grid = F.flatten(
-        F.transform(docs, lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))))
-    )
-    cand = (
-        buckets.select(F.explode(pair_grid).alias("p"))
-        .filter(F.col("p.a") < F.col("p.b"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-
-    # Stage 3 — exact-Jaccard verify via join-back against the materialized
-    # shingle table: candidates << corpus, so these joins move only the
-    # near-dup docs' shingle sets, not every doc's through every band.
-    sh_a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    pairs = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    per_doc, cand = lsh_candidates(ex)
+    pairs = jaccard_verify(cand, per_doc)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = inter / union
@@ -429,6 +449,38 @@ def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q55 — IVF-style bucketed ANN: centroid assignment
 # ---------------------------------------------------------------------------
 
+def ivf_centroids(e: DataFrame) -> DataFrame:
+    """The 8 fixed centroids (vec_id < 8) in broadcastable form."""
+    return e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+
+
+def ivf_assign(src: DataFrame, cent: DataFrame, keep: int = 1) -> DataFrame:
+    """Nearest-centroid assignment shared by q55/q73/q75: broadcast the
+    centroids, exact L2² per (vector, centroid), keep the ``keep`` nearest
+    with a deterministic centroid_id tie-break. Returns
+    (vec_id, embedding, centroid_id, d2)."""
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c_emb"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
+    return (
+        src.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "centroid_id", diff2.alias("d2"))
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= keep)
+        .drop("rn")
+    )
+
+
 @register(
     "q55_ivf_assign",
     """
@@ -455,26 +507,7 @@ def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q55_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    diff2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("c_emb"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "centroid_id", diff2.alias("d2"))
-        .select("*", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-    )
+    assigned = ivf_assign(e, ivf_centroids(e), keep=1)
     return assigned.groupBy("centroid_id").agg(
         F.count("*").alias("n_vectors"),
         F.sum(F.col("d2").cast("decimal(28,12)")).cast("double").alias("sum_d2"),
@@ -600,29 +633,10 @@ _PROBE_ASSIGN_SQL = _IVF_ASSIGN_SQL.replace(
 )
 def q73_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    diff2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("c_emb"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    cent = ivf_centroids(e)
 
     def assign(src: DataFrame, keep: int) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
-        return (
-            src.crossJoin(F.broadcast(cent))
-            .select("vec_id", "embedding", "centroid_id", diff2.alias("d2"))
-            .select("*", F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") <= keep)
-            .drop("d2", "rn")
-        )
+        return ivf_assign(src, cent, keep).drop("d2")
 
     cand = assign(e.filter(F.col("vec_id") >= 16), 1)
     probes = assign(e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)), _NPROBE).select(
@@ -680,27 +694,7 @@ _KM_SCALE = 10_000_000  # float -> scaled-int for order-independent sums
 )
 def q75_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    diff2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("c_emb"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
-    assigned = (
-        e.filter(F.col("vec_id") >= 8)
-        .crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "centroid_id", diff2.alias("d2"))
-        .select("*", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-    )
+    assigned = ivf_assign(e.filter(F.col("vec_id") >= 8), ivf_centroids(e), keep=1)
     dims = assigned.select(
         "centroid_id",
         F.explode(F.sequence(F.lit(1), F.lit(_KM_DIMS))).alias("i"),

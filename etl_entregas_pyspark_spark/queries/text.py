@@ -167,7 +167,8 @@ def _q45_oracle() -> str:
     return f"""
     WITH toks AS (
         SELECT doc_id, lang, source, LIST_DISTINCT(string_split(text, ' ')) AS tokens
-        FROM documents WHERE doc_id % 5 = 0
+        FROM documents
+        WHERE doc_id % 5 = 0 AND lang IS NOT NULL AND source IS NOT NULL
     ), hashed AS (
         SELECT doc_id, lang, source, tokens,
                list_transform(tokens, t -> {_md5_int_sql('t')} % {_P}) AS hs
@@ -202,63 +203,28 @@ def _q45_oracle() -> str:
 )
 def q45_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_entregas_pyspark_spark.queries.similarity import (
-        _A, _B, _P, _band_hashes, md5_int, N_HASHES, N_BANDS,
+        _P, jaccard_verify, lsh_candidates, md5_int,
     )
 
-    # per-doc token table: minhash signature + the token set, one scan,
-    # materialized (see q53 for the pattern rationale)
+    # NULL lang/source excluded on BOTH sides: groupBy blocking would pair
+    # NULL with NULL while the oracle's equality join drops them —
+    # filtering keeps the two engines' NULL semantics aligned
     ex = (
         T(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 0)
+        .filter(
+            (F.col("doc_id") % 5 == 0)
+            & F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+        )
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id", "lang", "source",
-            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("item"),
         )
-        .withColumn("h", md5_int(F.col("t")) % _P)
+        .withColumn("h", md5_int(F.col("item")) % _P)
     )
-    per_doc = (
-        ex.groupBy("doc_id", "lang", "source")
-        .agg(
-            *[
-                F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
-                for j in range(N_HASHES)
-            ],
-            F.collect_list("t").alias("tokens"),
-        )
-        .localCheckpoint()
-    )
-    band_long = (
-        per_doc.select("doc_id", "lang", "source", *_band_hashes())
-        .select(
-            "doc_id", "lang", "source",
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
-                    for b in range(N_BANDS)
-                ])
-            ).alias("band"),
-        )
-        .select("doc_id", "lang", "source", "band.band_id", "band.band_hash")
-    )
-    buckets = (
-        band_long.groupBy("lang", "source", "band_id", "band_hash")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") > 1)
-    )
-    docs = F.col("docs")
-    pair_grid = F.flatten(
-        F.transform(docs, lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))))
-    )
-    cand = (
-        buckets.select(F.explode(pair_grid).alias("p"))
-        .filter(F.col("p.a") < F.col("p.b"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    tok_a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tok_a"))
-    tok_b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tok_b"))
-    pairs = cand.join(tok_a, "doc_a").join(tok_b, "doc_b")
+    per_doc, cand = lsh_candidates(ex, block_cols=("lang", "source"))
+    pairs = jaccard_verify(cand, per_doc, out_a="tok_a", out_b="tok_b")
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b"))).cast("double")
     union = F.size("tok_a") + F.size("tok_b") - F.size(
         F.array_intersect(F.col("tok_a"), F.col("tok_b"))
