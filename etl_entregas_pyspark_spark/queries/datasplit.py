@@ -184,3 +184,56 @@ def q67_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= _PER_STRATUM)
     )
+
+
+_PACK_BUDGET = 4096  # tokens per training sequence
+
+
+@register(
+    "q82_sequence_packing",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, source, LEN(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), binned AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                          / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM binned GROUP BY source, bin_id
+    """,
+    doc=f"training-sequence packing: docs greedily packed into "
+    f"{_PACK_BUDGET}-token bins via a running token count — bin_id = "
+    "floor(cumsum_before / budget), deterministic doc_id order. The "
+    "window is PARTITIONED BY source, so each stream packs independently "
+    "(no global sort; per-partition state is one running sum). The "
+    "concat-and-chunk step that turns a filtered corpus into fixed-length "
+    "training sequences.",
+)
+def q82_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sized = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bin_id = F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / _PACK_BUDGET
+    ).cast("bigint")
+    return (
+        sized.select("source", "doc_id", "n_tokens", bin_id.alias("bin_id"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -70,6 +70,7 @@ _PRIORITY = [
     "q79_salted_aggregate",
     "q80_latest_per_key",
     "q81_reconciliation",
+    "q82_sequence_packing",
     # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
     "q27_conditional_agg",
     "q33_events_json",

@@ -34,6 +34,7 @@ SUBSET = [
     "q73_ivf_search",
     "q76_grouping_sets",
     "q78_tfidf_top_terms",
+    "q82_sequence_packing",
 ]
 
 
