@@ -237,3 +237,52 @@ def q82_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+_MIX_ALPHA = 0.7  # mixture temperature (mT5-style alpha sampling)
+
+
+@register(
+    "q86_mixture_weights",
+    f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), p AS (
+        SELECT source, n_tokens,
+               POW(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA}) AS pw
+        FROM tok
+    )
+    SELECT source, n_tokens,
+           {_rnd_sql('pw / (SELECT SUM(pw) FROM p)', 6)} AS mixture_weight
+    FROM p
+    """,
+    doc=f"temperature-scaled source mixture weights for training-data "
+    f"sampling: w_i = n_i^a / sum_j n_j^a with a={_MIX_ALPHA} (the "
+    "mT5/XLM-R recipe that up-samples small sources without letting "
+    "large ones dominate). Token counting is one scan + one partial-"
+    "aggregated exchange keyed on source; everything after operates on "
+    "one row PER SOURCE (bounded, ~tens), so the global normalizer is a "
+    "broadcast single-row cross join, never a single-partition window "
+    "over data-scale rows. Weights are rnd-6 canonicalized (pow/sum "
+    "agree cross-engine well inside 1e-6).",
+)
+def q86_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        T(spark, sf_dir, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    p = tok.select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)).alias("pw"),
+    )
+    total = p.agg(F.sum("pw").alias("sum_pw"))
+    return p.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        rnd(F.col("pw") / F.col("sum_pw"), 6).alias("mixture_weight"),
+    )

@@ -225,3 +225,139 @@ def q80_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_type"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — gap-based sessionization (the classic stream-analytics operator)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, in epoch-micros
+
+
+@register(
+    "q83_sessionization",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_sec
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization: a new session starts after a >30-min "
+    "silence per user (lag over (user ORDER BY ts, id), running sum of "
+    "boundary flags = session_id). ONE hash exchange on user_id serves "
+    "the lag window, the running-sum window AND the per-session "
+    "aggregate (HashPartitioning(user_id) satisfies the (user_id, "
+    "session_id) clustering), so the whole operator is scan + one "
+    "shuffle; per-partition sort cost is bounded by per-user event "
+    "counts. Batch twin of the streaming session_window/ "
+    "applyInPandasWithState path (streaming/stateful.py).",
+)
+def q83_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = E(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_US), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+        .cast("bigint")
+        .alias("duration_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — strictly-ordered funnel (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q84_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events
+    ), s2 AS (
+        SELECT user_id, ts, event_type, t_view,
+               MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ), s3 AS (
+        SELECT user_id, t_view, t_click,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+               MIN(t_purchase) AS t_purchase
+        FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(t_click) AS BIGINT) AS n_click_after_view,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase_after_click
+    FROM per_user
+    """,
+    doc="strictly-ordered 3-stage funnel: first 'view', first 'click' "
+    "AFTER that view, first 'purchase' AFTER that click — exact ordered "
+    "semantics (not the min-per-stage approximation, which overcounts "
+    "when a click precedes the first view). Three unbounded-frame "
+    "conditional-min windows share ONE hash exchange on user_id; the "
+    "final global count is a two-phase partial aggregate of four "
+    "counters, so the reduce step moves 4 numbers per partition.",
+)
+def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = E(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = e.select("user_id", "ts", "event_type", t_view.alias("t_view"))
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+    ).over(w)
+    s2 = s1.select("user_id", "ts", "event_type", "t_view", t_click.alias("t_click"))
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+        )
+    ).over(w)
+    s3 = s2.select("user_id", "t_view", "t_click", t_purchase.alias("t_purchase"))
+    per_user = s3.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.count("t_click").cast("bigint").alias("n_click_after_view"),
+        F.count("t_purchase").cast("bigint").alias("n_purchase_after_click"),
+    )

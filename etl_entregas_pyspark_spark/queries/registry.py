@@ -71,6 +71,10 @@ _PRIORITY = [
     "q80_latest_per_key",
     "q81_reconciliation",
     "q82_sequence_packing",
+    "q83_sessionization",
+    "q84_funnel",
+    "q85_repetition_profile",
+    "q86_mixture_weights",
     # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
     "q27_conditional_agg",
     "q33_events_json",

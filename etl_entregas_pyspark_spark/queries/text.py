@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, _rnd_sql, dsum, rnd
 
 
 @register(
@@ -357,4 +357,67 @@ def q78_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", tfidf.alias("tfidf"))
         .select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= _TFIDF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85 — intra-document repetition profile (C4/Gopher-style "rep" filter)
+# ---------------------------------------------------------------------------
+
+_REP_HIGH = 0.5  # flag docs where >50% of word slots are repeats
+
+
+@register(
+    "q85_repetition_profile",
+    f"""
+    WITH per_doc AS (
+        SELECT source,
+               LEN(string_split(lower(text), ' ')) AS n_words,
+               LEN(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+        FROM documents
+    ), scored AS (
+        SELECT source, n_words,
+               1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS rep_ratio
+        FROM per_doc WHERE n_words > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {_rnd_sql(f"({_dsum_sql('rep_ratio', 6)}) / COUNT(*)", 6)} AS mean_repetition,
+           CAST(SUM(CASE WHEN rep_ratio > {_REP_HIGH} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high_repetition
+    FROM scored GROUP BY source
+    """,
+    doc="intra-document repetition: 1 - distinct_words/total_words per "
+    "doc (the Gopher 'repetition' quality signal), profiled per source "
+    "with a count of docs over the 0.5 flag threshold. The per-doc stage "
+    "is array-function arithmetic inside whole-stage codegen (size/"
+    "array_distinct — no explode, no per-word shuffle); the only "
+    "exchange carries one pre-aggregated row per (partition, source). "
+    "Per-doc ratios are summed in the integer domain (dsum-6) so the "
+    "aggregate is order-independent and bitwise stable cross-engine.",
+)
+def q85_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = F.split(F.lower(F.col("text")), " ")
+    d = (
+        T(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(words).alias("n_words"),
+            F.size(F.array_distinct(words)).alias("n_distinct"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "source",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+            ).alias("rep_ratio"),
+        )
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        rnd(dsum(F.col("rep_ratio"), 6) / F.count("*"), 6).alias("mean_repetition"),
+        F.sum(F.when(F.col("rep_ratio") > _REP_HIGH, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high_repetition"),
     )

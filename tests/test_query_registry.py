@@ -35,6 +35,8 @@ SUBSET = [
     "q76_grouping_sets",
     "q78_tfidf_top_terms",
     "q82_sequence_packing",
+    "q83_sessionization",
+    "q85_repetition_profile",
 ]
 
 
