@@ -75,6 +75,9 @@ _PRIORITY = [
     "q84_funnel",
     "q85_repetition_profile",
     "q86_mixture_weights",
+    "q87_expectation_audit",
+    "q88_corpus_filter",
+    "q89_heavy_hitters",
     # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
     "q27_conditional_agg",
     "q33_events_json",

@@ -421,3 +421,116 @@ def q85_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_high_repetition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — C4-style corpus cleaning filter (composed quality signals)
+# ---------------------------------------------------------------------------
+
+_MIN_WORDS = 50
+
+
+@register(
+    "q88_corpus_filter",
+    f"""
+    WITH scored AS (
+        SELECT source, lang,
+               LEN(string_split(lower(text), ' ')) AS n_words,
+               LEN(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+               LEN(text) AS n_chars_raw
+        FROM documents
+    ), flagged AS (
+        SELECT source, lang, n_words,
+               (n_words >= {_MIN_WORDS}
+                AND 10 * n_distinct >= 7 * n_words
+                AND 3 * n_words <= n_chars_raw - (n_words - 1)
+                AND n_chars_raw - (n_words - 1) <= 10 * n_words
+                AND lang IS NOT NULL AND lang <> '') AS keep
+        FROM scored
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           {_rnd_sql("CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)}
+               AS keep_rate,
+           CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM flagged GROUP BY source, lang
+    """,
+    doc=f"C4-style cleaning pipeline: keep documents with >= {_MIN_WORDS} "
+    "words, repetition ratio <= 0.3, mean word length in [3, 10], and a "
+    "non-empty language tag — reported as per-(source, lang) keep rates "
+    "and surviving token counts. All thresholds are evaluated in the "
+    "INTEGER domain (10*distinct >= 7*words instead of a float ratio), "
+    "so the filter is bitwise reproducible across engines and replay "
+    "runs — a requirement for auditable training-data lineage. One scan, "
+    "codegen array arithmetic, one pre-aggregated exchange.",
+)
+def q88_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = F.split(F.lower(F.col("text")), " ")
+    scored = T(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.length("text").alias("n_chars_raw"),
+    )
+    net_chars = F.col("n_chars_raw") - (F.col("n_words") - 1)
+    keep = (
+        (F.col("n_words") >= _MIN_WORDS)
+        & (10 * F.col("n_distinct") >= 7 * F.col("n_words"))
+        & (3 * F.col("n_words") <= net_chars)
+        & (net_chars <= 10 * F.col("n_words"))
+        & F.col("lang").isNotNull()
+        & (F.col("lang") != "")
+    )
+    return (
+        scored.select("source", "lang", "n_words", keep.alias("keep"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            rnd(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double") / F.count("*"), 6
+            ).alias("keep_rate"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 — corpus heavy hitters (exact distributed top-k by frequency)
+# ---------------------------------------------------------------------------
+
+_HH_TOPK = 20
+
+
+@register(
+    "q89_heavy_hitters",
+    f"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT {_HH_TOPK}
+    """,
+    doc=f"exact corpus heavy hitters: top-{_HH_TOPK} words by frequency. "
+    "Explode → count is map-side partial-aggregated (each partition "
+    "emits one (word, partial_count) row per distinct word, not one row "
+    "per token), and the final top-k plans as TakeOrderedAndProject — "
+    "each partition forwards only its local top-k, the driver merges "
+    "k-sized heaps; no global sort ever materializes. Deterministic "
+    "(cnt DESC, word) tie-break.",
+)
+def q89_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(_HH_TOPK)
+    )

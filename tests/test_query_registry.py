@@ -37,6 +37,8 @@ SUBSET = [
     "q82_sequence_packing",
     "q83_sessionization",
     "q85_repetition_profile",
+    "q87_expectation_audit",
+    "q88_corpus_filter",
 ]
 
 
