@@ -49,6 +49,16 @@ HEADLINE = [
     "q73_ivf_search",
     "q77_edit_distance_pairs",
     "q78_tfidf_top_terms",
+    "q79_salted_aggregate",
+    "q80_latest_per_key",
+    "q82_sequence_packing",
+    "q83_sessionization",
+    "q84_funnel",
+    "q85_repetition_profile",
+    "q86_mixture_weights",
+    "q87_expectation_audit",
+    "q88_corpus_filter",
+    "q89_heavy_hitters",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
