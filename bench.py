@@ -59,6 +59,8 @@ HEADLINE = [
     "q87_expectation_audit",
     "q88_corpus_filter",
     "q89_heavy_hitters",
+    "q90_denylist_scrub",
+    "q91_exists_decorrelated",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

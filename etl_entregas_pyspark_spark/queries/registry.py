@@ -78,6 +78,9 @@ _PRIORITY = [
     "q87_expectation_audit",
     "q88_corpus_filter",
     "q89_heavy_hitters",
+    "q90_denylist_scrub",
+    "q91_exists_decorrelated",
+    "q92_length_histogram",
     # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
     "q27_conditional_agg",
     "q33_events_json",

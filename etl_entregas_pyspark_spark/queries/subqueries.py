@@ -78,3 +78,36 @@ def q49_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pos").alias("last_pos"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@register(
+    "q91_exists_decorrelated",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    doc="correlated EXISTS / NOT EXISTS — written as SQL through "
+    "spark.sql() so Catalyst's subquery decorrelation is the unit under "
+    "test: both predicates rewrite to a left-semi and a left-anti hash "
+    "join on o_custkey (never a per-row subquery execution), and with "
+    "orders pre-filtered before each join the build sides shrink to the "
+    "qualifying keys. The same decorrelation carries any EXISTS-shaped "
+    "audit (\"customers with X but never Y\") to warehouse scale.",
+)
+def q91_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "customer").createOrReplaceTempView("q91_customer")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("q91_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM q91_customer c
+        WHERE EXISTS (SELECT 1 FROM q91_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM q91_orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """
+    )

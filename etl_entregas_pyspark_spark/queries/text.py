@@ -534,3 +534,89 @@ def q89_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(_HH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — denylist scrubbing (the PII-redaction plumbing, term-list variant)
+# ---------------------------------------------------------------------------
+
+_DENY_RE = r"\b(customer|supplier|order)\b"
+
+
+@register(
+    "q90_denylist_scrub",
+    f"""
+    WITH scrubbed AS (
+        SELECT source,
+               CAST(LEN(regexp_extract_all(text, '{_DENY_RE}')) AS BIGINT) AS n_hits,
+               LENGTH(text) - LENGTH(regexp_replace(text, '{_DENY_RE}', '', 'g'))
+                   AS chars_removed
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_hits,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
+    FROM scrubbed GROUP BY source
+    """,
+    doc="denylist scrubbing — the exact plumbing of a PII-redaction pass "
+    "(regex match-count + redacting replace), run against a term "
+    "denylist so the synthetic corpus produces real hits. Per-row regex "
+    "inside whole-stage codegen (regexp_count/regexp_replace are JVM "
+    "intrinsics — no Python), one pre-aggregated exchange keyed on "
+    "source. Swapping the pattern for email/phone/SSN regexes changes "
+    "nothing structural: redaction cost stays one scan at any corpus "
+    "size. Word-boundary semantics agree between Java regex and RE2 for "
+    "ASCII patterns, keeping the oracle bitwise.",
+)
+def q90_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    n_hits = F.regexp_count(F.col("text"), F.lit(_DENY_RE)).cast("bigint")
+    chars_removed = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), _DENY_RE, "")
+    )
+    scrubbed = d.select(
+        "source", n_hits.alias("n_hits"), chars_removed.alias("chars_removed")
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_hits"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.sum("chars_removed").cast("bigint").alias("chars_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — exact log2 length histogram (integer-domain bucketing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q92_length_histogram",
+    """
+    SELECT CAST(LENGTH(bin(n_chars)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY log2_bucket
+    """,
+    doc="power-of-two document-length histogram: bucket = bit-length of "
+    "n_chars (floor(log2)+1) computed EXACTLY via the binary-string "
+    "length — no floating log2, whose 1-ulp boundary error at exact "
+    "powers of two would put the same doc in different buckets on "
+    "different engines. Bucket cardinality is ~60 regardless of corpus "
+    "size, so the exchange after the partial aggregate is constant-width "
+    "— the size-distribution profile a data loader consults for packing/"
+    "padding decisions.",
+)
+def q92_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bucket = F.length(F.bin(F.col("n_chars"))).cast("bigint")
+    return d.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

@@ -39,6 +39,8 @@ SUBSET = [
     "q85_repetition_profile",
     "q87_expectation_audit",
     "q88_corpus_filter",
+    "q90_denylist_scrub",
+    "q91_exists_decorrelated",
 ]
 
 
