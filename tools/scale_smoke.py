@@ -24,14 +24,20 @@ from pyspark.sql import functions as F
 SRC = "/root/testdata/sf0.1"
 QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q06_global_agg", "q14_window_topn", "q18_topk_orders",
-           "q53_minhash_near_dup", "q64_decontamination"]
+           "q53_minhash_near_dup", "q64_decontamination",
+           "q82_sequence_packing", "q83_sessionization", "q84_funnel",
+           "q87_expectation_audit", "q88_corpus_filter", "q89_heavy_hitters"]
 # fact tables replicated with shifted keys; dims copied as-is.
 # documents replicate with IDENTICAL text — deliberately: N× literal
 # duplication is the near-dup operator's worst case (every LSH bucket's
 # membership multiplies by N, the in-bucket pair grid by N²), i.e. the
 # common-crawl-style duplication profile the dedup path must survive.
 FACTS = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey", "o_custkey"],
-         "documents": ["doc_id"]}
+         "documents": ["doc_id"],
+         # shifting user_id multiplies the user population while keeping
+         # each user's history length constant — the realistic growth
+         # axis for sessionization/funnel (more entities, not deeper ones)
+         "events": ["event_id", "user_id"]}
 KEY_STRIDE = 100_000_000
 
 
@@ -51,8 +57,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     try:
+        # events.parquet is TIMESTAMP(NANOS); read it the way E() does
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         rows = {}
-        for name in ("region", "nation", "customer", "supplier", "part", "events",
+        for name in ("region", "nation", "customer", "supplier", "part",
                      "embeddings"):
             shutil.copy(f"{SRC}/{name}.parquet", f"{out_dir}/{name}.parquet")
         for name, keys in FACTS.items():
