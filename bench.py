@@ -61,6 +61,7 @@ HEADLINE = [
     "q89_heavy_hitters",
     "q90_denylist_scrub",
     "q91_exists_decorrelated",
+    "q93_dedup_pipeline",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -318,7 +318,7 @@ def jaccard_verify(
 
 
 # build the oracle SQL programmatically so the constants stay in sync
-def _q53_oracle() -> str:
+def _q53_oracle(source: str = "documents") -> str:
     mh = [
         f"list_min(list_transform(hs, h -> ({_A[j]} * h + {_B[j]}) % {_P})) AS mh{j}"
         for j in range(N_HASHES)
@@ -334,7 +334,7 @@ def _q53_oracle() -> str:
     )
     return f"""
     WITH sh AS (
-        SELECT doc_id, {_sh_sql(3)} AS sh FROM documents
+        SELECT doc_id, {_sh_sql(3)} AS sh FROM {source}
     ), hashed AS (
         SELECT doc_id, sh, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs
         FROM sh WHERE len(sh) > 0
@@ -710,3 +710,96 @@ def q75_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assigned"),
         rnd(F.sum("v").cast("double") / _KM_SCALE / F.count("*"), 6).alias("new_coord"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — production dedup composition: exact collapse BEFORE near-dup LSH
+# ---------------------------------------------------------------------------
+
+def _q93_oracle() -> str:
+    inner = _q53_oracle(source="reps")
+    return f"""
+    WITH grp AS (
+        SELECT md5(lower(text)) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS sz
+        FROM documents GROUP BY md5(lower(text))
+    ), reps AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN grp g ON d.doc_id = g.rep_id
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM ({inner})
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM grp) AS BIGINT) AS n_groups,
+           CAST((SELECT COALESCE(SUM(sz * (sz - 1) // 2), 0) FROM grp) AS BIGINT)
+               AS n_identical_pairs,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_rep_near_pairs,
+           CAST((SELECT COALESCE(SUM(a.sz * b.sz), 0)
+                 FROM pairs p
+                 JOIN grp a ON p.doc_a = a.rep_id
+                 JOIN grp b ON p.doc_b = b.rep_id) AS BIGINT)
+               AS n_expanded_near_pairs
+    """
+
+
+@register(
+    "q93_dedup_pipeline",
+    _q93_oracle(),
+    doc="the production dedup composition: exact fingerprint collapse "
+    "FIRST (md5 groups -> one representative per distinct content), "
+    "MinHash-LSH near-dup detection over representatives ONLY, then "
+    "arithmetic expansion of representative pairs back to document "
+    "pairs (|A|x|B| per near-dup rep pair, C(s,2) per identical group). "
+    "This is the fix for LSH's worst case: N identical copies of a doc "
+    "(the common-crawl profile, measured in SCALE.md) would multiply "
+    "every band bucket by N and the in-bucket pair grid by N^2 — "
+    "collapsing them first makes the LSH stage's cost a function of "
+    "DISTINCT content only, and the clique pairs come back as one "
+    "multiplication per group, not N^2 verify joins. Same machinery as "
+    "q53 (shared lsh_candidates/jaccard_verify), one extra "
+    "fingerprint groupBy.",
+)
+def q93_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.col("text")))
+    # one row per distinct content; materialized once, reused by the reps
+    # join, the identical-pair count, and both expansion joins
+    grp = (
+        docs.groupBy(fp.alias("fp"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("sz"))
+        .localCheckpoint()
+    )
+    reps = docs.join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id")
+    ex = (
+        reps.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
+        .withColumn("h", md5_int(F.col("item")) % _P)
+    )
+    per_doc, cand = lsh_candidates(ex)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (
+        F.size("sh_a") + F.size("sh_b")
+        - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    )
+    pairs = (
+        jaccard_verify(cand, per_doc)
+        .filter(inter / union >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    gstats = grp.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("bigint").alias("n_identical_pairs"),
+    )
+    a = grp.select(F.col("rep_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    b = grp.select(F.col("rep_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    pstats = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rep_near_pairs"),
+            F.coalesce(F.sum(F.col("sz_a") * F.col("sz_b")), F.lit(0))
+            .cast("bigint")
+            .alias("n_expanded_near_pairs"),
+        )
+    )
+    return n_docs.crossJoin(gstats).crossJoin(pstats)

@@ -41,6 +41,7 @@ SUBSET = [
     "q88_corpus_filter",
     "q90_denylist_scrub",
     "q91_exists_decorrelated",
+    "q93_dedup_pipeline",
 ]
 
 
