@@ -361,3 +361,39 @@ def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").cast("bigint").alias("n_click_after_view"),
         F.count("t_purchase").cast("bigint").alias("n_purchase_after_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — SCD Type-2 validity intervals from a change stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "q94_scd2_intervals",
+    """
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM events
+    """,
+    doc="slowly-changing-dimension Type-2 build: each change record "
+    "becomes a validity interval [valid_from, valid_to) via lead() over "
+    "(key ORDER BY ts, id), open-ended latest row flagged is_current — "
+    "the standard dimension-history table a warehouse derives from a "
+    "CDC/event stream. One hash exchange on the key, per-partition sort "
+    "bounded by per-entity history; composes with q80 (latest-per-key "
+    "snapshot) as the two materializations of the same change stream.",
+)
+def q94_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = E(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

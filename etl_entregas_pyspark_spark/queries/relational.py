@@ -795,3 +795,45 @@ def q81_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("recon_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — partial-aggregate merge (incremental view maintenance contract)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q95_partial_merge",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {_dsum_sql('l_quantity', 6)} AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="re-aggregability contract for incremental pipelines: the table "
+    "is split into two disjoint halves (even/odd order keys standing in "
+    "for yesterday's materialized state and today's delta), each half is "
+    "aggregated INDEPENDENTLY into integer-domain partials "
+    "(count, sum(floor(qty*1e6))), and the partials are merged by "
+    "addition — the oracle computes the DIRECT single-pass aggregate, "
+    "so the hash match proves merge(partial(A), partial(B)) == "
+    "agg(A ∪ B) bitwise. Holds because the partial state is a "
+    "commutative monoid (bigint addition), exactly the property that "
+    "lets a 100-TB rollup be maintained by merging daily partials "
+    "instead of rescanning history.",
+)
+def q95_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").alias("pc"),
+            F.sum(F.floor(F.col("l_quantity") * 1_000_000).cast("long")).alias("pq6"),
+        )
+
+    halves = partial(li.filter(F.col("l_orderkey") % 2 == 0)).unionByName(
+        partial(li.filter(F.col("l_orderkey") % 2 == 1))
+    )
+    return halves.groupBy("l_returnflag").agg(
+        F.sum("pc").cast("bigint").alias("n_items"),
+        (F.sum("pq6").cast("double") / 1_000_000.0).alias("total_qty"),
+    )

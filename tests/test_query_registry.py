@@ -42,6 +42,8 @@ SUBSET = [
     "q90_denylist_scrub",
     "q91_exists_decorrelated",
     "q93_dedup_pipeline",
+    "q94_scd2_intervals",
+    "q95_partial_merge",
 ]
 
 
