@@ -234,6 +234,28 @@ def q80_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, in epoch-micros
 
 
+def sessionize(e: DataFrame, gap_us: int = _SESSION_GAP_US) -> DataFrame:
+    """Assign gap-based session ids (1-based per user, time-ordered).
+
+    Expects ``user_id``, ``ts`` (timestamp) and ``event_id`` (unique
+    tie-break) columns; returns (user_id, ts, session_id). Both windows
+    and any later (user_id, session_id) aggregate share a single hash
+    exchange on user_id. Property-tested against a brute-force Python
+    model in tests/test_operator_properties.py."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    return e.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("session_id"),
+    )
+
+
 @register(
     "q83_sessionization",
     f"""
@@ -270,19 +292,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, in epoch-micros
     "applyInPandasWithState path (streaming/stateful.py).",
 )
 def q83_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    e = E(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    new_sess = F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_US), 1).otherwise(0)
-    sess = e.select(
-        "user_id",
-        "ts",
-        F.sum(new_sess).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).cast("bigint").alias("session_id"),
-    )
+    sess = sessionize(E(spark, sf_dir))
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -295,6 +305,35 @@ def q83_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q84 — strictly-ordered funnel (view → click → purchase)
 # ---------------------------------------------------------------------------
+
+def funnel_stages(e: DataFrame) -> DataFrame:
+    """Per-user strictly-ordered funnel timestamps: first 'view', first
+    'click' after it, first 'purchase' after that click (NULL where a
+    stage was never reached in order). Three unbounded conditional-min
+    windows sharing one hash exchange on user_id. Property-tested
+    against a brute-force Python model in
+    tests/test_operator_properties.py."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = e.select("user_id", "ts", "event_type", t_view.alias("t_view"))
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+    ).over(w)
+    s2 = s1.select("user_id", "ts", "event_type", "t_view", t_click.alias("t_click"))
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+        )
+    ).over(w)
+    s3 = s2.select("user_id", "t_view", "t_click", t_purchase.alias("t_purchase"))
+    return s3.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+
 
 @register(
     "q84_funnel",
@@ -334,27 +373,7 @@ def q83_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counters, so the reduce step moves 4 numbers per partition.",
 )
 def q84_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    e = E(spark, sf_dir)
-    w = Window.partitionBy("user_id")
-    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    s1 = e.select("user_id", "ts", "event_type", t_view.alias("t_view"))
-    t_click = F.min(
-        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
-    ).over(w)
-    s2 = s1.select("user_id", "ts", "event_type", "t_view", t_click.alias("t_click"))
-    t_purchase = F.min(
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
-        )
-    ).over(w)
-    s3 = s2.select("user_id", "t_view", "t_click", t_purchase.alias("t_purchase"))
-    per_user = s3.groupBy("user_id").agg(
-        F.min("t_view").alias("t_view"),
-        F.min("t_click").alias("t_click"),
-        F.min("t_purchase").alias("t_purchase"),
-    )
+    per_user = funnel_stages(E(spark, sf_dir))
     return per_user.agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.count("t_view").cast("bigint").alias("n_view"),
