@@ -155,3 +155,86 @@ def q76_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — MapType battery (map_from_entries / map_keys / element_at)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q96_map_funcs",
+    """
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           NULLIF(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS BIGINT), 0) AS n_views,
+           list_sort(list(DISTINCT event_type)) AS types
+    FROM events GROUP BY user_id
+    """,
+    doc="MapType round-trip per user: per-type counts collected into a "
+    "map column (map_from_entries over collect_list(struct)), then "
+    "consumed with size/element_at/map_keys — the Spark-side exercise is "
+    "the MAP type itself; the oracle computes the same facts relation"
+    "ally, since raw map cells hash nondeterministically (key order) "
+    "and a correct operator must expose map CONTENT through "
+    "deterministic extractors. element_at's missing-key NULL is "
+    "reproduced with NULLIF. Two aggregates sharing the user_id "
+    "exchange; map construction is per-group, never data-scale state.",
+)
+def q96_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = E(spark, sf_dir).groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("bigint").alias("n_types"),
+        F.element_at("m", "view").cast("bigint").alias("n_views"),
+        F.array_sort(F.map_keys("m")).alias("types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — explode_outer (null-preserving lateral)
+# ---------------------------------------------------------------------------
+
+_LONG_WORD = 9  # characters
+
+
+@register(
+    "q97_explode_outer",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> LENGTH(w) >= {_LONG_WORD})
+                   AS arr
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, unnest(arr) AS long_word FROM base WHERE len(arr) > 0
+    UNION ALL
+    SELECT doc_id, NULL AS long_word FROM base WHERE len(arr) = 0
+    """,
+    doc="null-preserving lateral flatten: explode_outer keeps rows whose "
+    "array is empty (one NULL row) so the parent row set survives the "
+    "flatten — the LEFT JOIN of lateral views, needed whenever a "
+    "downstream aggregate must still count empty parents. The filter + "
+    "explode pipeline is whole-stage codegen; output size is "
+    "sum(len(arr)) + #empty — no shuffle at all until a consumer "
+    "aggregates.",
+)
+def q97_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.filter(
+                F.split("text", " "), lambda w: F.length(w) >= _LONG_WORD
+            ).alias("arr"),
+        )
+    )
+    return base.select("doc_id", F.explode_outer("arr").alias("long_word"))
