@@ -62,6 +62,10 @@ HEADLINE = [
     "q90_denylist_scrub",
     "q91_exists_decorrelated",
     "q93_dedup_pipeline",
+    "q94_scd2_intervals",
+    "q95_partial_merge",
+    "q96_map_funcs",
+    "q97_explode_outer",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
