@@ -66,6 +66,8 @@ HEADLINE = [
     "q95_partial_merge",
     "q96_map_funcs",
     "q97_explode_outer",
+    "q98_cohort_retention",
+    "q99_rfm_segments",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

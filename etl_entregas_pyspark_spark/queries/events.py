@@ -416,3 +416,134 @@ def q94_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — cohort retention matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "q98_cohort_retention",
+    """
+    WITH first AS (
+        SELECT user_id, CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP) AS cohort
+        FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d
+        FROM events
+    )
+    SELECT f.cohort,
+           CAST((epoch_us(a.d) - epoch_us(f.cohort)) // 86400000000 AS BIGINT)
+               AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY f.cohort, day_offset
+    """,
+    doc="cohort retention matrix: users bucketed by first-activity day, "
+    "counted once per (cohort, day-offset) they were active on. Offsets "
+    "are integer epoch-micro arithmetic on truncated timestamps "
+    "(identical across engines — no calendar-diff ambiguity). Three "
+    "aggregates all keyed on user_id share one exchange (first-touch, "
+    "distinct activity, and the join); the final matrix is cohorts × "
+    "offsets — tiny regardless of event volume. Day grain matches the "
+    "testdata's one-month span; the grain is a drop-in constant.",
+)
+def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    offset = F.expr("(unix_micros(d) - unix_micros(cohort)) div 86400000000").cast(
+        "bigint"
+    )
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort", offset.alias("day_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — RFM segmentation (percentile thresholds, windowless scale path)
+# ---------------------------------------------------------------------------
+
+_RFM_PCT = 0.8
+
+
+@register(
+    "q99_rfm_segments",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(epoch_us(ts)) AS last_us,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS monetary
+        FROM events GROUP BY user_id
+    ), anchored AS (
+        SELECT user_id,
+               CAST(((SELECT MAX(last_us) FROM per_user) - last_us) // 86400000000
+                    AS BIGINT) AS recency_days,
+               frequency, monetary
+        FROM per_user
+    ), th AS (
+        SELECT quantile_cont(CAST(recency_days AS DOUBLE), {_RFM_PCT}) AS r80,
+               quantile_cont(CAST(frequency AS DOUBLE), {_RFM_PCT}) AS f80,
+               quantile_cont(monetary, {_RFM_PCT}) AS m80
+        FROM anchored
+    )
+    SELECT a.user_id, a.recency_days, a.frequency, a.monetary,
+           a.recency_days <= th.r80 AS r_active,
+           a.frequency >= th.f80 AS f_high,
+           a.monetary >= th.m80 AS m_high
+    FROM anchored a, th
+    """,
+    doc=f"RFM segmentation: per-user recency (days since last event, "
+    "anchored to the corpus max so replays reproduce), frequency, and "
+    "integer-quantized monetary total, flagged against exact "
+    f"{_RFM_PCT:.0%} percentile thresholds. The thresholds come from "
+    "Spark `percentile` over the PER-USER frame (cardinality = users, "
+    "already aggregated — never a data-scale sort) and broadcast back "
+    "as a one-row cross join, the same windowless pattern as q71; "
+    "Spark percentile and DuckDB quantile_cont interpolate bitwise-"
+    "identically. One exchange on user_id end-to-end.",
+)
+def q99_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+        F.count("*").cast("bigint").alias("frequency"),
+        (
+            F.sum(F.floor(F.col("value") * 1_000_000.0).cast("long")).cast("double")
+            / 1_000_000.0
+        ).alias("monetary"),
+    )
+    anchor = per_user.agg(F.max("last_us").alias("anchor_us"))
+    anchored = (
+        per_user.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr("(anchor_us - last_us) div 86400000000")
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    th = anchored.agg(
+        F.expr(f"percentile(CAST(recency_days AS DOUBLE), {_RFM_PCT})").alias("r80"),
+        F.expr(f"percentile(CAST(frequency AS DOUBLE), {_RFM_PCT})").alias("f80"),
+        F.expr(f"percentile(monetary, {_RFM_PCT})").alias("m80"),
+    )
+    return anchored.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.col("recency_days") <= F.col("r80")).alias("r_active"),
+        (F.col("frequency") >= F.col("f80")).alias("f_high"),
+        (F.col("monetary") >= F.col("m80")).alias("m_high"),
+    )

@@ -44,6 +44,9 @@ SUBSET = [
     "q93_dedup_pipeline",
     "q94_scd2_intervals",
     "q95_partial_merge",
+    "q96_map_funcs",
+    "q98_cohort_retention",
+    "q99_rfm_segments",
 ]
 
 
