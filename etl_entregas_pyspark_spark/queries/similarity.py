@@ -803,3 +803,70 @@ def q93_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return n_docs.crossJoin(gstats).crossJoin(pstats)
+
+
+# ---------------------------------------------------------------------------
+# q100 — incremental ingest dedup: delta batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+def _q100_oracle() -> str:
+    inner = _q53_oracle()
+    # reuse the full q53 pair pipeline, then keep only pairs that CROSS
+    # the delta/corpus split and orient them delta-first
+    return f"""
+    WITH all_pairs AS (
+        SELECT doc_a, doc_b, jaccard FROM ({inner})
+    )
+    SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+           CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
+           jaccard
+    FROM all_pairs
+    WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+    """
+
+
+@register(
+    "q100_incremental_dedup",
+    _q100_oracle(),
+    doc="incremental ingest dedup: documents with doc_id % 10 = 0 play "
+    "the DELTA (today's crawl batch); the rest are the standing corpus. "
+    "Near-dup pairs are generated with the same banded LSH machinery as "
+    "q53 and then restricted to pairs that CROSS the split, oriented "
+    "delta-first — the decision table an ingest job anti-joins against "
+    "to drop already-known content. At production scale the corpus "
+    "side's minhash signatures are precomputed and stored with the "
+    "corpus (they are per-doc constants), so each ingest only hashes "
+    "the delta and band-joins it against the signature table: cost is "
+    "O(delta + collisions), never a corpus self-join — the band join "
+    "prunes all corpus docs that share no bucket with the delta.",
+)
+def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
+        .withColumn("h", md5_int(F.col("item")) % _P)
+    )
+    per_doc, cand = lsh_candidates(ex)
+    crossing = cand.filter(
+        (F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (
+        F.size("sh_a") + F.size("sh_b")
+        - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    )
+    jac = inter / union
+    return (
+        jaccard_verify(crossing, per_doc)
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.when(F.col("doc_a") % 10 == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("new_doc"),
+            F.when(F.col("doc_a") % 10 == 0, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("corpus_doc"),
+            jac.alias("jaccard"),
+        )
+    )

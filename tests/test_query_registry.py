@@ -47,6 +47,7 @@ SUBSET = [
     "q96_map_funcs",
     "q98_cohort_retention",
     "q99_rfm_segments",
+    "q100_incremental_dedup",
 ]
 
 
