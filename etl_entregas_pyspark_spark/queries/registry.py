@@ -81,12 +81,22 @@ _PRIORITY = [
     "q90_denylist_scrub",
     "q91_exists_decorrelated",
     "q92_length_histogram",
+    "q93_dedup_pipeline",
+    "q94_scd2_intervals",
+    "q95_partial_merge",
+    "q98_cohort_retention",
+    "q100_incremental_dedup",
     # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
     "q27_conditional_agg",
     "q33_events_json",
     "q40_text_stats",
     "q43_langid_heuristic",
     "q68_int8_quantization",
+    # positions 51+ — outside the 50-query driver window this round by
+    # design (strong local evidence; first in line for the next round)
+    "q96_map_funcs",
+    "q97_explode_outer",
+    "q99_rfm_segments",
 ]
 
 
