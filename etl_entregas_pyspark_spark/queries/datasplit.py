@@ -286,3 +286,51 @@ def q86_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         rnd(F.col("pw") / F.col("sum_pw"), 6).alias("mixture_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — deterministic k-per-key sample (distributed reservoir equivalent)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 5
+
+
+@register(
+    "q105_per_key_sample",
+    f"""
+    SELECT lang, source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+        SELECT lang, source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                 AS BIGINT),
+                            doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= {_SAMPLE_K}
+    """,
+    doc=f"deterministic {_SAMPLE_K}-per-(lang,source) sample: rank every "
+    f"doc by a 60-bit md5 of its id and keep the {_SAMPLE_K} smallest "
+    f"per stratum. Functionally a per-key reservoir sample, but "
+    f"reproducible across runs, engines, and partitionings — the hash "
+    f"IS the random order, so no RNG state and no driver coordination. "
+    f"Plan: one hash shuffle on the stratum + per-partition sort; at "
+    f"100 TB swap the exact rank for a two-phase 'hash < threshold' "
+    f"pre-filter (threshold from the stratum's approx count) so only "
+    f"~k rows per stratum reach the exchange.",
+)
+def q105_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from etl_entregas_pyspark_spark.queries.similarity import md5_int
+
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        md5_int(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _SAMPLE_K)
+        .select("lang", "source", "doc_id", F.col("rn").cast("bigint").alias("sample_rank"))
+    )

@@ -547,3 +547,64 @@ def q99_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("frequency") >= F.col("f80")).alias("f_high"),
         (F.col("monetary") >= F.col("m80")).alias("m_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — CDC apply: fold a change log (with tombstones) into a snapshot
+# ---------------------------------------------------------------------------
+
+@register(
+    "q104_cdc_apply",
+    """
+    WITH log AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events
+    ), ranked AS (
+        SELECT user_id, op, value, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        FROM log
+    )
+    SELECT user_id, value AS current_value, ts AS updated_at, n_ops
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+    doc="CDC MERGE semantics without a mutable table: treat events as a "
+    "keyed change log ('error' rows are DELETE tombstones, everything "
+    "else an upsert), take the last op per key by (ts, event_id), and "
+    "keep only keys whose final op is an upsert — the output IS the "
+    "post-merge snapshot. Extends q80 latest-per-key with tombstone "
+    "semantics: a key whose history ends in a delete vanishes entirely. "
+    "Plan: one hash shuffle on the key; both windows share the "
+    "partitioning so Catalyst plans a single exchange + sort. This is "
+    "how you express Delta/Hudi-style MERGE INTO as a pure batch "
+    "recompute: log + fold, no row-level mutation engine needed.",
+)
+def q104_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = E(spark, sf_dir)
+    log = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    w_all = Window.partitionBy("user_id")
+    ranked = log.select(
+        "user_id",
+        "op",
+        "value",
+        "ts",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "user_id",
+        F.col("value").alias("current_value"),
+        F.col("ts").alias("updated_at"),
+        "n_ops",
+    )

@@ -620,3 +620,51 @@ def q92_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — adjacent-pair (bigram) counts: the inner loop of BPE vocab building
+# ---------------------------------------------------------------------------
+
+@register(
+    "q103_bigram_counts",
+    """
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+    doc="adjacent token-pair counts over the corpus — the counting step a "
+    "BPE/WordPiece vocab builder iterates: tokenize, pair each token with "
+    "its successor (zip_with over two shifted slices, pure codegen), "
+    "explode, count, take the top pairs with a total (count DESC, pair "
+    "ASC) order so the top-50 set is deterministic. Plan: map-side "
+    "partial counts collapse the pair stream before the single hash "
+    "exchange, and the final top-k is TakeOrderedAndProject — no global "
+    "sort. At 100 TB the pair stream never materializes: partial "
+    "aggregation runs inside the scan stage.",
+)
+def q103_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )

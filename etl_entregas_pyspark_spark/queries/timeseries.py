@@ -117,3 +117,129 @@ def q70_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — OHLC bars (the candlestick rollup every tick/telemetry store has)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q101_ohlc_bars",
+    """
+    WITH ranked AS (
+        SELECT user_id, DATE_TRUNC('hour', ts) AS bar_start, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events WHERE user_id < 40
+    )
+    SELECT user_id, bar_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks
+    FROM ranked GROUP BY 1, 2
+    """,
+    doc="hourly OHLC (open/high/low/close) bars per user: open/close picked "
+    "by row_number over (ts, event_id) both directions — the id tie-break "
+    "makes same-timestamp ticks reproducible — then one groupBy folds the "
+    "bar. Plan: one hash shuffle on (user, bar); the two window passes "
+    "share the same partitioning so Catalyst plans a single exchange. "
+    "open/close/high/low are raw parquet doubles (no float arithmetic), "
+    "so the bars are bitwise identical cross-engine.",
+)
+def q101_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir).filter(F.col("user_id") < 40)
+    bar = F.date_trunc("hour", F.col("ts"))
+    w_a = Window.partitionBy("user_id", "bar_start").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    w_d = Window.partitionBy("user_id", "bar_start").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        "user_id", bar.alias("bar_start"), "value", "ts", "event_id"
+    ).select(
+        "user_id",
+        "bar_start",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return ranked.groupBy("user_id", "bar_start").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102 — rolling z-score anomaly detection, entirely in the integer domain
+# ---------------------------------------------------------------------------
+
+_Z_WIN = 50      # trailing window size (rows)
+_Z_MIN_N = 10    # warm-up: don't flag until this many observations
+_Z_K2 = 9        # flag when z^2 > 9, i.e. |z| > 3
+
+
+@register(
+    "q102_rolling_zscore",
+    f"""
+    WITH q AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(FLOOR(value * 1000.0) AS BIGINT) AS qv
+        FROM events
+    ), stats AS (
+        SELECT user_id, event_id, ts, value, qv,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(qv) OVER w AS BIGINT) AS s,
+               CAST(SUM(qv * qv) OVER w AS BIGINT) AS s2
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_Z_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, value, n AS window_n
+    FROM stats
+    WHERE n >= {_Z_MIN_N}
+      AND (n * qv - s) * (n * qv - s) > {_Z_K2} * (n * s2 - s * s)
+    """,
+    doc=f"rolling z-score anomaly detection: flag events whose value sits "
+    f">3 sigma from the trailing-{_Z_WIN}-row mean for that user. The "
+    f"whole test runs in the INTEGER domain — value quantized to 1e-3, "
+    f"then z^2>9 rewritten as (n*q-s)^2 > 9*(n*s2-s^2) over bigint window "
+    f"sums (max magnitude ~6e14, well inside int64) — so the keep-set is "
+    f"bitwise deterministic cross-engine with no sqrt or float division. "
+    f"Plan: one hash shuffle on user_id + per-partition sort; the window "
+    f"is a bounded ROWS frame, so state is O({_Z_WIN}) per key regardless "
+    f"of history length — the same frame Structured Streaming would keep.",
+)
+def q102_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    qv = F.floor(F.col("value") * 1000.0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_Z_WIN - 1), 0)
+    )
+    stats = e.select("user_id", "event_id", "ts", "value", qv.alias("qv")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "qv",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("qv").over(w).alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).over(w).alias("s2"),
+    )
+    dev = F.col("n") * F.col("qv") - F.col("s")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        stats.filter((F.col("n") >= _Z_MIN_N) & (dev * dev > _Z_K2 * var_n2))
+        .select("user_id", "event_id", "ts", "value", F.col("n").alias("window_n"))
+    )

@@ -48,6 +48,11 @@ SUBSET = [
     "q98_cohort_retention",
     "q99_rfm_segments",
     "q100_incremental_dedup",
+    "q101_ohlc_bars",
+    "q102_rolling_zscore",
+    "q103_bigram_counts",
+    "q104_cdc_apply",
+    "q105_per_key_sample",
 ]
 
 
