@@ -334,3 +334,46 @@ def q105_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SAMPLE_K)
         .select("lang", "source", "doc_id", F.col("rn").cast("bigint").alias("sample_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — per-group min-max feature scaling (ML preprocessing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q109_minmax_scale",
+    f"""
+    WITH stats AS (
+        SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN s.mx = s.mn THEN 0.0
+                ELSE {_rnd_sql('(e.value - s.mn) / (s.mx - s.mn)', 6)}
+           END AS scaled
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+    doc="per-group min-max feature scaling: group stats from one "
+    "partial-agg pass (5 rows), broadcast back onto the stream, scale "
+    "in [0,1]. The degenerate constant group maps to 0.0 instead of "
+    "dividing by zero. (value - mn) and (mx - mn) are single IEEE "
+    "subtractions of raw parquet doubles and the division one more op, "
+    "so scaled values are bitwise cross-engine after rnd-6. This is "
+    "the normalize step of a feature pipeline done relationally — no "
+    "fit/transform state object, just stats-join-scale, and at 100 TB "
+    "the stats side is always broadcastable (one row per group).",
+)
+def q109_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.events import E
+
+    e = E(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    scaled = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        rnd((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6)
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", scaled.alias("scaled"))
+    )

@@ -837,3 +837,59 @@ def q95_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").cast("bigint").alias("n_items"),
         (F.sum("pq6").cast("double") / 1_000_000.0).alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — skew-split join: hot keys via broadcast, cold keys via shuffle
+# ---------------------------------------------------------------------------
+
+_HOT_KEYS = 100
+
+
+@register(
+    "q107_skew_split_join",
+    f"""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc=f"skew-mitigated join as an explicit rewrite: the {_HOT_KEYS} "
+    f"hottest join keys (by lineitem row count, deterministic count/key "
+    f"tie-break) take a broadcast path — their orders rows are tiny by "
+    f"construction — while the remaining keys take the ordinary shuffle "
+    f"join; the union then aggregates per order status. The oracle is "
+    f"the PLAIN join: equality proves the rewrite is semantics-"
+    f"preserving. This is what AQE's skew-join split does at runtime, "
+    f"expressed statically for engines/plans where a known hot-key set "
+    f"(power-law fact tables) should never ride the exchange: the hot "
+    f"rows never shuffle at all, so a single pathological key cannot "
+    f"straggle the stage. Both branches partial-aggregate before the "
+    f"final 2-row merge.",
+)
+def q107_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("l_orderkey"))
+        .limit(_HOT_KEYS)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+    li_hot = li.join(F.broadcast(hot), li.l_orderkey == hot.hot_key).drop("hot_key")
+    li_cold = li.join(F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_anti")
+    o_hot = o.join(F.broadcast(hot), o.o_orderkey == hot.hot_key).drop("hot_key")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+    ).cast("long")
+    j_hot = li_hot.join(F.broadcast(o_hot), li_hot.l_orderkey == o_hot.o_orderkey)
+    j_cold = li_cold.join(o, li_cold.l_orderkey == o.o_orderkey)
+    both = j_hot.select("o_orderstatus", rev.alias("r")).unionByName(
+        j_cold.select("o_orderstatus", rev.alias("r"))
+    )
+    return both.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum("r").cast("double") / 10000.0).alias("revenue"),
+    )

@@ -870,3 +870,123 @@ def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — FULL k-means Lloyd loop (3 iterations), exact integer domain
+# ---------------------------------------------------------------------------
+
+_KML_K = 4          # clusters (seeds = vec_id < 4)
+_KML_DIMS = 8       # leading dimensions used for clustering
+_KML_ITERS = 3      # Lloyd iterations
+_KML_SCALE = 100_000  # 1e-5 coordinate grid: qx in [-1e5, 1e5]
+
+
+def _q106_oracle() -> str:
+    # the whole loop is replayed as a generated CTE chain: distances and
+    # centroid updates stay in BIGINT (max |qx - c| ~ 4e5 -> d <= ~1.3e12),
+    # and the centroid mean is the integer-rounded (2s + n) // (2n), so
+    # every iteration is bitwise identical cross-engine.
+    grid = (
+        f"SELECT vec_id, g.i - 1 AS pos, "
+        f"CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * {_KML_SCALE}) AS BIGINT) AS qx "
+        f"FROM embeddings CROSS JOIN generate_series(1, {_KML_DIMS}) AS g(i)"
+    )
+    ctes = [
+        f"qe AS ({grid} WHERE vec_id >= {_KML_K})",
+        f"cent0 AS (SELECT vec_id AS centroid_id, pos, qx AS c "
+        f"FROM ({grid} WHERE vec_id < {_KML_K}))",
+    ]
+    for t in range(1, _KML_ITERS + 1):
+        ctes.append(
+            f"""dist{t} AS (
+        SELECT q.vec_id, c.centroid_id,
+               CAST(SUM((q.qx - c.c) * (q.qx - c.c)) AS BIGINT) AS d
+        FROM qe q JOIN cent{t - 1} c ON q.pos = c.pos
+        GROUP BY q.vec_id, c.centroid_id
+    )"""
+        )
+        ctes.append(
+            f"""assign{t} AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, centroid_id) AS rn
+            FROM dist{t}
+        ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""cent{t} AS (
+        SELECT a.centroid_id, q.pos,
+               (2 * CAST(SUM(q.qx) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM assign{t} a JOIN qe q ON a.vec_id = q.vec_id
+        GROUP BY a.centroid_id, q.pos
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT centroid_id, pos, c AS coord_q, n AS n_members "
+        f"FROM cent{_KML_ITERS}"
+    )
+
+
+@register(
+    "q106_kmeans_loop",
+    _q106_oracle(),
+    doc=f"the FULL k-means Lloyd loop — {_KML_ITERS} assign/update rounds "
+    f"over the leading {_KML_DIMS} dims, k={_KML_K} seeded from the first "
+    f"vectors — not a single step (q75) but the actual iterative "
+    f"algorithm, with the two disciplines iteration demands at scale: "
+    f"(1) centroids (k x dims rows) are localCheckpoint'd every round, so "
+    f"plan depth and lineage stay CONSTANT across iterations (the q62 "
+    f"lesson); (2) the big side is never re-shuffled — each round is "
+    f"broadcast(centroids) join + one partial-agg exchange of k x dims "
+    f"groups. Determinism: coordinates live on a 1e-5 integer grid, "
+    f"distances are exact BIGINT sums, and the centroid mean is the "
+    f"integer-rounded (2s+n) div (2n), so all three iterations replay "
+    f"bitwise in the oracle's generated CTE chain. Empty clusters drop "
+    f"out naturally (no reseed), matching the SQL replay.",
+)
+def q106_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    pos_i = F.explode(F.sequence(F.lit(1), F.lit(_KML_DIMS))).alias("i")
+    qx = F.floor(
+        F.element_at("embedding", F.col("i")).cast("double") * _KML_SCALE
+    ).cast("long")
+    long_grid = e.select("vec_id", pos_i, "embedding").select(
+        "vec_id", (F.col("i") - 1).alias("pos"), qx.alias("qx")
+    )
+    qe = long_grid.filter(F.col("vec_id") >= _KML_K)
+    cent = long_grid.filter(F.col("vec_id") < _KML_K).select(
+        F.col("vec_id").alias("centroid_id"), "pos", F.col("qx").alias("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "centroid_id")
+    for _ in range(_KML_ITERS):
+        diff = F.col("qx") - F.col("c")
+        dist = (
+            qe.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "centroid_id")
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        assign = (
+            dist.select("vec_id", "centroid_id", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cent = (
+            qe.join(assign, "vec_id")
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "centroid_id",
+                "pos",
+                F.expr("(2 * s + n) div (2 * n)").alias("c"),
+                F.col("n"),
+            )
+            .localCheckpoint()
+        )
+    return cent.select(
+        "centroid_id", "pos", F.col("c").alias("coord_q"), F.col("n").alias("n_members")
+    )

@@ -11,7 +11,7 @@ from pyspark.sql.window import Window
 
 from etl_entregas_pyspark_spark.queries.events import E
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, dsum
+from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, dsum, rnd
 
 
 @register(
@@ -242,4 +242,63 @@ def q102_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stats.filter((F.col("n") >= _Z_MIN_N) & (dev * dev > _Z_K2 * var_n2))
         .select("user_id", "event_id", "ts", "value", F.col("n").alias("window_n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108 — time-weighted average (TWAP): duration-weighted, integer domain
+# ---------------------------------------------------------------------------
+
+@register(
+    "q108_twap",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 1000.0) AS BIGINT) AS qv,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(dur_us) AS BIGINT) AS n_intervals,
+           CAST(FLOOR(CAST(CAST(SUM(qv * dur_us) AS BIGINT) AS DOUBLE)
+                      / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE)
+                      / 1000.0 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS twap
+    FROM spans
+    GROUP BY user_id
+    HAVING CAST(SUM(dur_us) AS BIGINT) > 0
+    """,
+    doc="time-weighted average value per user: each observation is held "
+    "until the next one (step interpolation), weighted by its holding "
+    "duration in epoch-micros — the standard TWAP/telemetry rollup that "
+    "plain AVG gets wrong under irregular sampling. Weights and values "
+    "stay in the integer domain (micros x 1e-3-quantized value, "
+    "max ~1e17, inside int64); the single double division at the end is "
+    "one IEEE op, so results are bitwise cross-engine. The last "
+    "observation per user has no successor and carries no weight "
+    "(SUM skips its NULL). Plan: one shuffle on user_id shared by the "
+    "lead() window and the aggregation.",
+)
+def q108_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    spans = e.select(
+        "user_id",
+        F.floor(F.col("value") * 1000.0).cast("long").alias("qv"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    )
+    tw = F.sum(F.col("qv") * F.col("dur_us"))
+    td = F.sum("dur_us")
+    twap = rnd(tw.cast("double") / td.cast("double") / 1000.0, 6)
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count("dur_us").alias("n_intervals"),
+            twap.alias("twap"),
+            td.alias("_td"),
+        )
+        .filter(F.col("_td") > 0)
+        .drop("_td")
     )

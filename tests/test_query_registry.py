@@ -53,6 +53,10 @@ SUBSET = [
     "q103_bigram_counts",
     "q104_cdc_apply",
     "q105_per_key_sample",
+    "q106_kmeans_loop",
+    "q107_skew_split_join",
+    "q108_twap",
+    "q109_minmax_scale",
 ]
 
 
