@@ -68,6 +68,16 @@ HEADLINE = [
     "q97_explode_outer",
     "q98_cohort_retention",
     "q99_rfm_segments",
+    "q100_incremental_dedup",
+    "q101_ohlc_bars",
+    "q102_rolling_zscore",
+    "q103_bigram_counts",
+    "q104_cdc_apply",
+    "q105_per_key_sample",
+    "q106_kmeans_loop",
+    "q107_skew_split_join",
+    "q108_twap",
+    "q109_minmax_scale",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
