@@ -78,6 +78,10 @@ HEADLINE = [
     "q107_skew_split_join",
     "q108_twap",
     "q109_minmax_scale",
+    "q110_boilerplate_score",
+    "q111_cluster_canonical",
+    "q112_winsorize",
+    "q113_debounce_dedup",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

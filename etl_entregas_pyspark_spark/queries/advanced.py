@@ -241,3 +241,88 @@ def q72_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.filter(F.col("doc") != F.col("component")).select(
         F.col("doc").alias("doc_id"), F.col("component").alias("canonical_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — dedup apply: keep the BEST doc per near-dup cluster, drop the rest
+# ---------------------------------------------------------------------------
+
+def _q111_oracle() -> str:
+    from etl_entregas_pyspark_spark.queries.similarity import _q53_oracle
+
+    return _Q111_TEMPLATE.replace("{Q53}", _q53_oracle())
+
+
+_Q111_TEMPLATE = """
+    WITH RECURSIVE pairs AS (
+        {Q53}
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT a AS doc FROM edges
+    ), reach AS (
+        SELECT doc, doc AS comp FROM nodes
+        UNION
+        SELECT e.b AS doc, reach.comp FROM reach JOIN edges e ON reach.doc = e.a
+    ), labels AS (
+        SELECT doc, MIN(comp) AS component FROM reach GROUP BY doc
+    ), member AS (
+        SELECT l.doc, l.component, d.n_chars
+        FROM labels l JOIN documents d ON l.doc = d.doc_id
+    ), canon AS (
+        SELECT component, doc AS canonical_doc FROM (
+            SELECT component, doc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY component ORDER BY n_chars DESC, doc) AS rn
+            FROM member
+        ) WHERE rn = 1
+    )
+    SELECT m.doc AS drop_doc, c.canonical_doc,
+           CAST(m.n_chars AS BIGINT) AS drop_chars
+    FROM member m JOIN canon c ON m.component = c.component
+    WHERE m.doc <> c.canonical_doc
+    """
+
+
+@register(
+    "q111_cluster_canonical",
+    _q111_oracle(),
+    doc="dedup APPLY with a quality-aware keeper: within each near-dup "
+    "component (q62's labels), keep the doc with the most content "
+    "(n_chars DESC, id tie-break) and emit a (drop_doc -> canonical_doc) "
+    "decision table for the rest — unlike q72's min-id keeper over exact "
+    "fingerprints, this picks the BEST near-duplicate, which is what "
+    "crawl dedup actually wants (the longest capture usually carries the "
+    "least truncation). Composition: checkpointed label propagation "
+    "(constant-depth lineage) + one broadcastable per-component argmax + "
+    "a map-side join back. Docs in no near-dup pair never enter the "
+    "graph and are implicitly kept.",
+)
+def q111_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from etl_entregas_pyspark_spark.queries.relational import T
+
+    labels = _component_labels(spark, sf_dir)
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    member = labels.join(d, labels.doc == d.doc_id).select(
+        "doc", "component", "n_chars"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc")
+    )
+    canon = (
+        member.select("component", "doc", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc").alias("canonical_doc"))
+    )
+    return (
+        member.join(canon, "component")
+        .filter(F.col("doc") != F.col("canonical_doc"))
+        .select(
+            F.col("doc").alias("drop_doc"),
+            "canonical_doc",
+            F.col("n_chars").cast("bigint").alias("drop_chars"),
+        )
+    )

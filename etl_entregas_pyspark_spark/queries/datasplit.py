@@ -377,3 +377,50 @@ def q109_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", scaled.alias("scaled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — winsorization: clip features at exact per-group percentiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "q112_winsorize",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           LEAST(GREATEST(e.value, s.p01), s.p99) AS clipped,
+           e.value < s.p01 OR e.value > s.p99 AS was_clipped
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+    doc="winsorization (outlier clipping) at exact per-group 1st/99th "
+    "percentiles: one percentile pass per group (5 rows), broadcast the "
+    "thresholds back, clamp with least/greatest — the robust-scaling "
+    "companion to q109's min-max. Spark's exact `percentile` and "
+    "DuckDB's quantile_cont interpolate bitwise-identically (verified "
+    "for q36/q71), and the clamp itself moves raw parquet doubles "
+    "around without arithmetic, so outputs are exact. At 100 TB swap "
+    "the exact percentile for percentile_approx (q35) and nothing else "
+    "changes — the clamp join is already the scale shape.",
+)
+def q112_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.events import E
+
+    e = E(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    return e.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias("clipped"),
+        ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).alias(
+            "was_clipped"
+        ),
+    )

@@ -608,3 +608,50 @@ def q104_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("updated_at"),
         "n_ops",
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — debounce dedup: suppress same-key events inside a quiet gap
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 5 * 60 * 1_000_000  # 5 minutes
+
+
+@register(
+    "q113_debounce_dedup",
+    f"""
+    WITH g AS (
+        SELECT event_id, user_id, event_type, ts,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS prev_us
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM g
+    WHERE prev_us IS NULL OR epoch_us(ts) - prev_us >= {_DEBOUNCE_US}
+    """,
+    doc="debounce deduplication: keep a (user, event_type) occurrence only "
+    "if at least 5 minutes passed since the PREVIOUS raw occurrence — "
+    "the burst-suppression dedup an analytics ingest applies to retries "
+    "and double-clicks. Note the deliberate semantics: the gap is "
+    "measured to the previous raw event (trailing debounce ≡ first "
+    "event of each q83-style session), not to the previously KEPT event "
+    "as dropDuplicatesWithinWatermark measures it — the former is "
+    "one lag() window; the latter is inherently sequential (its batch "
+    "twin is q32's session machinery). One shuffle on the key, "
+    "integer-micros comparison, bitwise keep-set.",
+)
+def q113_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = E(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.lag(us).over(w).alias("prev_us"), us.alias("us"),
+    )
+    return g.filter(
+        F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") >= _DEBOUNCE_US)
+    ).select("event_id", "user_id", "event_type", "ts")

@@ -668,3 +668,75 @@ def q103_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — boilerplate contamination score (corpus-frequency n-gram signal)
+# ---------------------------------------------------------------------------
+
+_BP_DF = 10  # a trigram present in >= this many docs counts as boilerplate
+
+
+@register(
+    "q110_boilerplate_score",
+    f"""
+    WITH per_doc AS (
+        SELECT doc_id, unnest(grams) AS gram FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            WHERE len(t) >= 3
+        )
+    ), df AS (
+        SELECT gram, COUNT(*) AS n_docs FROM per_doc GROUP BY gram
+    ), boiler AS (
+        SELECT gram FROM df WHERE n_docs >= {_BP_DF}
+    ), tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM per_doc GROUP BY doc_id
+    ), nb AS (
+        SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+        FROM per_doc p JOIN boiler b USING (gram) GROUP BY p.doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(nb.n_boiler, 0) AS n_boiler,
+           {_rnd_sql('CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / t.n_grams', 6)} AS boiler_ratio
+    FROM tot t LEFT JOIN nb ON t.doc_id = nb.doc_id
+    """,
+    doc=f"per-document boilerplate contamination: the share of a doc's "
+    f"distinct trigrams that occur in >= {_BP_DF} documents corpus-wide — "
+    f"the cross-document companion to q85's intra-doc repetition, and the "
+    f"signal C4-style cleaners threshold to drop template/nav-chrome "
+    f"pages. Two aggregation passes over the exploded gram stream "
+    f"(document frequency, then a gram equi-join back), both opened by "
+    f"map-side partial counts; nothing is ever compared doc-to-doc, so "
+    f"cost is linear in total grams at any corpus size. Docs under 3 "
+    f"tokens have no trigrams and drop out (matching the empty-shingle "
+    f"convention of q53's machinery).",
+)
+def q110_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.similarity import word_shingles
+
+    d = T(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("gram")
+    )
+    boiler = (
+        per_doc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BP_DF)
+        .select("gram")
+    )
+    tot = per_doc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    nb = (
+        per_doc.join(boiler, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0))
+    return tot.join(nb, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_boiler.alias("n_boiler"),
+        rnd(n_boiler.cast("double") / F.col("n_grams"), 6).alias("boiler_ratio"),
+    )
