@@ -82,6 +82,8 @@ HEADLINE = [
     "q111_cluster_canonical",
     "q112_winsorize",
     "q113_debounce_dedup",
+    "q114_user_paths",
+    "q115_pagerank",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -326,3 +326,112 @@ def q111_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("drop_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — PageRank (3 power iterations), exact integer domain
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000  # initial score per node
+_PR_ITERS = 3
+# damping 0.85 as exact integer arithmetic: base + (17 * inflow) div 20
+_PR_BASE = (15 * _PR_SCALE) // 100
+
+
+def _q115_oracle() -> str:
+    ctes = [
+        """pairs AS (
+        SELECT DISTINCT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p FROM lineitem
+    )""",
+        """edges AS (
+        SELECT s AS src, p AS dst FROM pairs
+        UNION ALL SELECT p, s FROM pairs
+    )""",
+        """deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    )""",
+        f"""score0 AS (
+        SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS score FROM deg
+    )""",
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""inflow{t} AS (
+        SELECT e.dst AS node,
+               CAST(SUM(s.score // d.outdeg) AS BIGINT) AS contrib
+        FROM edges e
+        JOIN score{t - 1} s ON e.src = s.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""score{t} AS (
+        SELECT s.node,
+               {_PR_BASE} + (17 * COALESCE(i.contrib, 0)) // 20 AS score
+        FROM score0 s LEFT JOIN inflow{t} i ON s.node = i.node
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, node % 2 = 0 AS is_supplier, score\n"
+        f"FROM score{_PR_ITERS}\n"
+        f"ORDER BY score DESC, node LIMIT 30"
+    )
+
+
+@register(
+    "q115_pagerank",
+    _q115_oracle(),
+    doc=f"PageRank, {_PR_ITERS} power iterations over the undirected "
+    f"supplier–part co-occurrence graph (suppliers and parts namespaced "
+    f"onto disjoint even/odd ids; each distinct lineitem pair "
+    f"contributes both edge directions, so no dangling mass). The "
+    f"second iterative-algorithm showcase after q106: edges+degrees are "
+    f"computed once and cached, scores are localCheckpoint'd per round "
+    f"(constant lineage), and each round is one join-shuffle + one "
+    f"partial-agg exchange — the classic Pregel superstep expressed "
+    f"relationally. Determinism: damping 0.85 is the exact integer form "
+    f"base + (17*inflow) div 20 and per-edge contributions are "
+    f"score div outdeg, so all three rounds replay bitwise in the "
+    f"oracle's CTE chain; top-30 uses a total (score, node) order.",
+)
+def q115_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.relational import T
+
+    li = T(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_suppkey") * 2).alias("s"),
+        (F.col("l_partkey") * 2 + 1).alias("p"),
+    ).distinct()
+    edges = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
+    score = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("score"))
+    for _ in range(_PR_ITERS):
+        inflow = (
+            edges_deg.join(score, edges_deg.src == score.node)
+            .select("dst", F.expr("score div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        score = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr("(17 * coalesce(contrib, 0)) div 20")
+                ).alias("score"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        score.select("node", (F.col("node") % 2 == 0).alias("is_supplier"), "score")
+        .orderBy(F.col("score").desc(), F.col("node"))
+        .limit(30)
+    )

@@ -655,3 +655,56 @@ def q113_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(
         F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") >= _DEBOUNCE_US)
     ).select("event_id", "user_id", "event_type", "ts")
+
+
+# ---------------------------------------------------------------------------
+# q114 — user journey paths (sequential pattern mining, window form)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q114_user_paths",
+    """
+    WITH w AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+               LEAD(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t2
+        FROM events
+    )
+    SELECT event_type || '>' || t1 || '>' || t2 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w WHERE t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+    doc="journey-path mining: the 20 most common 3-step event sequences "
+    "across all users. Deliberately NOT the collect_list formulation — "
+    "two lead() windows turn each user's stream into its sliding "
+    "trigrams with no array materialization at all, so per-user history "
+    "length never pressures memory (a power user with 10M events costs "
+    "10M rows, not a 10M-element array on one executor). One shuffle on "
+    "user_id, then partial-agg counts and a TakeOrderedAndProject "
+    "top-20 with a total (count DESC, path ASC) order.",
+)
+def q114_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = E(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        stepped.filter(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(20)
+    )

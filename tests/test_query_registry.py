@@ -61,6 +61,8 @@ SUBSET = [
     "q111_cluster_canonical",
     "q112_winsorize",
     "q113_debounce_dedup",
+    "q114_user_paths",
+    "q115_pagerank",
 ]
 
 
