@@ -553,6 +553,34 @@ def q99_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q104 — CDC apply: fold a change log (with tombstones) into a snapshot
 # ---------------------------------------------------------------------------
 
+def cdc_snapshot(log: DataFrame) -> DataFrame:
+    """Fold a keyed change log into its post-merge snapshot. Expects
+    ``user_id``, ``event_id``, ``ts``, ``value``, ``op`` ('U' upsert /
+    'D' delete); keys whose last op by (ts, event_id) is a delete
+    vanish."""
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_all = Window.partitionBy("user_id")
+    ranked = log.select(
+        "user_id",
+        "op",
+        "value",
+        "ts",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "user_id",
+        F.col("value").alias("current_value"),
+        F.col("ts").alias("updated_at"),
+        "n_ops",
+    )
+
+
+
 @register(
     "q104_cdc_apply",
     """
@@ -582,8 +610,6 @@ def q99_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recompute: log + fold, no row-level mutation engine needed.",
 )
 def q104_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     e = E(spark, sf_dir)
     log = e.select(
         "user_id",
@@ -592,22 +618,7 @@ def q104_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
     )
-    w_rank = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    w_all = Window.partitionBy("user_id")
-    ranked = log.select(
-        "user_id",
-        "op",
-        "value",
-        "ts",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n_ops"),
-    )
-    return ranked.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
-        "user_id",
-        F.col("value").alias("current_value"),
-        F.col("ts").alias("updated_at"),
-        "n_ops",
-    )
+    return cdc_snapshot(log)
 
 
 # ---------------------------------------------------------------------------
@@ -615,6 +626,24 @@ def q104_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DEBOUNCE_US = 5 * 60 * 1_000_000  # 5 minutes
+
+
+def debounce(e: DataFrame, gap_us: int = _DEBOUNCE_US) -> DataFrame:
+    """Keep a (user_id, event_type) occurrence only if at least ``gap_us``
+    micros passed since the previous raw occurrence (trailing debounce).
+    Expects ``event_id``, ``user_id``, ``event_type``, ``ts``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.lag(us).over(w).alias("prev_us"), us.alias("us"),
+    )
+    return g.filter(
+        F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") >= gap_us)
+    ).select("event_id", "user_id", "event_type", "ts")
+
 
 
 @register(
@@ -643,18 +672,7 @@ _DEBOUNCE_US = 5 * 60 * 1_000_000  # 5 minutes
     "integer-micros comparison, bitwise keep-set.",
 )
 def q113_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    e = E(spark, sf_dir)
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    g = e.select(
-        "event_id", "user_id", "event_type", "ts",
-        F.lag(us).over(w).alias("prev_us"), us.alias("us"),
-    )
-    return g.filter(
-        F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") >= _DEBOUNCE_US)
-    ).select("event_id", "user_id", "event_type", "ts")
+    return debounce(E(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

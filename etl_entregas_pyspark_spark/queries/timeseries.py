@@ -188,6 +188,37 @@ _Z_MIN_N = 10    # warm-up: don't flag until this many observations
 _Z_K2 = 9        # flag when z^2 > 9, i.e. |z| > 3
 
 
+def rolling_zscore(
+    e: DataFrame, win: int = _Z_WIN, min_n: int = _Z_MIN_N, k2: int = _Z_K2
+) -> DataFrame:
+    """Flag events whose value deviates from the trailing-``win``-row mean
+    by more than sqrt(``k2``) sigma, entirely in the integer domain.
+    Expects ``user_id``, ``event_id``, ``ts``, ``value``."""
+    qv = F.floor(F.col("value") * 1000.0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(win - 1), 0)
+    )
+    stats = e.select("user_id", "event_id", "ts", "value", qv.alias("qv")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "qv",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("qv").over(w).alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).over(w).alias("s2"),
+    )
+    dev = F.col("n") * F.col("qv") - F.col("s")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        stats.filter((F.col("n") >= min_n) & (dev * dev > k2 * var_n2))
+        .select("user_id", "event_id", "ts", "value", F.col("n").alias("window_n"))
+    )
+
+
+
 @register(
     "q102_rolling_zscore",
     f"""
@@ -220,29 +251,7 @@ _Z_K2 = 9        # flag when z^2 > 9, i.e. |z| > 3
     f"of history length — the same frame Structured Streaming would keep.",
 )
 def q102_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = E(spark, sf_dir)
-    qv = F.floor(F.col("value") * 1000.0).cast("long")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(_Z_WIN - 1), 0)
-    )
-    stats = e.select("user_id", "event_id", "ts", "value", qv.alias("qv")).select(
-        "user_id",
-        "event_id",
-        "ts",
-        "value",
-        "qv",
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("qv").over(w).alias("s"),
-        F.sum(F.col("qv") * F.col("qv")).over(w).alias("s2"),
-    )
-    dev = F.col("n") * F.col("qv") - F.col("s")
-    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
-    return (
-        stats.filter((F.col("n") >= _Z_MIN_N) & (dev * dev > _Z_K2 * var_n2))
-        .select("user_id", "event_id", "ts", "value", F.col("n").alias("window_n"))
-    )
+    return rolling_zscore(E(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

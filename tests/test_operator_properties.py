@@ -101,3 +101,114 @@ def test_funnel_matches_python_model(spark_sess, rows):
 @pytest.fixture(scope="module")
 def spark_sess(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# debounce / cdc_snapshot / rolling_zscore vs brute-force models
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import DoubleType
+
+from etl_entregas_pyspark_spark.queries.events import cdc_snapshot, debounce
+from etl_entregas_pyspark_spark.queries.timeseries import rolling_zscore
+
+_VEVENT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+# (user, seconds-offset, type, centi-value) — centi units keep value*1000
+# exact in double so the Python model's int quantization matches Spark's
+valued_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=6 * 3600),
+        st.sampled_from(["view", "click", "error"]),
+        st.integers(min_value=0, max_value=50_000),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+def _mkvdf(spark, rows):
+    data = [
+        (u, _T0 + timedelta(seconds=s), i, t, c / 100.0)
+        for i, (u, s, t, c) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, _VEVENT_SCHEMA).repartition(4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(valued_events_strategy)
+def test_debounce_matches_python_model(spark_sess, rows):
+    gap_us = 300 * 1_000_000
+    got = {r.event_id for r in debounce(_mkvdf(spark_sess, rows), gap_us).collect()}
+    keep = set()
+    by_key = {}
+    for i, (u, s, t, _c) in enumerate(rows):
+        by_key.setdefault((u, t), []).append((s, i))
+    for evs in by_key.values():
+        evs.sort()
+        prev = None
+        for s, i in evs:
+            if prev is None or (s - prev) * 1_000_000 >= gap_us:
+                keep.add(i)
+            # gap measured to the previous RAW event, kept or not
+            prev = s
+    assert got == keep
+
+
+@settings(max_examples=10, deadline=None)
+@given(valued_events_strategy)
+def test_cdc_snapshot_matches_python_model(spark_sess, rows):
+    df = _mkvdf(spark_sess, rows)
+    log = df.select(
+        "user_id", "event_id", "ts", "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+    got = {
+        r.user_id: (r.current_value, r.n_ops)
+        for r in cdc_snapshot(log).collect()
+    }
+    by_user = {}
+    for i, (u, s, t, c) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i, t, c / 100.0))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()  # (ts, event_id) — matches the desc/desc rank inverted
+        s, i, t, v = evs[-1]
+        if t != "error":
+            want[u] = (v, len(evs))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(valued_events_strategy)
+def test_rolling_zscore_matches_python_model(spark_sess, rows):
+    win, min_n, k2 = 8, 3, 9
+    got = {
+        r.event_id
+        for r in rolling_zscore(_mkvdf(spark_sess, rows), win, min_n, k2).collect()
+    }
+    import math
+
+    by_user = {}
+    for i, (u, s, t, c) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i, math.floor((c / 100.0) * 1000.0)))
+    want = set()
+    for evs in by_user.values():
+        evs.sort()
+        qvs = [q for _s, _i, q in evs]
+        for j, (_s, i, q) in enumerate(evs):
+            tail = qvs[max(0, j - win + 1): j + 1]
+            n, s1, s2 = len(tail), sum(tail), sum(x * x for x in tail)
+            if n >= min_n and (n * q - s1) ** 2 > k2 * (n * s2 - s1 * s1):
+                want.add(i)
+    assert got == want
