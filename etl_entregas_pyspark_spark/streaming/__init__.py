@@ -1,3 +1,7 @@
+from etl_entregas_pyspark_spark.streaming.stateful import (
+    running_user_totals,
+    streaming_debounce,
+)
 from etl_entregas_pyspark_spark.streaming.streams import (
     EVENTS_SCHEMA,
     dedup_stream,
@@ -18,4 +22,6 @@ __all__ = [
     "sessionized_stream",
     "stream_stream_join",
     "start_memory_sink",
+    "running_user_totals",
+    "streaming_debounce",
 ]

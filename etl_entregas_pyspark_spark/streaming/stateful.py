@@ -80,3 +80,75 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming debounce — the live twin of queries.events.debounce (q113)
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type_h", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+DEBOUNCE_STATE_SCHEMA = StructType([StructField("last_us", LongType())])
+
+_DEBOUNCE_GAP_US = 5 * 60 * 1_000_000
+
+
+def _debounce_update(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (last_us,) = state.get if state.exists else (None,)
+    kept: list[tuple[int, int, int, int]] = []
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])  # in-batch time order
+    for r in rows.itertuples(index=False):
+        us = int(r.ts.value // 1000)
+        if last_us is None or us - last_us >= _DEBOUNCE_GAP_US:
+            kept.append((int(r.event_id), int(r.user_id), int(key[1]), us))
+        # the gap is measured to the previous RAW event, kept or not —
+        # exactly queries.events.debounce semantics
+        last_us = us
+    state.update((last_us,))
+    yield pd.DataFrame(
+        {
+            "event_id": [k[0] for k in kept],
+            "user_id": [k[1] for k in kept],
+            "event_type_h": [k[2] for k in kept],
+            "ts": [pd.Timestamp(k[3] * 1000) for k in kept],
+        }
+    )
+
+
+def streaming_debounce(events: DataFrame) -> DataFrame:
+    """Suppress same-(user, type) events arriving within the quiet gap of
+    the previous raw occurrence, with the last-seen timestamp carried in
+    the state store across micro-batches.
+
+    Equivalence with the batch operator holds when events arrive in
+    per-key time order (guaranteed here by range-partitioning the source
+    on ts); out-of-order arrivals would need a watermark + buffer stage
+    in front, which is what q113's batch formulation is for. The state is
+    ONE long per active (user, type) key — far smaller than
+    dropDuplicatesWithinWatermark's per-event key set. The event_type
+    group key rides as a stable 64-bit hash (event_type_h) so the state
+    schema stays fixed-width."""
+    from pyspark.sql import functions as F
+
+    keyed = events.withColumn(
+        "event_type_h", F.xxhash64("event_type")
+    )
+    return keyed.groupBy("user_id", "event_type_h").applyInPandasWithState(
+        _debounce_update,
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

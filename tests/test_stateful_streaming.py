@@ -60,3 +60,55 @@ def test_running_totals_match_batch(spark, events_dir):
         assert got[u][0] == want[u][0], u
         assert got[u][1] == pytest.approx(want[u][1], rel=1e-9), u
         assert got[u][2] == want[u][2], u
+
+
+def test_streaming_debounce_matches_batch(spark, sf_dir):
+    """The stateful streaming debounce must keep exactly the events the
+    batch operator keeps, given per-key time-ordered arrival (time-slice
+    files written oldest-first with distinct mod-times, one per
+    trigger)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from etl_entregas_pyspark_spark.queries.events import debounce
+    from etl_entregas_pyspark_spark.streaming.stateful import streaming_debounce
+
+    src = tempfile.mkdtemp(prefix="events_debounce_")
+    try:
+        e = E(spark, sf_dir)
+        bounds = [
+            r for r in e.selectExpr(
+                "percentile(unix_micros(ts), 0.25) AS a",
+                "percentile(unix_micros(ts), 0.5) AS b",
+                "percentile(unix_micros(ts), 0.75) AS c",
+            ).collect()
+        ][0]
+        us = F.unix_micros(F.col("ts"))
+        slices = [
+            e.filter(us < bounds.a),
+            e.filter((us >= bounds.a) & (us < bounds.b)),
+            e.filter((us >= bounds.b) & (us < bounds.c)),
+            e.filter(us >= bounds.c),
+        ]
+        # FileStreamSource orders by modification time: write oldest time
+        # slice first, with >1s between writes so mod-times are distinct
+        for s in slices:
+            s.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            streaming_debounce(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("debounced")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {r.event_id for r in spark.table("debounced").collect()}
+        want = {r.event_id for r in debounce(spark.read.parquet(src)).collect()}
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
