@@ -84,6 +84,14 @@ HEADLINE = [
     "q113_debounce_dedup",
     "q114_user_paths",
     "q115_pagerank",
+    "q116_pii_redaction",
+    "q117_vocab_coverage",
+    "q118_basket_pairs",
+    "q119_benford_audit",
+    "q120_transition_matrix",
+    "q121_mad_outliers",
+    "q122_group_ols",
+    "q123_weighted_sample",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

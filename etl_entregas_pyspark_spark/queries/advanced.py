@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.queries.events import E
 from etl_entregas_pyspark_spark.queries.registry import register
+from etl_entregas_pyspark_spark.queries.relational import T
 
 _GRAIN_S = 600  # 10-minute buckets = the interval length → ≤ 2 buckets/interval
 
@@ -434,4 +435,57 @@ def q115_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.select("node", (F.col("node") % 2 == 0).alias("is_supplier"), "score")
         .orderBy(F.col("score").desc(), F.col("node"))
         .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — market-basket co-occurrence (part pairs bought in the same order)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q118_basket_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 50
+    """,
+    doc="market-basket mining: the 50 part pairs most often bought in the "
+    "same order. The oracle states it as the textbook distinct + equi-"
+    "self-join; the Spark plan instead folds each order's distinct parts "
+    "into ONE set (collect_set — the order is the natural block, basket "
+    "size bounded by a constant, TPC-H lineitems per order <= 7) and "
+    "explodes the y > x pairs locally. That is one exchange on "
+    "l_orderkey plus one on the pair key — no join, one fewer shuffle "
+    "than the self-join plan, and the pair stream stays linear in row "
+    "count, never O(n^2). The y > x guard emits each unordered pair "
+    "exactly once whatever order collect_set returns. Final top-50 is a "
+    "TakeOrderedAndProject, not a global sort.",
+)
+def q118_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x: F.transform(
+                F.filter("parts", lambda y: y > x),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_structs).alias("pr")).select(
+        "pr.part_a", "pr.part_b"
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
     )

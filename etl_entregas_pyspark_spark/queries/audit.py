@@ -95,3 +95,135 @@ def q87_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) AS (check_name, value, passed)"""
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — Benford first-digit audit (fraud / synthetic-data smell test)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q119_benford_audit",
+    f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders
+        WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 1
+    ), g AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    )
+    SELECT d, n,
+           {_rnd_sql('CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT)', 6)}
+               AS observed_p,
+           {_rnd_sql('log10(CAST(d + 1 AS DOUBLE)) - log10(CAST(d AS DOUBLE))', 6)}
+               AS benford_p
+    FROM g ORDER BY d
+    """,
+    doc="Benford's-law audit of order totals: distribution of the first "
+    "significant digit vs the log10((d+1)/d) expectation — the classic "
+    "screen for fabricated or synthetically generated monetary columns. "
+    "The digit is taken from the BIGINT cents rendering (never from "
+    "double-to-string formatting, which differs across engines), and "
+    "multiplying by 100 leaves the leading significant digit unchanged. "
+    "One scan folded into a 9-row partial-aggregated groupBy; the share "
+    "denominator is a window sum over those 9 rows. Scan-bound and "
+    "skew-free at any table size.",
+)
+def q119_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    g = (
+        o.select(cents.alias("cents"))
+        .filter(F.col("cents") >= 1)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1).cast("bigint").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy()).cast("bigint")
+    dd = F.col("d").cast("double")
+    return g.select(
+        "d",
+        "n",
+        rnd(F.col("n").cast("double") / total, 6).alias("observed_p"),
+        rnd(F.log10(dd + 1) - F.log10(dd), 6).alias("benford_p"),
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# q121 — robust outlier detection via median absolute deviation (MAD)
+# ---------------------------------------------------------------------------
+
+# 3 sigma × the 1.4826 normal-consistency constant, written as ONE literal:
+# literal*literal arithmetic inside oracle SQL would constant-fold at
+# extended precision in DuckDB and diverge from Spark's IEEE runtime.
+_MAD_K = "4.4478"
+
+
+@register(
+    "q121_mad_outliers",
+    f"""
+    WITH c AS (
+        SELECT c_mktsegment, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ), med AS (
+        SELECT c_mktsegment, quantile_cont(cents, 0.5) AS med_cents
+        FROM c GROUP BY c_mktsegment
+    ), dev AS (
+        SELECT c.c_mktsegment, ABS(CAST(cents AS DOUBLE) - med_cents) AS adev
+        FROM c JOIN med USING (c_mktsegment)
+    ), mad AS (
+        SELECT c_mktsegment, quantile_cont(adev, 0.5) AS mad_cents
+        FROM dev GROUP BY c_mktsegment
+    )
+    SELECT dev.c_mktsegment AS segment,
+           MIN(med.med_cents) AS med_cents,
+           MIN(mad.mad_cents) AS mad_cents,
+           CAST(SUM(CASE WHEN adev > {_MAD_K} * mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev
+    JOIN mad USING (c_mktsegment)
+    JOIN med USING (c_mktsegment)
+    GROUP BY dev.c_mktsegment
+    ORDER BY segment
+    """,
+    doc="robust per-segment outlier screen: |x - median| > "
+    "3·1.4826·MAD on account balances, all in the exact integer cents "
+    "domain (medians of BIGINTs interpolate to exact .5 halves — "
+    "bitwise-stable across engines, see q36/q71). Exact percentile "
+    "collects each group's values into one aggregate buffer, so this "
+    "formulation is for bounded-cardinality groups (5 segments here); "
+    "at 100-TB scale swap percentile → approx_percentile exactly as "
+    "q35 substitutes for q17's global ntile — the plan shape (two "
+    "grouped aggregates + two broadcast joins back) is unchanged.",
+)
+def q121_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    med = cust.groupBy("c_mktsegment").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_cents")
+    )
+    dev = cust.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        "med_cents",
+        F.abs(F.col("cents").cast("double") - F.col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_cents")
+    )
+    out = F.when(F.col("adev") > F.lit(float(_MAD_K)) * F.col("mad_cents"), 1).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.min("med_cents").alias("med_cents"),
+            F.min("mad_cents").alias("mad_cents"),
+            F.sum(out).cast("bigint").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("segment")
+    )

@@ -424,3 +424,55 @@ def q112_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — deterministic weighted (Poisson) sampling with HT weights
+# ---------------------------------------------------------------------------
+
+_WPS_K = 500          # inclusion scale: p = min(1, K * n_chars / 1e6)
+_WPS_MOD = 1_000_000  # uniform-hash modulus
+
+
+@register(
+    "q123_weighted_sample",
+    f"""
+    SELECT doc_id, lang, n_chars,
+           {{RND_P}} AS p_include,
+           {{RND_W}} AS ht_weight
+    FROM documents
+    WHERE ({{H}} % {_WPS_MOD}) < LEAST({_WPS_MOD}, {_WPS_K} * n_chars)
+    """.replace("{H}", "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':wps'),1,15)) AS BIGINT)")
+       .replace("{RND_P}", "FLOOR(CAST(LEAST(1000000, 500 * n_chars) AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0")
+       .replace("{RND_W}", "FLOOR(1000000.0 / CAST(LEAST(1000000, 500 * n_chars) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0"),
+    doc=f"deterministic size-weighted Poisson sample of the corpus: each "
+    f"document is kept iff hash60(doc_id) mod {_WPS_MOD} < "
+    f"{_WPS_K}·n_chars, i.e. with probability proportional to its length "
+    f"(capped at 1) — the standard PPS pre-sampling step for training-"
+    f"mixture construction, made reproducible by replacing the RNG with "
+    f"the engine-portable md5 hash (same keep set on ANY cluster, any "
+    f"partitioning, any engine — the lineage property q63's split shares; "
+    f"the ':wps' salt decorrelates it from every other hash-keyed "
+    f"decision). Emits the inclusion probability and the Horvitz-"
+    f"Thompson weight 1/p so downstream aggregates stay unbiased. "
+    f"Stateless per-row filter: no shuffle, scan-bound at any scale.",
+)
+def q123_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.similarity import md5_int
+
+    d = T(spark, sf_dir, "documents")
+    h = md5_int(F.concat(F.col("doc_id").cast("string"), F.lit(":wps")))
+    p_num = F.least(F.lit(_WPS_MOD), F.lit(_WPS_K) * F.col("n_chars"))
+    p = p_num.cast("double") / float(_WPS_MOD)
+    return (
+        d.filter((h % _WPS_MOD) < p_num)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            rnd(p, 6).alias("p_include"),
+            # one division (MOD/p_num), mirrored textually in the oracle:
+            # 1/(p_num/MOD) would round twice and can differ in the ulp
+            rnd(F.lit(float(_WPS_MOD)) / p_num.cast("double"), 6).alias("ht_weight"),
+        )
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import _dsum_sql, dsum
+from etl_entregas_pyspark_spark.queries.relational import _dsum_sql, _rnd_sql, dsum, rnd
 
 
 def E(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,3 +726,56 @@ def q114_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+@register(
+    "q120_transition_matrix",
+    f"""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ), g AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           {_rnd_sql(
+               'CAST(n AS DOUBLE) / '
+               'CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)', 6)} AS p
+    FROM g ORDER BY from_type, to_type
+    """,
+    doc="first-order Markov transition matrix of user behaviour: for every "
+    "(from, to) event-type pair, the count of consecutive occurrences "
+    "within a user's time-ordered stream and the row-normalized transition "
+    "probability. The LEAD window shuffles once on user_id (each user's "
+    "sequence is processed locally — same partitioning q83 sessionization "
+    "and q114 path mining reuse), the pair count is partial-aggregated to "
+    "|types|^2 rows, and the normalizing window runs over that tiny frame. "
+    "Tie-safe ordering via (ts, event_id). Linear in events at any scale.",
+)
+def q120_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = E(spark, sf_dir)
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    g = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    denom = F.sum("n").over(Window.partitionBy("from_type")).cast("bigint")
+    return g.select(
+        "from_type",
+        "to_type",
+        "n",
+        rnd(F.col("n").cast("double") / denom, 6).alias("p"),
+    ).orderBy("from_type", "to_type")

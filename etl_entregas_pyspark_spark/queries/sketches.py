@@ -290,3 +290,69 @@ def q71_alto_valor_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.min("t"), 4).alias("p80_threshold"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — group-wise closed-form OLS (distributed linear regression)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q122_group_ols",
+    f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(CAST(FLOOR(l_quantity * 100) AS BIGINT)
+                           * CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                           AS HUGEINT)) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(FLOOR(l_quantity * 100) AS BIGINT)
+                           * CAST(FLOOR(l_quantity * 100) AS BIGINT)
+                           AS HUGEINT)) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {_rnd_sql(
+               '(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+               ' / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))',
+               6)} AS slope,
+           {_rnd_sql(
+               '(CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+               ' / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))'
+               ' * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)', 4)} AS intercept
+    FROM s ORDER BY l_returnflag
+    """,
+    doc="distributed linear regression by closed form: per return flag, "
+    "OLS slope/intercept of extended price on quantity from the five "
+    "sufficient statistics (n, Σx, Σy, Σxy, Σxx) — ONE partial-aggregated "
+    "scan, no iteration, no driver round trips; the normal-equation "
+    "arithmetic runs on a |groups|-row frame. Inputs are floor-quantized "
+    "to integer cents so every sum is exact and order-independent "
+    "(bitwise reproducible under any partitioning); the product sums "
+    "accumulate as DECIMAL(38)/HUGEINT because Σ(x·y) overflows int64 "
+    "past ~1e18 — the int128 path both engines share, surfaced as an "
+    "IEEE-correctly-rounded double. Both coefficient columns come out in "
+    "cents; slope is dimensionless (cents/cents).",
+)
+def q122_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100).cast("bigint")
+    y = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope = (nd * F.col("sxy") - sxd * syd) / (nd * F.col("sxx") - sxd * sxd)
+    return s.select(
+        "l_returnflag",
+        "n",
+        rnd(slope, 6).alias("slope"),
+        rnd((syd - slope * sxd) / nd, 4).alias("intercept"),
+    ).orderBy("l_returnflag")

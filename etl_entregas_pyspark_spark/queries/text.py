@@ -717,26 +717,177 @@ _BP_DF = 10  # a trigram present in >= this many docs counts as boilerplate
 def q110_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_entregas_pyspark_spark.queries.similarity import word_shingles
 
-    d = T(spark, sf_dir, "documents")
+    # spread the CPU-bound shingle explode across all cores BEFORE the
+    # HOF evaluation: a small parquet arrives as one input split, and a
+    # single task serializing 6M grams dominates wall clock otherwise
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     per_doc = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("gram")
     )
+    # one aggregation over the gram stream, filtered to the boilerplate
+    # set, then ONE left join back and ONE per-doc aggregate: the gram
+    # stream is expanded twice (DF branch + probe branch), not three
+    # times, and docs with zero boilerplate need no second outer join —
+    # the null flag just sums as 0. AQE broadcasts the boiler side when
+    # it is small (it is the >=DF tail of the gram distribution).
     boiler = (
         per_doc.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= _BP_DF)
-        .select("gram")
+        .select("gram", F.lit(1).alias("is_boiler"))
     )
-    tot = per_doc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    nb = (
-        per_doc.join(boiler, "gram")
+    hit = F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)
+    return (
+        per_doc.join(boiler, "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).cast("bigint").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            rnd(F.col("n_boiler").cast("double") / F.col("n_grams"), 6).alias(
+                "boiler_ratio"
+            ),
+        )
     )
-    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0))
-    return tot.join(nb, "doc_id", "left").select(
+
+
+# ---------------------------------------------------------------------------
+# q116 — PII redaction (regex scrub: emails, phone numbers, IPv4)
+# ---------------------------------------------------------------------------
+
+# Shared Java-regex/RE2 subset: no lookaround, no backrefs, ASCII \b only
+# (both engines agree on ASCII word boundaries — see cross-engine notes).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# The synthetic corpus carries no real PII, so the query plants a
+# deterministic contact tail derived from doc_id — every row then has
+# known positives (1 email, 1 phone, 1 IP) PLUS the organic text as the
+# negative control, and the redacted output is fully oracle-checkable.
+_Q116_ORACLE = """
+    WITH blobs AS (
+        SELECT doc_id,
+               substr(text, 1, 40)
+                 || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com tel 555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS blob
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(blob, '{EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(blob, '{PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(regexp_replace(blob, '{EMAIL}', '<EMAIL>', 'g'), '{IP}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(
+               blob, '{EMAIL}', '<EMAIL>', 'g'), '{PHONE}', '<PHONE>', 'g'), '{IP}', '<IP>', 'g') AS redacted
+    FROM blobs
+""".replace("{EMAIL}", _EMAIL_RE).replace("{PHONE}", _PHONE_RE).replace("{IP}", _IP_RE)
+
+
+@register(
+    "q116_pii_redaction",
+    _Q116_ORACLE,
+    doc="PII scrubbing for training corpora: redact emails, phone numbers "
+    "and IPv4 addresses with chained regexp_replace, and count each class "
+    "with regexp_count before redacting. The corpus is synthetic, so a "
+    "deterministic contact tail (derived from doc_id) is planted per row "
+    "to give every document known positives and the organic text as the "
+    "negative control; IP counting runs AFTER email redaction so dotted "
+    "hostnames inside addresses can never double-count. Pure per-row "
+    "whole-stage-codegen string expressions — no shuffle at all, so the "
+    "operator is scan-bound and embarrassingly parallel at any corpus "
+    "size.",
+)
+def q116_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    blob = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    no_email = F.regexp_replace(blob, _EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(
+        F.regexp_replace(no_email, _PHONE_RE, "<PHONE>"), _IP_RE, "<IP>"
+    )
+    return d.select(
         "doc_id",
-        "n_grams",
-        n_boiler.alias("n_boiler"),
-        rnd(n_boiler.cast("double") / F.col("n_grams"), 6).alias("boiler_ratio"),
+        F.regexp_count(blob, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(blob, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(no_email, F.lit(_IP_RE)).cast("bigint").alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — vocabulary coverage / OOV rate against a corpus-built top-K vocab
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 64
+
+
+@register(
+    "q117_vocab_coverage",
+    f"""
+    WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+        SELECT w FROM (
+            SELECT w, COUNT(*) AS n FROM words GROUP BY w
+            ORDER BY n DESC, w LIMIT {_VOCAB_K}
+        )
+    ), flag AS (
+        SELECT words.lang,
+               CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END AS oov
+        FROM words LEFT JOIN vocab ON words.w = vocab.w
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           {{RND}} AS oov_ratio
+    FROM flag GROUP BY lang ORDER BY lang
+    """.replace("{RND}", _rnd_sql("CAST(SUM(oov) AS DOUBLE) / COUNT(*)", 6)),
+    doc=f"vocabulary coverage audit: build the exact top-{_VOCAB_K} corpus "
+    f"vocabulary (count-desc, word-asc tie-break — a TakeOrdered top-k, "
+    f"never a global sort), broadcast it back, and measure the "
+    f"out-of-vocabulary token rate per language. The tokenizer-design "
+    f"feedback loop of an LLM data pipeline: rising OOV in a language "
+    f"slice flags under-trained vocab. Token stream is never collected; "
+    f"the only exchanges are the partial-aggregated word count and the "
+    f"per-lang rollup, and the vocab join is an explicit broadcast "
+    f"(64 rows) — linear in total tokens at any corpus size.",
+)
+def q117_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    words = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    flag = words.join(F.broadcast(vocab), "w", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        flag.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            rnd(F.sum(oov).cast("double") / F.count(F.lit(1)), 6).alias("oov_ratio"),
+        )
+        .orderBy("lang")
     )

@@ -63,6 +63,14 @@ SUBSET = [
     "q113_debounce_dedup",
     "q114_user_paths",
     "q115_pagerank",
+    "q116_pii_redaction",
+    "q117_vocab_coverage",
+    "q118_basket_pairs",
+    "q119_benford_audit",
+    "q120_transition_matrix",
+    "q121_mad_outliers",
+    "q122_group_ols",
+    "q123_weighted_sample",
 ]
 
 
