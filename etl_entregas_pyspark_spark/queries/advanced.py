@@ -442,6 +442,29 @@ def q115_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q118 — market-basket co-occurrence (part pairs bought in the same order)
 # ---------------------------------------------------------------------------
 
+def basket_pair_counts(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Co-occurrence counts of unordered item pairs sharing a basket:
+    (item_a, item_b, n_baskets) with item_a < item_b. One exchange on the
+    basket key (collect_set folds duplicates), pairs exploded locally,
+    one exchange on the pair key — no self-join."""
+    baskets = df.groupBy(basket_col).agg(F.collect_set(item_col).alias("parts"))
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x: F.transform(
+                F.filter("parts", lambda y: y > x),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_structs).alias("pr")).select(
+        "pr.item_a", "pr.item_b"
+    )
+    return pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+
+
 @register(
     "q118_basket_pairs",
     """
@@ -466,26 +489,15 @@ def q115_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrderedAndProject, not a global sort.",
 )
 def q118_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    baskets = (
-        T(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("parts"))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            "parts",
-            lambda x: F.transform(
-                F.filter("parts", lambda y: y > x),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
-    pairs = baskets.select(F.explode(pair_structs).alias("pr")).select(
-        "pr.part_a", "pr.part_b"
+    counts = basket_pair_counts(
+        T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
     )
     return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        counts.select(
+            F.col("item_a").alias("part_a"),
+            F.col("item_b").alias("part_b"),
+            F.col("n_baskets").alias("n_orders"),
+        )
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(50)
     )

@@ -732,6 +732,29 @@ def q114_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q120 — Markov transition matrix over per-user event sequences
 # ---------------------------------------------------------------------------
 
+def transition_counts(events: DataFrame) -> DataFrame:
+    """(from_type, to_type, n, p): consecutive event-type transition
+    counts within each user's (ts, event_id)-ordered stream, with the
+    row-normalized transition probability. One shuffle on user_id, then
+    a |types|^2-row aggregate; p is rnd-6 of exact bigint ratios."""
+    from pyspark.sql.window import Window
+
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    g = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    denom = F.sum("n").over(Window.partitionBy("from_type")).cast("bigint")
+    return g.select(
+        "from_type",
+        "to_type",
+        "n",
+        rnd(F.col("n").cast("double") / denom, 6).alias("p"),
+    )
+
+
 @register(
     "q120_transition_matrix",
     f"""
@@ -762,20 +785,4 @@ def q114_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Tie-safe ordering via (ts, event_id). Linear in events at any scale.",
 )
 def q120_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    e = E(spark, sf_dir)
-    seq = e.select(
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type")
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("to_type"),
-    ).filter(F.col("to_type").isNotNull())
-    g = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
-    denom = F.sum("n").over(Window.partitionBy("from_type")).cast("bigint")
-    return g.select(
-        "from_type",
-        "to_type",
-        "n",
-        rnd(F.col("n").cast("double") / denom, 6).alias("p"),
-    ).orderBy("from_type", "to_type")
+    return transition_counts(E(spark, sf_dir)).orderBy("from_type", "to_type")

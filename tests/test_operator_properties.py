@@ -212,3 +212,74 @@ def test_rolling_zscore_matches_python_model(spark_sess, rows):
             if n >= min_n and (n * q - s1) ** 2 > k2 * (n * s2 - s1 * s1):
                 want.add(i)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# basket_pair_counts / transition_counts vs brute-force models
+# ---------------------------------------------------------------------------
+
+from etl_entregas_pyspark_spark.queries.advanced import basket_pair_counts
+from etl_entregas_pyspark_spark.queries.events import transition_counts
+
+_BASKET_SCHEMA = StructType(
+    [
+        StructField("basket", LongType(), False),
+        StructField("item", LongType(), False),
+    ]
+)
+
+baskets_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # basket id
+        st.integers(min_value=0, max_value=9),   # item id (dups likely)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(baskets_strategy)
+def test_basket_pairs_match_python_model(spark_sess, rows):
+    df = spark_sess.createDataFrame(rows, _BASKET_SCHEMA).repartition(4)
+    got = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in basket_pair_counts(df, "basket", "item").collect()
+    }
+    from itertools import combinations
+
+    by_basket = {}
+    for b, i in rows:
+        by_basket.setdefault(b, set()).add(i)
+    want = {}
+    for items in by_basket.values():
+        for a, b in combinations(sorted(items), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(events_strategy)
+def test_transition_counts_match_python_model(spark_sess, rows):
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in transition_counts(_mkdf(spark_sess, rows)).collect()
+    }
+    import math
+
+    by_user = {}
+    for i, (u, s, t) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i, t))
+    want_n = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (s1, i1, t1), (s2, i2, t2) in zip(evs, evs[1:]):
+            want_n[(t1, t2)] = want_n.get((t1, t2), 0) + 1
+    from_tot = {}
+    for (a, _b), n in want_n.items():
+        from_tot[a] = from_tot.get(a, 0) + n
+    want = {
+        k: (n, math.floor(n / from_tot[k[0]] * 1e6 + 0.5) / 1e6)
+        for k, n in want_n.items()
+    }
+    assert got == want
