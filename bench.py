@@ -92,6 +92,8 @@ HEADLINE = [
     "q121_mad_outliers",
     "q122_group_ols",
     "q123_weighted_sample",
+    "q124_hourly_churn",
+    "q125_inverted_index",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

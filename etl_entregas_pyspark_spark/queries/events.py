@@ -786,3 +786,72 @@ def transition_counts(events: DataFrame) -> DataFrame:
 )
 def q120_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(E(spark, sf_dir)).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# q124 — hourly active users with new / retained / churned decomposition
+# ---------------------------------------------------------------------------
+
+@register(
+    "q124_hourly_churn",
+    """
+    WITH hu AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), j AS (
+        SELECT COALESCE(c.h, p.h + INTERVAL 1 HOUR) AS h,
+               CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END AS is_churn,
+               CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL
+                    THEN 1 ELSE 0 END AS is_ret
+        FROM hu c FULL OUTER JOIN hu p
+          ON c.user_id = p.user_id AND c.h = p.h + INTERVAL 1 HOUR
+    )
+    SELECT CAST(h AS TIMESTAMP) AS hour,
+           CAST(SUM(1 - is_churn) AS BIGINT) AS n_active,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_ret) AS BIGINT) AS n_retained,
+           CAST(SUM(is_churn) AS BIGINT) AS n_churned_out
+    FROM j GROUP BY h ORDER BY hour
+    """,
+    doc="hour-over-hour user-presence decomposition: per hour h, how many "
+    "distinct users were active, how many are new relative to h-1, how "
+    "many retained, and how many of h-1's users churned out (attributed "
+    "to hour h, the hour they went missing). One distinct pass folds the "
+    "event stream to (hour, user) pairs — partial-aggregated, so the "
+    "exchange carries distinct pairs, not events — then a self full-outer "
+    "join shifted by one hour classifies each pair, and the final count "
+    "is |hours|-row small. The DAU/churn primitive behind every "
+    "engagement dashboard, exact (no sketch), linear at any scale.",
+)
+def q124_hourly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    hu = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    c = hu.alias("c")
+    p = hu.select(
+        (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("h_next"), "user_id"
+    ).alias("p")
+    j = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.h") == F.col("p.h_next")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c.h"), F.col("p.h_next")).alias("hour"),
+        F.when(F.col("p.user_id").isNull(), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("c.user_id").isNull(), 1).otherwise(0).alias("is_churn"),
+        F.when(
+            F.col("c.user_id").isNotNull() & F.col("p.user_id").isNotNull(), 1
+        ).otherwise(0).alias("is_ret"),
+    )
+    return (
+        j.groupBy("hour")
+        .agg(
+            F.sum(1 - F.col("is_churn")).cast("bigint").alias("n_active"),
+            F.sum("is_new").cast("bigint").alias("n_new"),
+            F.sum("is_ret").cast("bigint").alias("n_retained"),
+            F.sum("is_churn").cast("bigint").alias("n_churned_out"),
+        )
+        .orderBy("hour")
+    )

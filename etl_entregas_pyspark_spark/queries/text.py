@@ -891,3 +891,51 @@ def q117_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — inverted index construction (term -> capped sorted posting list)
+# ---------------------------------------------------------------------------
+
+_POSTING_CAP = 20
+
+
+@register(
+    "q125_inverted_index",
+    f"""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        )
+    )
+    SELECT w AS term,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           list_slice(list_sort(list(doc_id)), 1, {_POSTING_CAP}) AS postings
+    FROM dw GROUP BY w ORDER BY term
+    """,
+    doc=f"search-index construction: for every term, its document "
+    f"frequency and the first {_POSTING_CAP} doc ids (ascending) of its "
+    f"posting list. The (doc, term) stream is deduped in a partial-"
+    f"aggregated distinct, then one groupBy(term) builds count and "
+    f"postings together; the collected list is sorted then capped, so "
+    f"nondeterministic collect order can never leak into results. The "
+    f"cap bounds per-term state — an UNCAPPED posting list for a "
+    f"stopword would be O(corpus) in one aggregation buffer, the "
+    f"classic inverted-index hot key; real indexes shard exactly this "
+    f"way (doc-partitioned segments, capped in-memory batches).",
+)
+def q125_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    return (
+        dw.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, _POSTING_CAP).alias(
+                "postings"
+            ),
+        )
+        .orderBy("term")
+    )

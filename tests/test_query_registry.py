@@ -71,6 +71,8 @@ SUBSET = [
     "q121_mad_outliers",
     "q122_group_ols",
     "q123_weighted_sample",
+    "q124_hourly_churn",
+    "q125_inverted_index",
 ]
 
 
