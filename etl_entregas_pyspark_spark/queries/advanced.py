@@ -413,6 +413,14 @@ def q115_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = edges.join(deg, "src").localCheckpoint()
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
     score = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("score"))
+    # NO per-iteration materialization, deliberately: the iteration count
+    # is FIXED and there is no per-round driver action, so the unrolled
+    # plan is a straight chain each stage of which executes exactly once —
+    # eager localCheckpoints here would add one blocking job per round
+    # (measured 3.7x slower at sf0.1). Contrast q62, whose per-round
+    # convergence count WOULD re-execute accumulated lineage and therefore
+    # must checkpoint. The reused frames (edges_deg, nodes) stay
+    # checkpointed above so the chain references materialized inputs.
     for _ in range(_PR_ITERS):
         inflow = (
             edges_deg.join(score, edges_deg.src == score.node)
@@ -429,7 +437,6 @@ def q115_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("(17 * coalesce(contrib, 0)) div 20")
                 ).alias("score"),
             )
-            .localCheckpoint()
         )
     return (
         score.select("node", (F.col("node") % 2 == 0).alias("is_supplier"), "score")
