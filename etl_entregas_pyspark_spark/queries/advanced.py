@@ -411,7 +411,10 @@ def q115_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges_deg = edges.join(deg, "src").localCheckpoint()
-    nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
+    # derive nodes FROM the materialized edge list: checkpointing it from
+    # `deg` would rebuild the scan→distinct→union→groupBy lineage a second
+    # time just to materialize the same key set
+    nodes = edges_deg.select(F.col("src").alias("node")).distinct().localCheckpoint()
     score = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("score"))
     # NO per-iteration materialization, deliberately: the iteration count
     # is FIXED and there is no per-round driver action, so the unrolled
