@@ -1,6 +1,7 @@
 from etl_entregas_pyspark_spark.streaming.stateful import (
     running_user_totals,
     streaming_debounce,
+    streaming_transitions,
 )
 from etl_entregas_pyspark_spark.streaming.streams import (
     EVENTS_SCHEMA,
@@ -24,4 +25,5 @@ __all__ = [
     "start_memory_sink",
     "running_user_totals",
     "streaming_debounce",
+    "streaming_transitions",
 ]

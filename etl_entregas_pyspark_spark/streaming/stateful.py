@@ -26,6 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -149,6 +150,72 @@ def streaming_debounce(events: DataFrame) -> DataFrame:
         _debounce_update,
         outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
         stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming transition stream — the live twin of queries.events
+# .transition_counts (q120): emits one row per consecutive-event pair
+# ---------------------------------------------------------------------------
+
+TRANSITION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _transition_update(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_us, last_type = state.get if state.exists else (None, None)
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])  # in-batch time order
+    froms: list[str] = []
+    tos: list[str] = []
+    for r in rows.itertuples(index=False):
+        if last_type is not None:
+            froms.append(last_type)
+            tos.append(str(r.event_type))
+        last_type = str(r.event_type)
+        last_us = int(r.ts.value // 1000)
+    state.update((last_us, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])] * len(froms),
+            "from_type": froms,
+            "to_type": tos,
+        }
+    )
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """One row per consecutive (from_type -> to_type) pair within each
+    user's time-ordered stream, across micro-batch boundaries: the state
+    store carries the last-seen event (one timestamp + one short string
+    per active user), so a pair spanning two triggers is still emitted.
+    Downstream, a plain streaming groupBy(from_type, to_type).count()
+    maintains the live Markov transition matrix whose batch twin is
+    oracle-checked as q120. Same ordering contract as the batch
+    operator: per-key time-ordered arrival (range-partitioned source);
+    out-of-order streams need a watermark buffer in front."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transition_update,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -112,3 +112,56 @@ def test_streaming_debounce_matches_batch(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_transitions_match_batch(spark, sf_dir):
+    """Replaying the events table in four time-ordered slices must yield
+    exactly the batch q120 transition counts — including pairs that span
+    a trigger boundary (carried by the state store)."""
+    import shutil
+    import tempfile
+    import time
+    from collections import Counter
+
+    from etl_entregas_pyspark_spark.queries.events import transition_counts
+    from etl_entregas_pyspark_spark.streaming.stateful import streaming_transitions
+
+    src = tempfile.mkdtemp(prefix="events_transitions_")
+    try:
+        e = E(spark, sf_dir)
+        bounds = e.selectExpr(
+            "percentile(unix_micros(ts), 0.25) AS a",
+            "percentile(unix_micros(ts), 0.5) AS b",
+            "percentile(unix_micros(ts), 0.75) AS c",
+        ).collect()[0]
+        us = F.unix_micros(F.col("ts"))
+        slices = [
+            e.filter(us < bounds.a),
+            e.filter((us >= bounds.a) & (us < bounds.b)),
+            e.filter((us >= bounds.b) & (us < bounds.c)),
+            e.filter(us >= bounds.c),
+        ]
+        for s in slices:
+            s.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            streaming_transitions(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("transitions")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = Counter(
+            (r.from_type, r.to_type)
+            for r in spark.table("transitions").collect()
+        )
+        want = {
+            (r.from_type, r.to_type): r.n
+            for r in transition_counts(spark.read.parquet(src)).collect()
+        }
+        assert dict(got) == want and len(want) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
