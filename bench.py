@@ -139,28 +139,56 @@ def main() -> None:
     # transient machine contention (GC, co-tenant load) inflating a few
     # queries 3-4x; the min of two is the honest steady-state data cost.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for timed in (False, True, True):
         for name in HEADLINE:
+            if name in errors:
+                continue
             spec = q.REGISTRY[name]
             t0 = time.time()
-            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # one broken query must not zero the round
+                errors[name] = str(e).splitlines()[0][:200]
+                times.pop(name, None)
+                continue
             if timed:
                 dt = round(time.time() - t0, 3)
                 times[name] = min(times.get(name, dt), dt)
 
     total = round(sum(times.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # detailed per-query record first (humans / round-over-round diffing) ...
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "errors": errors,
+                "sf": sf_val,
+            }
+        )
+    )
+    # ... then a SHORT summary LAST: r02's 68-query detail line overflowed
+    # the driver's tail buffer (BENCH_r02 "parsed": null), so the line the
+    # driver's tail-parser sees must stay small. Top-5 costs only.
+    top5 = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": {"n_queries": len(times), "n_errors": len(errors), **top5},
+                "sf": sf_val,
             }
         )
     )
     spark.stop()
+    if errors:
+        sys.exit(0)  # times are valid; errors are recorded in the detail line
 
 
 if __name__ == "__main__":

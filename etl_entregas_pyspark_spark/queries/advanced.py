@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from etl_entregas_pyspark_spark.queries.events import E
 from etl_entregas_pyspark_spark.queries.registry import register
 from etl_entregas_pyspark_spark.queries.relational import T
+from etl_entregas_pyspark_spark.timeutil import epoch_us
 
 _GRAIN_S = 600  # 10-minute buckets = the interval length → ≤ 2 buckets/interval
 
@@ -52,8 +53,8 @@ def q59_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain = F.lit(_GRAIN_S)
     intervals = e.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"),
-        F.unix_micros("ts").alias("start_us"),
-        (F.unix_micros("ts") + _GRAIN_S * 1_000_000).alias("end_us"),
+        epoch_us("ts").alias("start_us"),
+        (epoch_us("ts") + _GRAIN_S * 1_000_000).alias("end_us"),
     )
     # explode each interval across every grain it overlaps (≤ 2 here)
     exploded = intervals.select(
@@ -67,8 +68,8 @@ def q59_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
-        F.unix_micros("ts").alias("c_us"),
-        F.floor(F.unix_micros("ts") / 1_000_000 / grain).alias("bucket"),
+        epoch_us("ts").alias("c_us"),
+        F.floor(epoch_us("ts") / 1_000_000 / grain).alias("bucket"),
     )
     matched = (
         exploded.join(clicks, "bucket")

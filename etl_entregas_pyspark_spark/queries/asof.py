@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from etl_entregas_pyspark_spark.queries.events import E
 from etl_entregas_pyspark_spark.queries.registry import register
+from etl_entregas_pyspark_spark.timeutil import epoch_us
 
 
 @register(
@@ -74,6 +75,6 @@ def q58_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("purchase_ts"),
             F.col("lastclick.cid").alias("click_id"),
             F.col("lastclick.cts").alias("click_ts"),
-            (F.unix_micros("ts") - F.unix_micros("lastclick.cts")).alias("gap_us"),
+            (epoch_us("ts") - epoch_us("lastclick.cts")).alias("gap_us"),
         )
     )

@@ -79,8 +79,8 @@ def q37_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_partkey,
            len(string_split(p_name, ' ')) AS n_words,
-           list_sort(string_split(p_name, ' ')) AS words_sorted,
-           list_slice(list_sort(string_split(p_name, ' ')), 1, 2) AS first_two,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|') AS words_sorted,
+           array_to_string(list_slice(list_sort(string_split(p_name, ' ')), 1, 2), '|') AS first_two,
            list_reverse(list_sort(string_split(p_name, ' ')))[1] AS last_word,
            list_contains(string_split(p_name, ' '), 'green') AS has_green,
            array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined,
@@ -88,7 +88,10 @@ def q37_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part WHERE p_partkey <= 2000
     """,
     doc="array-function battery: size/sort/slice/reverse/contains/join/"
-    "element_at over split word arrays",
+    "element_at over split word arrays. Array-typed intermediates are "
+    "serialized (array_join) in the final projection: the driver's "
+    "canonicalizer sorts output columns with pandas, which cannot hash "
+    "raw list cells (r02 VERDICT item 1).",
 )
 def q38_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = T(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
@@ -97,8 +100,8 @@ def q38_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.size(words).alias("n_words"),
-        sorted_w.alias("words_sorted"),
-        F.slice(sorted_w, 1, 2).alias("first_two"),
+        F.array_join(sorted_w, "|").alias("words_sorted"),
+        F.array_join(F.slice(sorted_w, 1, 2), "|").alias("first_two"),
         F.element_at(F.reverse(sorted_w), 1).alias("last_word"),
         F.array_contains(words, "green").alias("has_green"),
         F.array_join(sorted_w, "-").alias("joined"),
@@ -168,7 +171,7 @@ def q76_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
            NULLIF(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                        AS BIGINT), 0) AS n_views,
-           list_sort(list(DISTINCT event_type)) AS types
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types
     FROM events GROUP BY user_id
     """,
     doc="MapType round-trip per user: per-type counts collected into a "
@@ -194,7 +197,7 @@ def q96_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("m").cast("bigint").alias("n_types"),
         F.element_at("m", "view").cast("bigint").alias("n_views"),
-        F.array_sort(F.map_keys("m")).alias("types"),
+        F.array_join(F.array_sort(F.map_keys("m")), "|").alias("types"),
     )
 
 

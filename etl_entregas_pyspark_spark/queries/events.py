@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.queries.registry import register
 from etl_entregas_pyspark_spark.queries.relational import _dsum_sql, _rnd_sql, dsum, rnd
+from etl_entregas_pyspark_spark.timeutil import epoch_us, epoch_us_sql
 
 
 def E(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,7 +246,7 @@ def sessionize(e: DataFrame, gap_us: int = _SESSION_GAP_US) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
     return e.select(
         "user_id",
@@ -296,7 +297,7 @@ def q83_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.min("ts").alias("session_start"),
-        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+        ((epoch_us(F.max("ts")) - epoch_us(F.min("ts"))) / F.lit(1_000_000))
         .cast("bigint")
         .alias("duration_sec"),
     )
@@ -456,7 +457,7 @@ def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     act = e.select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("d")
     ).distinct()
-    offset = F.expr("(unix_micros(d) - unix_micros(cohort)) div 86400000000").cast(
+    offset = ((epoch_us("d") - epoch_us("cohort")) / F.lit(86_400_000_000)).cast(
         "bigint"
     )
     return (
@@ -514,7 +515,7 @@ _RFM_PCT = 0.8
 def q99_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = E(spark, sf_dir)
     per_user = e.groupBy("user_id").agg(
-        F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+        F.max(epoch_us("ts")).alias("last_us"),
         F.count("*").cast("bigint").alias("frequency"),
         (
             F.sum(F.floor(F.col("value") * 1_000_000.0).cast("long")).cast("double")
@@ -635,7 +636,7 @@ def debounce(e: DataFrame, gap_us: int = _DEBOUNCE_US) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     g = e.select(
         "event_id", "user_id", "event_type", "ts",
         F.lag(us).over(w).alias("prev_us"), us.alias("us"),

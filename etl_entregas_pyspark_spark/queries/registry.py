@@ -41,67 +41,74 @@ def register(name: str, oracle: Optional[str], doc: str = "") -> Callable[[Spark
 # front; everything else follows in registration order, so the window is
 # always "all unproven queries + as many previously-proven as fit".
 _PRIORITY = [
-    "q60_entregas_pipeline",
-    "q61_entregas_quality_metrics",
-    "q71_alto_valor_flag",
-    "q57_multimodal_decode",
+    # --- round-4 window -----------------------------------------------
+    # r03's four red rows first: q58/q59/q83 crashed on unix_micros over
+    # the regenerated TIMESTAMP_NTZ testdata (fixed via timeutil.epoch_us,
+    # tz-free timestampdiff); q38 crashed the driver canonicalizer on
+    # array-typed output (now serialized via array_join in both engines).
     "q58_asof_join",
     "q59_range_join",
-    "q62_dedup_components",
-    "q29_pivot",
-    "q37_from_json",
-    "q38_array_funcs",
-    "q39_scalar_subquery",
-    "q49_posexplode",
-    "q63_deterministic_split",
-    "q64_decontamination",
-    "q66_chunking",
-    "q67_stratified_sample",
-    "q69_trailing_range_window",
-    "q70_gap_fill_forward",
-    "q65_statistical_moments",
-    "q72_dedup_materialize",
-    "q73_ivf_search",
-    "q74_unpivot",
-    "q75_kmeans_step",
-    "q76_grouping_sets",
-    "q77_edit_distance_pairs",
-    "q78_tfidf_top_terms",
-    "q79_salted_aggregate",
-    "q80_latest_per_key",
-    "q81_reconciliation",
-    "q82_sequence_packing",
     "q83_sessionization",
-    "q84_funnel",
-    "q85_repetition_profile",
-    "q86_mixture_weights",
-    "q87_expectation_audit",
-    "q88_corpus_filter",
-    "q89_heavy_hitters",
-    "q90_denylist_scrub",
-    "q91_exists_decorrelated",
-    "q92_length_histogram",
-    "q93_dedup_pipeline",
-    "q94_scd2_intervals",
-    "q95_partial_merge",
-    "q98_cohort_retention",
-    "q100_incremental_dedup",
-    # round-1 hash-fails, re-verify after the CAST(... AS BIGINT) oracle fix
-    "q27_conditional_agg",
-    "q33_events_json",
-    "q40_text_stats",
-    "q43_langid_heuristic",
-    "q68_int8_quantization",
-    # positions 51+ — outside the 50-query driver window this round by
-    # design (strong local evidence; first in line for the next round)
+    "q38_array_funcs",
+    # The 28 queries that have never had a driver CORRECTNESS row
+    # (r02 VERDICT "Next round" item 1) — the whole q96-q125 family.
     "q96_map_funcs",
     "q97_explode_outer",
     "q99_rfm_segments",
+    "q101_ohlc_bars",
+    "q102_rolling_zscore",
+    "q103_bigram_counts",
+    "q104_cdc_apply",
+    "q105_per_key_sample",
+    "q106_kmeans_loop",
+    "q107_skew_split_join",
+    "q108_twap",
+    "q109_minmax_scale",
+    "q110_boilerplate_score",
+    "q111_cluster_canonical",
+    "q112_winsorize",
+    "q113_debounce_dedup",
+    "q114_user_paths",
+    "q115_pagerank",
+    "q116_pii_redaction",
+    "q117_vocab_coverage",
+    "q118_basket_pairs",
+    "q119_benford_audit",
+    "q120_transition_matrix",
+    "q121_mad_outliers",
+    "q122_group_ols",
+    "q123_weighted_sample",
+    "q124_hourly_churn",
+    "q125_inverted_index",
+    # Sketches upgraded from rows-only to bounds-checked oracles this
+    # round (r02 VERDICT item 4) — need their first hash row.
+    "q34_approx_distinct",
+    "q35_approx_quantiles",
+    # epoch-arithmetic path touched by the NTZ fix — re-verify.
+    "q98_cohort_retention",
+    # --- backfill: previously-green, keep the flagship + one exemplar
+    # per family fresh (everything below already has a green r01/r02/r03
+    # row; the rest of the registry follows in registration order) -----
+    "q60_entregas_pipeline",
+    "q61_entregas_quality_metrics",
+    "q57_multimodal_decode",
+    "q62_dedup_components",
+    "q53_minhash_near_dup",
+    "q51_cosine_topk",
+    "q30_events_tumbling",
+    "q32_events_session",
+    "q22_date_funcs",
+    "q14_window_topn",
+    "q01_pricing_summary",
+    "q05_region_revenue",
+    "q42_fingerprint_dedup",
+    "q64_decontamination",
+    "q93_dedup_pipeline",
 ]
 
 
 def _ordered() -> list[str]:
-    prio = [n for n in _PRIORITY if n in REGISTRY]
+    prio = list(dict.fromkeys(n for n in _PRIORITY if n in REGISTRY))
     rest = [n for n in REGISTRY if n not in set(prio)]
     return prio + rest
 

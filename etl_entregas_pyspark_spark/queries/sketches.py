@@ -3,8 +3,10 @@ SURVEY §2 + north-star inventory.
 
 - approx_count_distinct (HLL++) and percentile_approx are
   algorithm-specific sketches: Spark's and DuckDB's implementations
-  legitimately differ, so they register WITHOUT an oracle (the driver
-  records a rows-only check) — their exact twins (q36) carry the oracle.
+  legitimately differ, so their oracles are BOUNDS contracts — Spark
+  emits a boolean "estimate within the published error envelope of the
+  exact value" and the oracle asserts it literally. The exact twins
+  (q36) carry full value oracles.
 - exact percentiles interpolate identically (both engines implement the
   SQL-standard continuous quantile), so q36 is fully oracle-checked.
 - the BPE-ish regex tokenizer and rolling-hash fingerprints are plain
@@ -22,29 +24,75 @@ from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
 
 @register(
     "q34_approx_distinct",
-    None,  # HLL++ is implementation-specific — rows-only check by design
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_bounds
+    FROM orders GROUP BY o_orderstatus
+    """,
     doc="approx_count_distinct (HLL++, rsd=0.01) per order status — the "
-    "scale substitute for exact count_distinct; exact twin is q36",
+    "scale substitute for exact count_distinct; exact twin is q36. The "
+    "sketch value itself is implementation-specific, so the hash "
+    "contract is a BOUNDS check: Spark emits within_bounds = "
+    "|HLL - exact| <= 5% * exact (5x the configured rsd) and the oracle "
+    "asserts it literally — a hash mismatch means the sketch left its "
+    "published error envelope.",
 )
 def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
-        F.count("*").alias("n_orders"),
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "exact_customers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= F.lit(0.05) * F.col("exact_customers")
+            ).alias("within_bounds"),
+        )
     )
 
 
 @register(
     "q35_approx_quantiles",
-    None,  # KLL/GK sketches differ across engines — rows-only by design
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_within, TRUE AS p95_within
+    FROM orders GROUP BY o_orderpriority
+    """,
     doc="percentile_approx of order totals per priority (sketch-based; "
-    "exact twin is q36)",
+    "exact twin is q36). Bounds contract instead of value equality: "
+    "accuracy=10000 guarantees rank error <= 1e-4, so the sketch value "
+    "must lie inside the exact [p-0.01, p+0.01] quantile envelope; "
+    "Spark emits that boolean, the oracle asserts it.",
 )
 def q35_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_approx"),
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("_a50"),
+            F.percentile_approx("o_totalprice", 0.95, 10000).alias("_a95"),
+            F.percentile("o_totalprice", F.lit(0.49)).alias("_lo50"),
+            F.percentile("o_totalprice", F.lit(0.51)).alias("_hi50"),
+            F.percentile("o_totalprice", F.lit(0.94)).alias("_lo95"),
+            F.percentile("o_totalprice", F.lit(0.96)).alias("_hi95"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.col("_a50").between(F.col("_lo50"), F.col("_hi50")).alias("p50_within"),
+            F.col("_a95").between(F.col("_lo95"), F.col("_hi95")).alias("p95_within"),
+        )
     )
 
 

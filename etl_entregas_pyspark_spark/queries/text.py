@@ -910,7 +910,8 @@ _POSTING_CAP = 20
     )
     SELECT w AS term,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           list_slice(list_sort(list(doc_id)), 1, {_POSTING_CAP}) AS postings
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, {_POSTING_CAP}), ',')
+               AS postings
     FROM dw GROUP BY w ORDER BY term
     """,
     doc=f"search-index construction: for every term, its document "
@@ -933,9 +934,9 @@ def q125_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         dw.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, _POSTING_CAP).alias(
-                "postings"
-            ),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, _POSTING_CAP), ","
+            ).alias("postings"),
         )
         .orderBy("term")
     )

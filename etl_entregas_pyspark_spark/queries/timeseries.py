@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 from etl_entregas_pyspark_spark.queries.events import E
 from etl_entregas_pyspark_spark.queries.registry import register
 from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, dsum, rnd
+from etl_entregas_pyspark_spark.timeutil import epoch_us
 
 
 @register(
@@ -292,7 +293,7 @@ def q102_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q108_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = E(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     spans = e.select(
         "user_id",
         F.floor(F.col("value") * 1000.0).cast("long").alias("qv"),

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from etl_entregas_pyspark_spark.queries.events import E
 from etl_entregas_pyspark_spark.streaming import read_event_stream
 from etl_entregas_pyspark_spark.streaming.stateful import running_user_totals
+from etl_entregas_pyspark_spark.timeutil import epoch_us, epoch_us_sql
 
 
 @pytest.fixture(scope="module")
@@ -80,12 +81,12 @@ def test_streaming_debounce_matches_batch(spark, sf_dir):
         e = E(spark, sf_dir)
         bounds = [
             r for r in e.selectExpr(
-                "percentile(unix_micros(ts), 0.25) AS a",
-                "percentile(unix_micros(ts), 0.5) AS b",
-                "percentile(unix_micros(ts), 0.75) AS c",
+                "percentile(" + epoch_us_sql("ts") + ", 0.25) AS a",
+                "percentile(" + epoch_us_sql("ts") + ", 0.5) AS b",
+                "percentile(" + epoch_us_sql("ts") + ", 0.75) AS c",
             ).collect()
         ][0]
-        us = F.unix_micros(F.col("ts"))
+        us = epoch_us("ts")
         slices = [
             e.filter(us < bounds.a),
             e.filter((us >= bounds.a) & (us < bounds.b)),
@@ -130,11 +131,11 @@ def test_streaming_transitions_match_batch(spark, sf_dir):
     try:
         e = E(spark, sf_dir)
         bounds = e.selectExpr(
-            "percentile(unix_micros(ts), 0.25) AS a",
-            "percentile(unix_micros(ts), 0.5) AS b",
-            "percentile(unix_micros(ts), 0.75) AS c",
+            "percentile(" + epoch_us_sql("ts") + ", 0.25) AS a",
+            "percentile(" + epoch_us_sql("ts") + ", 0.5) AS b",
+            "percentile(" + epoch_us_sql("ts") + ", 0.75) AS c",
         ).collect()[0]
-        us = F.unix_micros(F.col("ts"))
+        us = epoch_us("ts")
         slices = [
             e.filter(us < bounds.a),
             e.filter((us >= bounds.a) & (us < bounds.b)),

@@ -99,6 +99,20 @@ def main() -> int:
             continue
 
         problems = []
+        # The driver canonicalizes with pandas sort_values, which cannot
+        # hash list/dict cells (q38 crashed r02+r03 on this). Any
+        # array/map/struct output column is a latent driver crash: reject
+        # here and serialize it (array_join / to_json) in BOTH engines.
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            problems.append(
+                f"complex-typed output columns crash the driver canonicalizer: "
+                f"{complex_cols} — serialize with array_join/to_json in both engines"
+            )
         # The driver fetches the oracle pandas-style, which renders HUGEINT
         # as float64 ("4933.0" vs Spark's "4933") and breaks the value hash
         # even when fetchall() matches bitwise. Any 128-bit integer column
