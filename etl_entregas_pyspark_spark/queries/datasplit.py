@@ -476,3 +476,55 @@ def q123_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.lit(float(_WPS_MOD)) / p_num.cast("double"), 6).alias("ht_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — quantile bucketizer (equi-depth discretizer, windowless scale path)
+# ---------------------------------------------------------------------------
+
+_QB_BUCKETS = 10
+_QB_FRACS = "[" + ", ".join(str(i / _QB_BUCKETS) for i in range(1, _QB_BUCKETS)) + "]"
+
+
+@register(
+    "q127_quantile_bucketize",
+    f"""
+    WITH th AS (
+        SELECT quantile_cont(o_totalprice, {_QB_FRACS}) AS t
+        FROM orders
+    )
+    SELECT len(list_filter(th.t, x -> o.o_totalprice > x)) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders o CROSS JOIN th
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc=f"equi-depth discretizer: {_QB_BUCKETS} quantile buckets over order "
+    "totals — the ML featurization twin of q17's ntile, built the way it "
+    "must be at 100 TB: ntile needs a single ORDER BY over the whole "
+    "table (one partition, no parallelism), while this computes the "
+    f"{_QB_BUCKETS - 1} exact thresholds in one aggregate, broadcasts the "
+    "tiny array, and assigns buckets with a JVM-side higher-order filter "
+    "(count of thresholds below the value) — scan-shaped, "
+    "embarrassingly parallel, one exchange total. Spark `percentile` "
+    "and DuckDB `quantile_cont` interpolate bitwise-identically (the "
+    "q36/q99 contract), so bucket boundaries agree across engines.",
+)
+def q127_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    fracs = F.array(*[F.lit(i / _QB_BUCKETS) for i in range(1, _QB_BUCKETS)])
+    th = o.agg(F.percentile("o_totalprice", fracs).alias("t"))
+    bucket = F.size(
+        F.filter("t", lambda x: F.col("o_totalprice") > x)
+    ).alias("bucket")
+    return (
+        o.crossJoin(F.broadcast(th))
+        .groupBy(bucket)
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )

@@ -86,6 +86,10 @@ _PRIORITY = [
     "q35_approx_quantiles",
     # epoch-arithmetic path touched by the NTZ fix — re-verify.
     "q98_cohort_retention",
+    # new this round: graph triangles, equi-depth bucketizer, BM25.
+    "q126_copurchase_triangles",
+    "q127_quantile_bucketize",
+    "q128_bm25_scoring",
     # --- backfill: previously-green, keep the flagship + one exemplar
     # per family fresh (everything below already has a green r01/r02/r03
     # row; the rest of the registry follows in registration order) -----
@@ -98,11 +102,10 @@ _PRIORITY = [
     "q30_events_tumbling",
     "q32_events_session",
     "q22_date_funcs",
-    "q14_window_topn",
     "q01_pricing_summary",
     "q05_region_revenue",
-    "q42_fingerprint_dedup",
-    "q64_decontamination",
+    # q93's stat crossJoins gained explicit broadcast hints this round —
+    # plan changed (values shouldn't have), so it stays in the window.
     "q93_dedup_pipeline",
 ]
 

@@ -802,7 +802,9 @@ def q93_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_expanded_near_pairs"),
         )
     )
-    return n_docs.crossJoin(gstats).crossJoin(pstats)
+    # each side is a 1-row global aggregate; broadcast makes the BNLJ
+    # plan-guaranteed rather than inferred (r02 VERDICT item 6)
+    return n_docs.crossJoin(F.broadcast(gstats)).crossJoin(F.broadcast(pstats))
 
 
 # ---------------------------------------------------------------------------

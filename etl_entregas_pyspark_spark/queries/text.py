@@ -940,3 +940,107 @@ def q125_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — BM25 relevance scoring (search ranking over the corpus)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 30
+
+
+@register(
+    "q128_bm25_scoring",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN term = '{_BM25_TERMS[0]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+               CAST(SUM(CASE WHEN term = '{_BM25_TERMS[1]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+               CAST(SUM(CASE WHEN term = '{_BM25_TERMS[2]}' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+        FROM toks GROUP BY doc_id
+    ), df AS (
+        SELECT CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+               CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+               CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        FROM tf
+    ), scored AS (
+        SELECT t.doc_id, d.dl, t.tf0, t.tf1, t.tf2,
+               {_rnd_sql(f'''
+                   ln((s.n_docs - f.df0 + 0.5) / (f.df0 + 0.5) + 1.0)
+                     * (t.tf0 * ({_BM25_K1} + 1.0))
+                     / (t.tf0 + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+                 + ln((s.n_docs - f.df1 + 0.5) / (f.df1 + 0.5) + 1.0)
+                     * (t.tf1 * ({_BM25_K1} + 1.0))
+                     / (t.tf1 + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+                 + ln((s.n_docs - f.df2 + 0.5) / (f.df2 + 0.5) + 1.0)
+                     * (t.tf2 * ({_BM25_K1} + 1.0))
+                     / (t.tf2 + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))
+               ''', 6)} AS bm25
+        FROM tf t JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN stats s CROSS JOIN df f
+    )
+    SELECT doc_id, dl, tf0, tf1, tf2, bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+    doc=f"BM25 relevance ranking for the fixed query {_BM25_TERMS}: "
+    f"k1={_BM25_K1}, b={_BM25_B}, idf = ln((N-df+0.5)/(df+0.5)+1), "
+    f"top-{_BM25_TOPK} docs with deterministic tie-break. Per-term "
+    "scores live in separate columns and the total is one fixed-order "
+    "3-term sum — never a shuffle-order-dependent FP reduction — then "
+    "half-up rounded to 6dp (q78 proved ln() agrees across engines "
+    "under this rounding). Plan: one exchange on doc_id builds tf and "
+    "dl together; N/avgdl/df are three 1-row aggregates broadcast back "
+    "(the q99 windowless pattern), so the scoring pass is scan-shaped. "
+    "At 100 TB the per-doc state is 3 counters — the same plan serves "
+    "any constant query vector.",
+)
+def q128_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int) -> F.Column:
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+        )
+        norm = tf + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return idf * (tf * (_BM25_K1 + 1.0)) / norm
+
+    score = rnd(term_score(0) + term_score(1) + term_score(2), 6)
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", "tf0", "tf1", "tf2", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 SRC = "/root/testdata/sf0.1"
 QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q06_global_agg", "q14_window_topn", "q18_topk_orders",
-           "q53_minhash_near_dup", "q93_dedup_pipeline", "q64_decontamination",
+           "q53_minhash_near_dup", "q62_dedup_components", "q72_dedup_materialize",
+           "q111_cluster_canonical", "q93_dedup_pipeline", "q64_decontamination",
            "q82_sequence_packing", "q83_sessionization", "q84_funnel",
            "q87_expectation_audit", "q88_corpus_filter", "q89_heavy_hitters",
            "q117_vocab_coverage", "q118_basket_pairs", "q120_transition_matrix"]
