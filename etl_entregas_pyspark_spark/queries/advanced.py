@@ -556,12 +556,10 @@ _TRI_TOPK = 25
     "reuses basket_pair_counts (collect_set + local pair explode, no "
     "self-join).",
 )
-def q126_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        basket_pair_counts(T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
-        .filter(F.col("n_baskets") >= _TRI_SUPPORT)
-        .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
-    )
+def triangle_participation(e: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an oriented edge list (pa < pb,
+    deduplicated): (part, n_triangles). Property-tested against a
+    brute-force model in tests/test_operator_properties.py."""
     e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
     e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
@@ -571,9 +569,17 @@ def q126_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("b").alias("part")))
         .unionAll(tri.select(F.col("c").alias("part")))
     )
+    return nodes.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def q126_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        basket_pair_counts(T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
+        .filter(F.col("n_baskets") >= _TRI_SUPPORT)
+        .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    )
     return (
-        nodes.groupBy("part")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        triangle_participation(e)
         .orderBy(F.col("n_triangles").desc(), "part")
         .limit(_TRI_TOPK)
     )

@@ -283,3 +283,37 @@ def test_transition_counts_match_python_model(spark_sess, rows):
         for k, n in want_n.items()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(baskets_strategy)
+def test_triangle_participation_matches_python_model(spark_sess, rows):
+    """Edge orientation + two equi-joins must count each triangle exactly
+    once per corner, for arbitrary co-occurrence graphs (support=1 so
+    random small baskets still form edges)."""
+    from itertools import combinations
+
+    from etl_entregas_pyspark_spark.queries.advanced import triangle_participation
+
+    df = spark_sess.createDataFrame(rows, _BASKET_SCHEMA).repartition(4)
+    edges_df = (
+        basket_pair_counts(df, "basket", "item")
+        .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    )
+    got = {
+        r.part: r.n_triangles for r in triangle_participation(edges_df).collect()
+    }
+
+    by_basket = {}
+    for b, i in rows:
+        by_basket.setdefault(b, set()).add(i)
+    edges = set()
+    for items in by_basket.values():
+        edges.update(combinations(sorted(items), 2))
+    want = {}
+    for a, b in edges:
+        for c in [x for x in {y for e in edges for y in e} if b < x]:
+            if (b, c) in edges and (a, c) in edges:
+                for n in (a, b, c):
+                    want[n] = want.get(n, 0) + 1
+    assert got == want
