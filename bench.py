@@ -97,6 +97,7 @@ HEADLINE = [
     "q126_copurchase_triangles",
     "q127_quantile_bucketize",
     "q128_bm25_scoring",
+    "q129_multimodal_embed",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -28,6 +28,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -122,3 +123,107 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.avg("width").alias("avg_width"),
         F.avg("height").alias("avg_height"),
     )
+
+
+RESIZED_FIELDS = [
+    StructField("content", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+]
+
+
+def _resize_stub(
+    payload: bytes, w: int, h: int, max_dim: int
+) -> tuple[bytes, int, int]:
+    """Deterministic fake resize: real codecs are absent in this container
+    (STUB — swap for PIL thumbnail/ffmpeg scale in production). Emulates
+    the real cost/shape contract: output bytes shrink proportionally to
+    the dimension cap, derived dims are clamped, and the operation is
+    idempotent (resizing an already-small payload is identity)."""
+    scale = max_dim / max(w, h)
+    if scale >= 1.0:
+        return payload, w, h
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    n_bytes = max(1, int(len(payload) * (nw * nh) / (w * h)))
+    return payload[:n_bytes], nw, nh
+
+
+def resize_media(
+    df: DataFrame,
+    max_dim: int = 256,
+    content_col: str = "content",
+) -> DataFrame:
+    """Binary-in/binary-out Arrow-batched transform: cap the longer edge at
+    ``max_dim``, shrinking the payload. Unlike decode_media the blob
+    SURVIVES the stage (this is a write-path op — thumbnailing before
+    sink), so partition sizing by payload bytes matters twice.
+
+    Consumes ``width``/``height`` columns when present (a resize stage
+    normally follows decode, which already measured the frame); falls back
+    to the decode kernel otherwise. Replaces, not duplicates, prior
+    content/width/height columns, so the stage is closed under
+    composition — resize ∘ resize is well-formed and idempotent."""
+    import pandas as pd
+
+    have_dims = {"width", "height"} <= set(df.columns)
+    replaced = {content_col, "width", "height"}
+    passthrough = [f for f in df.schema.fields if f.name not in replaced]
+    out_schema = StructType(passthrough + RESIZED_FIELDS)
+    pass_names = [f.name for f in passthrough]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[content_col]]
+            if have_dims:
+                dims = list(zip(pdf["width"], pdf["height"]))
+            else:
+                dims = [
+                    (m["width"], m["height"])
+                    for m in (_decode_stub(p) for p in payloads)
+                ]
+            resized = [
+                _resize_stub(p, int(w), int(h), max_dim)
+                for p, (w, h) in zip(payloads, dims)
+            ]
+            out = pdf[pass_names].copy()
+            out["content"] = [r[0] for r in resized]
+            out["width"] = [r[1] for r in resized]
+            out["height"] = [r[2] for r in resized]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+N_FEATURE_DIMS = 8
+
+
+def _feature_stub(payload: bytes) -> list[int]:
+    """Deterministic fake feature extractor (STUB — swap for a CLIP/wav2vec
+    forward pass in production): 8 integer dims from successive sha256
+    chunks. Integers (not floats) so any downstream score is exact and
+    cross-engine reproducible."""
+    digest = hashlib.sha256(payload).hexdigest()
+    return [int(digest[8 * i : 8 * i + 8], 16) % 1000 for i in range(N_FEATURE_DIMS)]
+
+
+def extract_features(
+    df: DataFrame,
+    content_col: str = "content",
+) -> DataFrame:
+    """Append an ``embedding array<bigint>`` column via Arrow-batched
+    mapInPandas — the media twin of the text-embedding surface
+    (similarity.py consumes the same array shape). Payload dropped
+    post-extraction: downstream ANN shuffles 64 bytes/row, not blobs."""
+    import pandas as pd
+
+    passthrough = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = StructType(passthrough + [StructField("embedding", ArrayType(LongType()))])
+    pass_names = [f.name for f in passthrough]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf[pass_names].copy()
+            out["embedding"] = [_feature_stub(bytes(p)) for p in pdf[content_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -67,3 +67,71 @@ def q57_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("width").cast("double") / F.count("*"), 2).alias("avg_width"),
         rnd(F.sum("height").cast("double") / F.count("*"), 2).alias("avg_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — multimodal feature extraction → exact integer scoring
+# ---------------------------------------------------------------------------
+
+_EMB_WEIGHTS = (7, -3, 5, -1, 2, -4, 6, -2)  # fixed "query vector"
+_EMB_TOPK = 20
+
+
+@register(
+    "q129_multimodal_embed",
+    f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               sha256(text) AS sha
+        FROM documents
+    ), feats AS (
+        SELECT media_id, kind,
+               {', '.join(
+                   f"CAST(concat('0x', substr(sha, {8 * i + 1}, 8)) AS BIGINT) % 1000 AS d{i}"
+                   for i in range(8)
+               )}
+        FROM media
+    )
+    SELECT media_id, kind,
+           {' + '.join(f'd{i} * ({w})' for i, w in enumerate(_EMB_WEIGHTS))} AS score
+    FROM feats ORDER BY score DESC, media_id LIMIT {_EMB_TOPK}
+    """,
+    doc="multimodal feature extraction end-to-end: synthesized payloads "
+    "through the Arrow-batched extract_features stage (8 integer dims "
+    "from sha256 chunks — the stub stands in for a CLIP/wav2vec forward "
+    "pass), then an exact integer dot product against a fixed query "
+    f"vector, top-{_EMB_TOPK}. The oracle recomputes the kernel "
+    "arithmetic in SQL, proving the embedding plumbing (schema, Arrow "
+    "batches, array column) is lossless; scoring is zip_with+aggregate "
+    "over the array — JVM-side, no Python in the hot path after "
+    "extraction. Blobs are dropped at the extraction stage, so the "
+    "rank/shuffle path moves 64 bytes per row regardless of payload "
+    "size — at 100 TB of media that asymmetry IS the design.",
+)
+def q129_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.multimodal import extract_features
+
+    d = T(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = extract_features(
+        media.repartition(min(8, spark.sparkContext.defaultParallelism))
+    )
+    weights = F.array(*[F.lit(w) for w in _EMB_WEIGHTS])
+    score = F.aggregate(
+        F.zip_with("embedding", weights, lambda d_, w: d_ * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        feats.select("media_id", "kind", score.alias("score"))
+        .orderBy(F.col("score").desc(), "media_id")
+        .limit(_EMB_TOPK)
+    )

@@ -90,6 +90,7 @@ _PRIORITY = [
     "q126_copurchase_triangles",
     "q127_quantile_bucketize",
     "q128_bm25_scoring",
+    "q129_multimodal_embed",
     # --- backfill: previously-green, keep the flagship + one exemplar
     # per family fresh (everything below already has a green r01/r02/r03
     # row; the rest of the registry follows in registration order) -----
@@ -101,7 +102,6 @@ _PRIORITY = [
     "q51_cosine_topk",
     "q30_events_tumbling",
     "q32_events_session",
-    "q22_date_funcs",
     "q01_pricing_summary",
     "q05_region_revenue",
     # q93's stat crossJoins gained explicit broadcast hints this round —

@@ -66,3 +66,44 @@ def test_media_stats(spark, media_df):
     assert stats["image"].n_items == 3
     assert stats["image"].n_unique_payloads == 2  # one duplicated payload
     assert stats["video"].total_bytes == 12000
+
+
+def test_resize_caps_dimensions_and_shrinks_payload(spark, media_df):
+    from etl_entregas_pyspark_spark.multimodal import _decode_stub, resize_media
+
+    out = {r.media_id: r for r in resize_media(media_df, max_dim=128).collect()}
+    assert set(out[1].asDict()) == {
+        "media_id", "kind", "source_uri", "content", "width", "height",
+    }
+    for mid, r in out.items():
+        assert max(r.width, r.height) <= 128
+    # proportional byte shrink for a payload whose pseudo-dims exceed the cap
+    src = bytes([i % 256 for i in range(512)])
+    meta = _decode_stub(src)
+    if max(meta["width"], meta["height"]) > 128:
+        assert len(out[1].content) < 512
+    # idempotence: resizing the resized frame is identity
+    again = {
+        r.media_id: r
+        for r in resize_media(resize_media(media_df, 128), 128).collect()
+    }
+    assert all(
+        bytes(again[m].content) == bytes(out[m].content) for m in out
+    )
+
+
+def test_extract_features_shape_and_determinism(spark, media_df):
+    from etl_entregas_pyspark_spark.multimodal import (
+        N_FEATURE_DIMS,
+        _feature_stub,
+        extract_features,
+    )
+
+    out = {r.media_id: r for r in extract_features(media_df).collect()}
+    assert "content" not in next(iter(out.values())).asDict()
+    for r in out.values():
+        assert len(r.embedding) == N_FEATURE_DIMS
+        assert all(0 <= d < 1000 for d in r.embedding)
+    # identical payloads → identical embeddings; plumbing adds nothing
+    assert list(out[1].embedding) == list(out[5].embedding)
+    assert list(out[1].embedding) == _feature_stub(bytes([i % 256 for i in range(512)]))
