@@ -98,6 +98,7 @@ HEADLINE = [
     "q127_quantile_bucketize",
     "q128_bm25_scoring",
     "q129_multimodal_embed",
+    "q130_zorder_layout",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

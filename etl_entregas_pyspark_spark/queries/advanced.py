@@ -522,6 +522,22 @@ _TRI_SUPPORT = 2  # minimum co-purchase count for an edge
 _TRI_TOPK = 25
 
 
+def triangle_participation(e: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an oriented edge list (pa < pb,
+    deduplicated): (part, n_triangles). Property-tested against a
+    brute-force model in tests/test_operator_properties.py."""
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return nodes.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 @register(
     "q126_copurchase_triangles",
     f"""
@@ -556,22 +572,6 @@ _TRI_TOPK = 25
     "reuses basket_pair_counts (collect_set + local pair explode, no "
     "self-join).",
 )
-def triangle_participation(e: DataFrame) -> DataFrame:
-    """Per-node triangle counts over an oriented edge list (pa < pb,
-    deduplicated): (part, n_triangles). Property-tested against a
-    brute-force model in tests/test_operator_properties.py."""
-    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
-    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    nodes = (
-        tri.select(F.col("a").alias("part"))
-        .unionAll(tri.select(F.col("b").alias("part")))
-        .unionAll(tri.select(F.col("c").alias("part")))
-    )
-    return nodes.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
-
-
 def q126_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         basket_pair_counts(T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")

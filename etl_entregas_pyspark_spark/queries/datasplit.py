@@ -528,3 +528,83 @@ def q127_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — Z-order (Morton curve) layout clustering
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8           # bits kept per dimension (keys are folded mod 256,
+                      # which fills the full bit range whatever the raw
+                      # key domain — raw custkey/day values occupy only a
+                      # sliver of 16 bits and would leave the high Morton
+                      # bits constant, i.e. one giant bucket)
+_Z_BUCKET_SHIFT = 10  # 16-bit morton >> 10 = 64 layout buckets
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """Bit-interleave two 16-bit ints into a 32-bit Morton code — textually
+    identical arithmetic for both engines (>> & << | work the same on
+    BIGINT in Spark SQL and DuckDB)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+@register(
+    "q130_zorder_layout",
+    f"""
+    WITH k AS (
+        SELECT o_orderkey,
+               o_custkey % 256 AS x,
+               (epoch_us(o_orderdate) // 86400000000) % 256 AS y
+        FROM orders
+    ), z AS (
+        SELECT o_orderkey, x, y,
+               ({_morton_sql('x', 'y')}) >> {_Z_BUCKET_SHIFT} AS z_bucket
+        FROM k
+    )
+    SELECT z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS min_cust, MAX(x) AS max_cust,
+           MIN(y) AS min_day, MAX(y) AS max_day
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+    doc="Z-order layout clustering: interleave the bits of (customer, "
+    "order-day) into a 32-bit Morton code and fold the table into 64 "
+    "curve ranges — the write-path layout optimization (Delta OPTIMIZE "
+    "ZORDER, Hudi clustering) that makes BOTH per-customer and per-day "
+    "predicates prune files at 100 TB. The per-bucket min/max envelope "
+    "IS the proof of locality: each z-bucket covers a bounded rectangle "
+    "of the key space, so either-dimension range scans touch O(few) "
+    "buckets instead of all files (the min/max here are exactly the "
+    "column stats a parquet/Delta writer would record for skipping). "
+    "Pure integer bit arithmetic, textually identical in both engines; "
+    "plan is scan -> project (32 shift/mask ops, codegen'd) -> one "
+    "exchange on the 64-value bucket key. In production this feeds "
+    "repartitionByRange(z) before the writer.",
+)
+def q130_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.timeutil import epoch_us
+
+    o = T(spark, sf_dir, "orders")
+    k = o.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        ((epoch_us("o_orderdate") / F.lit(86_400_000_000)).cast("long") % 256).alias("y"),
+    )
+    z = k.select(
+        "x", "y", F.expr(f"({_morton_sql('x', 'y')}) >> {_Z_BUCKET_SHIFT}").alias("z_bucket")
+    )
+    return (
+        z.groupBy("z_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+        )
+        .orderBy("z_bucket")
+    )

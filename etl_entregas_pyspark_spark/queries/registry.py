@@ -91,6 +91,7 @@ _PRIORITY = [
     "q127_quantile_bucketize",
     "q128_bm25_scoring",
     "q129_multimodal_embed",
+    "q130_zorder_layout",
     # --- backfill: previously-green, keep the flagship + one exemplar
     # per family fresh (everything below already has a green r01/r02/r03
     # row; the rest of the registry follows in registration order) -----
@@ -103,7 +104,6 @@ _PRIORITY = [
     "q30_events_tumbling",
     "q32_events_session",
     "q01_pricing_summary",
-    "q05_region_revenue",
     # q93's stat crossJoins gained explicit broadcast hints this round —
     # plan changed (values shouldn't have), so it stays in the window.
     "q93_dedup_pipeline",

@@ -35,11 +35,13 @@ from etl_entregas_pyspark_spark.timeutil import epoch_us
 )
 def q69_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
-    # RANGE frames need a numeric ordering key: seconds since epoch
+    # RANGE frames need a numeric ordering key: seconds since epoch.
+    # epoch_us is tz-free (orderdates are midnight-aligned, so the /1e6 is
+    # exact); unix_timestamp would shift with the session timezone.
     day_s = 86400
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
+        .orderBy((epoch_us("o_orderdate") / F.lit(1_000_000)).cast("long"))
         .rangeBetween(-30 * day_s, 0)
     )
     return o.select(
