@@ -99,6 +99,8 @@ HEADLINE = [
     "q128_bm25_scoring",
     "q129_multimodal_embed",
     "q130_zorder_layout",
+    "q131_global_index",
+    "q132_bloom_semi_join",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

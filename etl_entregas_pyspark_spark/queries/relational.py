@@ -893,3 +893,197 @@ def q107_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         (F.sum("r").cast("double") / 10000.0).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — contiguous global id assignment (the distributed zipWithIndex)
+# ---------------------------------------------------------------------------
+
+_GID_PARTS = 16
+
+
+def assign_global_ids(df: DataFrame, key: str, n_parts: int = _GID_PARTS) -> DataFrame:
+    """(key, global_id) with ids 1..N contiguous in ``key`` order, without
+    ever sorting in one partition.
+
+    The scale decomposition: range-partition on the key, count each
+    partition (tiny frame), prefix-sum the counts into per-partition
+    offsets (driver-side over n_parts rows — model state, not data), then
+    id = offset + intra-partition rank. The rank window partitions by
+    spark_partition_id, so every partition ranks in parallel — the plan
+    the naive row_number() OVER (ORDER BY key) can never produce (it
+    collapses to a single partition, THE classic scale cliff).
+
+    The result is boundary-invariant: whatever split RangePartitioner
+    samples, partition p holds keys strictly below partition p+1, so
+    offset + local rank IS the global rank. Requires unique keys.
+
+    The partitioned frame is MATERIALIZED (localCheckpoint) before the
+    count pass: RangePartitioner samples boundaries with a fresh seed per
+    execution, so without pinning, the offsets computed in pass 1 would
+    be applied to a DIFFERENT partitioning in pass 2 (observed: duplicate
+    ids). Materializing once is also the production shape — you freeze
+    the sorted layout, then stamp ids against it."""
+    from pyspark.sql.window import Window
+
+    parted = (
+        df.select(key)
+        .repartitionByRange(n_parts, F.col(key))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    rows = sorted((r._pid, r._n) for r in counts.collect())  # ≤ n_parts rows
+    offsets = []
+    acc = 0
+    for pid, n in rows:
+        offsets.append((pid, acc))
+        acc += n
+    off = df.sparkSession.createDataFrame(offsets, ["_pid", "_offset"])
+    w = Window.partitionBy("_pid").orderBy(key)
+    return (
+        parted.join(F.broadcast(off), "_pid")
+        .select(
+            key,
+            (F.col("_offset") + F.row_number().over(w)).alias("global_id"),
+        )
+    )
+
+
+@register(
+    "q131_global_index",
+    """
+    WITH ids AS (
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS global_id
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(global_id) AS min_id, MAX(global_id) AS max_id,
+           CAST(SUM(CASE WHEN global_id % 1000 = 0 THEN o_orderkey ELSE 0 END)
+                AS BIGINT) AS probe_sum
+    FROM ids
+    """,
+    doc="contiguous global id assignment in key order (the distributed "
+    "zipWithIndex): range-partition, per-partition counts to prefix-sum "
+    "offsets (16-row driver fold — model state, not data), parallel "
+    "per-partition rank windows. Output checks the full contract: N ids, "
+    "1..N dense (min/max), and a modular probe over (id, key) pairs that "
+    "any off-by-one or misordered partition would break. The oracle's "
+    "single-ORDER-BY row_number is exactly the plan this operator "
+    "exists to avoid at 100 TB.",
+)
+def q131_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = assign_global_ids(T(spark, sf_dir, "orders"), "o_orderkey")
+    return ids.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("global_id").alias("min_id"),
+        F.max("global_id").alias("max_id"),
+        F.sum(
+            F.when(F.col("global_id") % 1000 == 0, F.col("o_orderkey")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("probe_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — Bloom-filter pushdown semi-join (runtime filter, made explicit)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1024  # m: 32 x 32-bit-packed words
+_BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos_sql(expr: str, salt: str) -> str:
+    from etl_entregas_pyspark_spark.queries.similarity import _md5_int_sql
+
+    salted = "concat({}, '{}')".format(expr, salt)
+    return f"{_md5_int_sql(salted)} % {_BLOOM_BITS}"
+
+
+def _bloom_pos(col, salt: str):
+    from etl_entregas_pyspark_spark.queries.similarity import md5_int
+
+    return md5_int(F.concat(col.cast("string"), F.lit(salt))) % _BLOOM_BITS
+
+
+@register(
+    "q132_bloom_semi_join",
+    f"""
+    WITH dim AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS k, c_custkey
+        FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+    ), pos AS (
+        SELECT {_bloom_pos_sql('k', 'a')} AS p FROM dim
+        UNION ALL
+        SELECT {_bloom_pos_sql('k', 'b')} AS p FROM dim
+    ), bloom AS (
+        SELECT p // 32 AS word_idx, bit_or(CAST(1 AS BIGINT) << (p % 32)) AS bits
+        FROM pos GROUP BY word_idx
+    ), probe AS (
+        SELECT o_orderkey, o_custkey,
+               {_bloom_pos_sql('CAST(o_custkey AS VARCHAR)', 'a')} AS p1,
+               {_bloom_pos_sql('CAST(o_custkey AS VARCHAR)', 'b')} AS p2
+        FROM orders
+    ), passed AS (
+        SELECT pr.o_orderkey, pr.o_custkey
+        FROM probe pr
+        JOIN bloom b1 ON b1.word_idx = pr.p1 // 32
+        JOIN bloom b2 ON b2.word_idx = pr.p2 // 32
+        WHERE ((b1.bits >> (pr.p1 % 32)) & 1) = 1
+          AND ((b2.bits >> (pr.p2 % 32)) & 1) = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+           CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_pass_bloom,
+           CAST((SELECT COUNT(*) FROM passed p
+                 WHERE EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = p.o_custkey))
+                AS BIGINT) AS n_true_match
+    """,
+    doc=f"Bloom-filter pushdown semi-join, made explicit: the "
+    f"'{_BLOOM_SEGMENT}'-segment customer keys fold into a "
+    f"{_BLOOM_BITS}-bit / 2-hash Bloom bitmap ({_BLOOM_BITS // 32} bigint "
+    "words — bytes of model state, built with one partial-aggregated "
+    "bit_or exchange), broadcast, and probed scan-side so the expensive "
+    "exact join only sees surviving rows. This is the runtime-filter "
+    "technique engines inject implicitly at 100 TB (Spark's "
+    "spark.sql.optimizer.runtimeFilter.bloomFilter), expressed as a "
+    "first-class auditable operator: the output reports pass vs "
+    "true-match counts, i.e. the measured false-positive rate of the "
+    "m/k/n operating point. Hash positions are md5-derived and "
+    "engine-portable; every arithmetic step is integer-exact.",
+)
+def q132_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+    dim = c.select(F.col("c_custkey"))
+    pos = dim.select(_bloom_pos(F.col("c_custkey"), "a").alias("p")).unionAll(
+        dim.select(_bloom_pos(F.col("c_custkey"), "b").alias("p"))
+    )
+    bloom = pos.groupBy((F.col("p") / 32).cast("long").alias("word_idx")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias("bits")
+    )
+    o = T(spark, sf_dir, "orders")
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        _bloom_pos(F.col("o_custkey"), "a").alias("p1"),
+        _bloom_pos(F.col("o_custkey"), "b").alias("p2"),
+    )
+    b1 = bloom.select(F.col("word_idx").alias("w1"), F.col("bits").alias("bits1"))
+    b2 = bloom.select(F.col("word_idx").alias("w2"), F.col("bits").alias("bits2"))
+    passed = (
+        probe.join(F.broadcast(b1), (F.col("p1") / 32).cast("long") == F.col("w1"))
+        .join(F.broadcast(b2), (F.col("p2") / 32).cast("long") == F.col("w2"))
+        .filter(
+            F.expr("(shiftright(bits1, CAST(p1 % 32 AS INT)) & 1) = 1")
+            & F.expr("(shiftright(bits2, CAST(p2 % 32 AS INT)) & 1) = 1")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    n_orders = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    n_pass = passed.agg(F.count(F.lit(1)).cast("bigint").alias("n_pass_bloom"))
+    n_true = (
+        passed.join(F.broadcast(dim), passed.o_custkey == dim.c_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_match"))
+    )
+    return n_orders.crossJoin(F.broadcast(n_pass)).crossJoin(F.broadcast(n_true))

@@ -78,6 +78,8 @@ SUBSET = [
     "q128_bm25_scoring",
     "q129_multimodal_embed",
     "q130_zorder_layout",
+    "q131_global_index",
+    "q132_bloom_semi_join",
 ]
 
 
