@@ -28,7 +28,10 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q111_cluster_canonical", "q93_dedup_pipeline", "q64_decontamination",
            "q82_sequence_packing", "q83_sessionization", "q84_funnel",
            "q87_expectation_audit", "q88_corpus_filter", "q89_heavy_hitters",
-           "q117_vocab_coverage", "q118_basket_pairs", "q120_transition_matrix"]
+           "q117_vocab_coverage", "q118_basket_pairs", "q120_transition_matrix",
+           "q126_copurchase_triangles", "q127_quantile_bucketize",
+           "q128_bm25_scoring", "q130_zorder_layout", "q131_global_index",
+           "q132_bloom_semi_join"]
 # fact tables replicated with shifted keys; dims copied as-is.
 # documents replicate with IDENTICAL text — deliberately: N× literal
 # duplication is the near-dup operator's worst case (every LSH bucket's
