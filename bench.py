@@ -101,6 +101,8 @@ HEADLINE = [
     "q130_zorder_layout",
     "q131_global_index",
     "q132_bloom_semi_join",
+    "q133_interval_islands",
+    "q134_pareto_skyline",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -1087,3 +1087,65 @@ def q132_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_match"))
     )
     return n_orders.crossJoin(F.broadcast(n_pass)).crossJoin(F.broadcast(n_true))
+
+
+# ---------------------------------------------------------------------------
+# q134 — Pareto skyline (dominance filter) with two-phase pruning
+# ---------------------------------------------------------------------------
+
+def _skyline_keep(df: DataFrame, part_cols: list) -> DataFrame:
+    """Keep rows not dominated within their partition: order by (price asc,
+    size desc, key), keep a row iff its size strictly exceeds the running
+    max size of all prior rows (prior = cheaper, or same-price-larger).
+    Weak dominance: exact (price, size) duplicates keep the lowest key."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("p_retailprice"), F.col("p_size").desc(), F.col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(
+            "_prior_max", F.coalesce(F.max("p_size").over(w), F.lit(-1))
+        )
+        .filter(F.col("p_size") > F.col("_prior_max"))
+        .drop("_prior_max")
+    )
+
+
+@register(
+    "q134_pareto_skyline",
+    """
+    WITH ranked AS (
+        SELECT p_partkey, p_retailprice, p_size,
+               COALESCE(MAX(p_size) OVER (
+                   ORDER BY p_retailprice, p_size DESC, p_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prior_max
+        FROM part
+    )
+    SELECT p_partkey, p_retailprice, p_size
+    FROM ranked WHERE p_size > prior_max
+    ORDER BY p_retailprice, p_partkey
+    """,
+    doc="Pareto skyline over parts (minimize retail price, maximize size): "
+    "a part survives iff nothing is both cheaper-or-equal and "
+    "larger-or-equal (weak dominance; exact duplicates keep the lowest "
+    "key). The oracle's single global window is the 1-partition plan a "
+    "cluster must never run — the Spark side is TWO-PHASE: a local "
+    "skyline per input partition first (any locally-dominated row is "
+    "globally dominated, so the filter is safe and removes ~everything), "
+    "then the global pass runs on the surviving candidates, a frame "
+    "thousands of times smaller than the input. The local phase keys on "
+    "spark_partition_id — correctness never depends on the split, only "
+    "candidate count does. This is the standard distributed-skyline "
+    "decomposition (partition-prune-merge).",
+)
+def q134_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    local = _skyline_keep(
+        p.withColumn("_pid", F.spark_partition_id()), ["_pid"]
+    ).drop("_pid")
+    return (
+        _skyline_keep(local.withColumn("_g", F.lit(0)), ["_g"])
+        .drop("_g")
+        .orderBy("p_retailprice", "p_partkey")
+    )

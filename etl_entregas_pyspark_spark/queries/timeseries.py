@@ -314,3 +314,93 @@ def q108_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_td") > 0)
         .drop("_td")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — interval merging (gaps-and-islands) over per-user error windows
+# ---------------------------------------------------------------------------
+
+_ISLAND_SPAN_US = 10 * 60 * 1_000_000  # each error opens a 10-minute window
+
+
+@register(
+    "q133_interval_islands",
+    f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + {_ISLAND_SPAN_US} AS e
+        FROM events WHERE event_type = 'error'
+    ), flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS island_id
+        FROM flagged
+    ), merged AS (
+        SELECT user_id, island_id, MIN(s) AS island_start, MAX(e) AS island_end
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS covered_us,
+           CAST(MIN(island_start) AS BIGINT) AS first_start
+    FROM merged GROUP BY user_id
+    """,
+    doc="gaps-and-islands interval merging: each error opens a 10-minute "
+    "outage window per user; overlapping/touching windows coalesce into "
+    "islands (an interval starts a new island iff it begins after the "
+    "running max end of all prior intervals), reported as per-user "
+    "island count + exact covered micros. The classic incident-"
+    "consolidation / uptime operator that naive DISTINCT or fixed "
+    "bucketing gets wrong. ONE hash exchange on user_id serves the "
+    "running-max window, the island-sum window, the island group-by AND "
+    "the final per-user rollup (all share the user_id clustering); "
+    "per-partition sort is bounded by per-user event counts. All "
+    "arithmetic in integer epoch-micros — bitwise cross-engine.",
+)
+def q133_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    iv = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + _ISLAND_SPAN_US).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("bigint")
+        .alias("covered_us"),
+        F.min("island_start").cast("bigint").alias("first_start"),
+    )

@@ -80,6 +80,8 @@ SUBSET = [
     "q130_zorder_layout",
     "q131_global_index",
     "q132_bloom_semi_join",
+    "q133_interval_islands",
+    "q134_pareto_skyline",
 ]
 
 
