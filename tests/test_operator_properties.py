@@ -317,3 +317,108 @@ def test_triangle_participation_matches_python_model(spark_sess, rows):
                 for n in (a, b, c):
                     want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user
+        st.integers(min_value=0, max_value=2000),   # start offset (s)
+        st.integers(min_value=1, max_value=400),    # span
+    ),
+    min_size=1, max_size=60,
+))
+def test_interval_islands_match_python_model(spark_sess, rows):
+    """Running-max island detection must merge overlapping AND touching
+    intervals exactly like a sequential sweep, for arbitrary inputs."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    schema = StructType([
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("s", LongType(), False),
+        StructField("e", LongType(), False),
+    ])
+    data = [(u, i, s, s + sp) for i, (u, s, sp) in enumerate(rows)]
+    iv = spark_sess.createDataFrame(data, schema).repartition(4)
+
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id", "s", "e",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1)
+        .otherwise(0).alias("ni"),
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        flagged.select("user_id", "s", "e", F.sum("ni").over(w_run).alias("isl"))
+        .groupBy("user_id", "isl")
+        .agg(F.min("s").alias("a"), F.max("e").alias("b"))
+    )
+    got = {}
+    for r in merged.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum(F.col("b") - F.col("a")).alias("cov")
+    ).collect():
+        got[r.user_id] = (r.n, r.cov)
+
+    by_user = {}
+    for u, i, s, e in data:
+        by_user.setdefault(u, []).append((s, e))
+    want = {}
+    for u, ivs in by_user.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        want[u] = (len(islands), sum(b - a for a, b in islands))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # price
+        st.integers(min_value=0, max_value=20),  # size (dups likely)
+    ),
+    min_size=1, max_size=50,
+))
+def test_skyline_two_phase_matches_python_model(spark_sess, rows):
+    """Local-prune + global-merge skyline must equal the O(n^2) weak-
+    dominance definition (exact duplicates keep the lowest key)."""
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+    from etl_entregas_pyspark_spark.queries.relational import _skyline_keep
+
+    schema = StructType([
+        StructField("p_partkey", LongType(), False),
+        StructField("p_retailprice", DoubleType(), False),
+        StructField("p_size", IntegerType(), False),
+    ])
+    data = [(i, float(p), s) for i, (p, s) in enumerate(rows)]
+    df = spark_sess.createDataFrame(data, schema).repartition(4)
+    local = _skyline_keep(df.withColumn("_pid", F.spark_partition_id()), ["_pid"]).drop("_pid")
+    got = {
+        r.p_partkey
+        for r in _skyline_keep(local.withColumn("_g", F.lit(0)), ["_g"]).collect()
+    }
+
+    def dominated(x, others):
+        k, p, s = x
+        for k2, p2, s2 in others:
+            if k2 == k:
+                continue
+            if p2 <= p and s2 >= s and (p2 < p or s2 > s or k2 < k):
+                return True
+        return False
+
+    want = {k for (k, p, s) in data if not dominated((k, p, s), data)}
+    assert got == want
