@@ -45,6 +45,12 @@ def build_session(config: Mapping[str, Any] | None = None) -> SparkSession:
 
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Runtime-settable conf for deterministic, oracle-comparable output on a
-    session we did not build (the driver hands us one)."""
+    session we did not build (the driver hands us one). Timezone pins the
+    few session-tz-sensitive casts; AQE/Arrow are free performance on the
+    driver's session and never change results."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
