@@ -103,6 +103,7 @@ HEADLINE = [
     "q132_bloom_semi_join",
     "q133_interval_islands",
     "q134_pareto_skyline",
+    "q135_power_iteration",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -96,6 +96,7 @@ _PRIORITY = [
     "q132_bloom_semi_join",
     "q133_interval_islands",
     "q134_pareto_skyline",
+    "q135_power_iteration",
     # --- backfill: previously-green, keep the flagship + one exemplar
     # per family fresh (everything below already has a green r01/r02/r03
     # row; the rest of the registry follows in registration order) -----
@@ -103,7 +104,6 @@ _PRIORITY = [
     "q61_entregas_quality_metrics",
     "q57_multimodal_decode",
     "q62_dedup_components",
-    "q53_minhash_near_dup",
     # q93's stat crossJoins gained explicit broadcast hints this round —
     # plan changed (values shouldn't have), so it stays in the window.
     "q93_dedup_pipeline",

@@ -992,3 +992,92 @@ def q106_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.select(
         "centroid_id", "pos", F.col("c").alias("coord_q"), F.col("n").alias("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — power iteration: dominant principal direction of the embedding cloud
+# ---------------------------------------------------------------------------
+
+_PI_DIMS = 8        # leading dims: 8x8 Gram matrix = 64 aggregates, plan-sane
+_PI_SHIFT = 13      # >> 13 rescale between iterations (overflow headroom to sf1+)
+
+
+def _pi_oracle() -> str:
+    d = _PI_DIMS
+    e_defs = ", ".join(
+        f"CAST(FLOOR(embedding[{i + 1}] * 1000.0) AS BIGINT) AS e{i}" for i in range(d)
+    )
+    c_defs = ", ".join(
+        f"CAST(SUM(e{i} * e{j}) AS BIGINT) AS c{i}_{j}" for i in range(d) for j in range(d)
+    )
+    v1 = ", ".join(f"({' + '.join(f'c{i}_{j}' for j in range(d))}) AS v1_{i}" for i in range(d))
+    v1s = ", ".join(f"(v1_{i} >> {_PI_SHIFT}) AS s{i}" for i in range(d))
+    v2 = ", ".join(
+        f"({' + '.join(f'c{i}_{j} * s{j}' for j in range(d))}) AS v2_{i}" for i in range(d)
+    )
+    v2s = ", ".join(f"(v2_{i} >> {_PI_SHIFT}) AS v{i}" for i in range(d))
+    return f"""
+    WITH q AS (SELECT {e_defs} FROM embeddings),
+    gram AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, {c_defs} FROM q),
+    it1 AS (SELECT n_vectors, {v1}, * FROM gram),
+    it1s AS (SELECT *, {v1s} FROM it1),
+    it2 AS (SELECT *, {v2} FROM it1s)
+    SELECT n_vectors, {v2s} FROM it2
+    """
+
+
+@register(
+    "q135_power_iteration",
+    _pi_oracle(),
+    doc=f"power iteration on the embedding Gram matrix (leading "
+    f"{_PI_DIMS} dims): two unrolled v <- Gv steps from the ones vector, "
+    "yielding the dominant principal direction — the spectral primitive "
+    "under PCA whitening / spectral clustering. ONE scan builds the "
+    f"{_PI_DIMS}x{_PI_DIMS} Gram matrix as 64 partial-aggregated integer "
+    "sums (embeddings quantized to 1e-3 — exact, order-independent); "
+    "the iterations are then pure 1-row column arithmetic — zero extra "
+    "exchanges, zero driver round-trips, O(d^2) state however many "
+    "vectors stream through. Rescaling between steps uses arithmetic "
+    f"right-shift (>> {_PI_SHIFT}), whose floor semantics agree across "
+    "engines where integer division does not (Spark div truncates "
+    "toward zero, DuckDB // floors).",
+)
+def q135_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _PI_DIMS
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.select(
+        *[
+            F.floor(F.element_at("embedding", i + 1) * 1000.0)
+            .cast("long")
+            .alias(f"e{i}")
+            for i in range(d)
+        ]
+    )
+    gram = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        *[
+            F.sum(F.col(f"e{i}") * F.col(f"e{j}")).cast("bigint").alias(f"c{i}_{j}")
+            for i in range(d)
+            for j in range(d)
+        ],
+    )
+    v1 = [
+        sum((F.col(f"c{i}_{j}") for j in range(1, d)), F.col(f"c{i}_0")).alias(f"v1_{i}")
+        for i in range(d)
+    ]
+    it1 = gram.select("*", *v1)
+    it1s = it1.select(
+        "*", *[F.expr(f"v1_{i} >> {_PI_SHIFT}").alias(f"s{i}") for i in range(d)]
+    )
+    v2 = [
+        sum(
+            (F.col(f"c{i}_{j}") * F.col(f"s{j}") for j in range(1, d)),
+            F.col(f"c{i}_0") * F.col("s0"),
+        ).alias(f"v2_{i}")
+        for i in range(d)
+    ]
+    it2 = it1s.select("*", *v2)
+    return it2.select(
+        "n_vectors",
+        *[F.expr(f"v2_{i} >> {_PI_SHIFT}").alias(f"v{i}") for i in range(d)],
+    )

@@ -82,6 +82,7 @@ SUBSET = [
     "q132_bloom_semi_join",
     "q133_interval_islands",
     "q134_pareto_skyline",
+    "q135_power_iteration",
 ]
 
 
