@@ -31,7 +31,8 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q117_vocab_coverage", "q118_basket_pairs", "q120_transition_matrix",
            "q126_copurchase_triangles", "q127_quantile_bucketize",
            "q128_bm25_scoring", "q130_zorder_layout", "q131_global_index",
-           "q132_bloom_semi_join", "q133_interval_islands", "q134_pareto_skyline"]
+           "q132_bloom_semi_join", "q133_interval_islands", "q134_pareto_skyline",
+           "q135_power_iteration"]
 # fact tables replicated with shifted keys; dims copied as-is.
 # documents replicate with IDENTICAL text — deliberately: N× literal
 # duplication is the near-dup operator's worst case (every LSH bucket's
