@@ -422,3 +422,56 @@ def test_skyline_two_phase_matches_python_model(spark_sess, rows):
 
     want = {k for (k, p, s) in data if not dominated((k, p, s), data)}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.sets(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=120))
+def test_global_ids_dense_and_ordered(spark_sess, keys):
+    """assign_global_ids must produce exactly 1..N in key order for any
+    unique key set, whatever boundaries RangePartitioner samples."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etl_entregas_pyspark_spark.queries.relational import assign_global_ids
+
+    schema = StructType([StructField("k", LongType(), False)])
+    df = spark_sess.createDataFrame([(k,) for k in keys], schema).repartition(5)
+    got = {r.k: r.global_id for r in assign_global_ids(df, "k", n_parts=4).collect()}
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=80),
+)
+def test_bloom_filter_never_false_negative(spark_sess, members, probes):
+    """Every probe key that IS in the member set must pass the Bloom
+    pre-filter (false positives allowed, false negatives never)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etl_entregas_pyspark_spark.queries.relational import _BLOOM_BITS, _bloom_pos
+
+    mschema = StructType([StructField("k", LongType(), False)])
+    mem = spark_sess.createDataFrame([(k,) for k in members], mschema)
+    pos = mem.select(_bloom_pos(F.col("k"), "a").alias("p")).unionAll(
+        mem.select(_bloom_pos(F.col("k"), "b").alias("p"))
+    )
+    bloom = pos.groupBy((F.col("p") / 32).cast("long").alias("w")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias("bits")
+    )
+    words = {r.w: r.bits for r in bloom.collect()}
+
+    probe = spark_sess.createDataFrame([(k,) for k in set(probes)], mschema).select(
+        "k",
+        _bloom_pos(F.col("k"), "a").alias("p1"),
+        _bloom_pos(F.col("k"), "b").alias("p2"),
+    )
+    passed = set()
+    for r in probe.collect():
+        b1 = words.get(r.p1 // 32, 0)
+        b2 = words.get(r.p2 // 32, 0)
+        if (b1 >> (r.p1 % 32)) & 1 and (b2 >> (r.p2 % 32)) & 1:
+            passed.add(r.k)
+    true_members = set(probes) & members
+    assert true_members <= passed  # no false negatives, ever
