@@ -104,6 +104,8 @@ HEADLINE = [
     "q133_interval_islands",
     "q134_pareto_skyline",
     "q135_power_iteration",
+    "q136_chisq_drift",
+    "q137_association_rules",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.queries.events import E
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
 from etl_entregas_pyspark_spark.timeutil import epoch_us
 
 _GRAIN_S = 600  # 10-minute buckets = the interval length → ≤ 2 buckets/interval
@@ -582,4 +582,77 @@ def q126_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_participation(e)
         .orderBy(F.col("n_triangles").desc(), "part")
         .limit(_TRI_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — association rules (support / confidence / lift) from basket pairs
+# ---------------------------------------------------------------------------
+
+_AR_MIN_PAIR = 2   # minimum co-occurrence count for a rule
+_AR_TOPK = 25
+
+
+@register(
+    "q137_association_rules",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+    item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY l_partkey),
+    pair AS (
+        SELECT a.l_partkey AS ant, b.l_partkey AS cons, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY ant, cons HAVING COUNT(*) >= {_AR_MIN_PAIR}
+    )
+    SELECT p.ant, p.cons, p.n_pair,
+           {_rnd_sql('CAST(p.n_pair AS DOUBLE) / ia.n_item', 6)} AS confidence,
+           {_rnd_sql('CAST(p.n_pair AS DOUBLE) * n.n / (ia.n_item * ic.n_item)', 6)} AS lift
+    FROM pair p
+    JOIN item ia ON p.ant = ia.l_partkey
+    JOIN item ic ON p.cons = ic.l_partkey
+    CROSS JOIN n_orders n
+    ORDER BY lift DESC, ant, cons LIMIT {_AR_TOPK}
+    """,
+    doc=f"association-rule mining on co-purchases: for pairs sharing >= "
+    f"{_AR_MIN_PAIR} orders, confidence(ant->cons) = n_pair/n_ant and "
+    f"lift = n_pair*N/(n_ant*n_cons), top-{_AR_TOPK} by lift. The "
+    "market-basket layer above q118: pair counts come from the "
+    "collect_set/local-explode stream (no fact self-join), per-item "
+    "supports share the same distinct (order, part) scan, and the "
+    "support threshold prunes the rule space before the ratio math. "
+    "Ratios are single divisions on exact integers, half-up 6dp.",
+)
+def q137_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    pair = (
+        basket_pair_counts(T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
+        .filter(F.col("n_baskets") >= _AR_MIN_PAIR)
+        .select(
+            F.col("item_a").alias("ant"),
+            F.col("item_b").alias("cons"),
+            F.col("n_baskets").cast("bigint").alias("n_pair"),
+        )
+    )
+    ia = item.select(F.col("l_partkey").alias("ant"), F.col("n_item").alias("n_ant"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_cons"))
+    return (
+        pair.join(ia, "ant")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ant",
+            "cons",
+            "n_pair",
+            rnd(F.col("n_pair").cast("double") / F.col("n_ant"), 6).alias("confidence"),
+            rnd(
+                F.col("n_pair").cast("double") * F.col("n")
+                / (F.col("n_ant") * F.col("n_cons")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ant", "cons")
+        .limit(_AR_TOPK)
     )

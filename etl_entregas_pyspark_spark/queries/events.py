@@ -856,3 +856,62 @@ def q124_hourly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — chi-square drift monitor (event-type mix, first vs second half)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q136_chisq_drift",
+    f"""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+               CAST(SUM(CASE WHEN EXTRACT(day FROM ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(n_first) AS BIGINT) AS t_first,
+               CAST(SUM(n_second) AS BIGINT) AS t_second,
+               CAST(SUM(n_first + n_second) AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT c.event_type, c.n_first, c.n_second,
+           {_rnd_sql(
+               "POWER(c.n_first  - (c.n_first + c.n_second) * t.t_first  / CAST(t.n AS DOUBLE), 2)"
+               " / ((c.n_first + c.n_second) * t.t_first  / CAST(t.n AS DOUBLE))"
+               " + POWER(c.n_second - (c.n_first + c.n_second) * t.t_second / CAST(t.n AS DOUBLE), 2)"
+               " / ((c.n_first + c.n_second) * t.t_second / CAST(t.n AS DOUBLE))", 6)} AS chi2_contrib
+    FROM cells c CROSS JOIN tot t
+    """,
+    doc="distribution-drift monitor: chi-square independence test of the "
+    "event-type mix across month halves (the train/serve skew check every "
+    "production pipeline needs). Observed counts are one conditional "
+    "aggregate; expected counts derive from a 1-row total broadcast back "
+    "(q99 windowless pattern); per-type chi-square contributions are a "
+    "fixed-order expression on exact integers, half-up rounded to 6dp. "
+    "One exchange on event_type, scan-shaped otherwise.",
+)
+def q136_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    first = F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+    cells = e.groupBy("event_type").agg(
+        F.sum(first).cast("bigint").alias("n_first"),
+        F.sum(1 - first).cast("bigint").alias("n_second"),
+    )
+    tot = cells.agg(
+        F.sum("n_first").cast("bigint").alias("t_first"),
+        F.sum("n_second").cast("bigint").alias("t_second"),
+        F.sum(F.col("n_first") + F.col("n_second")).cast("bigint").alias("n"),
+    )
+    row_tot = F.col("n_first") + F.col("n_second")
+    e1 = row_tot * F.col("t_first") / F.col("n").cast("double")
+    e2 = row_tot * F.col("t_second") / F.col("n").cast("double")
+    chi2 = F.pow(F.col("n_first") - e1, 2) / e1 + F.pow(F.col("n_second") - e2, 2) / e2
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_first",
+        "n_second",
+        rnd(chi2, 6).alias("chi2_contrib"),
+    )

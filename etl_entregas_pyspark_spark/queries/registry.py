@@ -97,13 +97,13 @@ _PRIORITY = [
     "q133_interval_islands",
     "q134_pareto_skyline",
     "q135_power_iteration",
+    "q136_chisq_drift",
+    "q137_association_rules",
     # --- backfill: previously-green, keep the flagship + one exemplar
     # per family fresh (everything below already has a green r01/r02/r03
     # row; the rest of the registry follows in registration order) -----
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
-    "q57_multimodal_decode",
-    "q62_dedup_components",
     # q93's stat crossJoins gained explicit broadcast hints this round —
     # plan changed (values shouldn't have), so it stays in the window.
     "q93_dedup_pipeline",

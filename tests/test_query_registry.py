@@ -83,6 +83,8 @@ SUBSET = [
     "q133_interval_islands",
     "q134_pareto_skyline",
     "q135_power_iteration",
+    "q136_chisq_drift",
+    "q137_association_rules",
 ]
 
 
