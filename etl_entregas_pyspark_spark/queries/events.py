@@ -880,9 +880,9 @@ def q124_hourly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.event_type, c.n_first, c.n_second,
            {_rnd_sql(
                "POWER(c.n_first  - (c.n_first + c.n_second) * t.t_first  / CAST(t.n AS DOUBLE), 2)"
-               " / ((c.n_first + c.n_second) * t.t_first  / CAST(t.n AS DOUBLE))"
+               " / NULLIF((c.n_first + c.n_second) * t.t_first  / CAST(t.n AS DOUBLE), 0)"
                " + POWER(c.n_second - (c.n_first + c.n_second) * t.t_second / CAST(t.n AS DOUBLE), 2)"
-               " / ((c.n_first + c.n_second) * t.t_second / CAST(t.n AS DOUBLE))", 6)} AS chi2_contrib
+               " / NULLIF((c.n_first + c.n_second) * t.t_second / CAST(t.n AS DOUBLE), 0)", 6)} AS chi2_contrib
     FROM cells c CROSS JOIN tot t
     """,
     doc="distribution-drift monitor: chi-square independence test of the "
@@ -908,7 +908,12 @@ def q136_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_tot = F.col("n_first") + F.col("n_second")
     e1 = row_tot * F.col("t_first") / F.col("n").cast("double")
     e2 = row_tot * F.col("t_second") / F.col("n").cast("double")
-    chi2 = F.pow(F.col("n_first") - e1, 2) / e1 + F.pow(F.col("n_second") - e2, 2) / e2
+    # NULLIF the expected-count denominators: when one month half is empty
+    # (t_first or t_second = 0), Spark's double division yields NULL but
+    # DuckDB yields inf/NaN — guard both engines to the same NULL.
+    chi2 = F.pow(F.col("n_first") - e1, 2) / F.nullif(e1, F.lit(0.0)) + F.pow(
+        F.col("n_second") - e2, 2
+    ) / F.nullif(e2, F.lit(0.0))
     return cells.crossJoin(F.broadcast(tot)).select(
         "event_type",
         "n_first",

@@ -906,47 +906,55 @@ def assign_global_ids(df: DataFrame, key: str, n_parts: int = _GID_PARTS) -> Dat
     """(key, global_id) with ids 1..N contiguous in ``key`` order, without
     ever sorting in one partition.
 
-    The scale decomposition: range-partition on the key, count each
-    partition (tiny frame), prefix-sum the counts into per-partition
-    offsets (driver-side over n_parts rows — model state, not data), then
-    id = offset + intra-partition rank. The rank window partitions by
-    spark_partition_id, so every partition ranks in parallel — the plan
-    the naive row_number() OVER (ORDER BY key) can never produce (it
-    collapses to a single partition, THE classic scale cliff).
+    The scale decomposition: bucket on the key, count each bucket (tiny
+    frame), prefix-sum the counts into per-bucket offsets, then
+    id = offset + intra-bucket rank. The rank window partitions by
+    bucket, so every bucket ranks in parallel — the plan the naive
+    row_number() OVER (ORDER BY key) can never produce (it collapses to a
+    single partition, THE classic scale cliff).
 
-    The result is boundary-invariant: whatever split RangePartitioner
-    samples, partition p holds keys strictly below partition p+1, so
-    offset + local rank IS the global rank. Requires unique keys.
-
-    The partitioned frame is MATERIALIZED (localCheckpoint) before the
-    count pass: RangePartitioner samples boundaries with a fresh seed per
-    execution, so without pinning, the offsets computed in pass 1 would
-    be applied to a DIFFERENT partitioning in pass 2 (observed: duplicate
-    ids). Materializing once is also the production shape — you freeze
-    the sorted layout, then stamp ids against it."""
+    Buckets are DETERMINISTIC value ranges — floor((key - min) * n /
+    (max - min + 1)) off a lazily computed min/max — not
+    repartitionByRange splits. RangePartitioner samples boundaries with
+    a fresh seed per execution, so a two-branch DAG over it needs an
+    eager localCheckpoint to keep the count pass and the rank pass
+    consistent (observed: duplicate ids), and that materialization runs
+    Spark jobs at plan-BUILD time, hitting every schema-only registry
+    walk (dump_plans, output-type lint, the driver's schema probe).
+    Value bucketing is seed-free, so the whole thing is one lazy DAG:
+    zero jobs until an action, no driver-side collect loop. The bucket
+    function is weakly monotone in the key (long→double cast, scaling by
+    a positive constant, and floor all preserve order), so (bucket,
+    intra-bucket key order) IS global key order. Requires unique numeric
+    keys; assumes the key domain is not pathologically clustered (TPC-H
+    orderkeys are near-uniform) — for arbitrary skew, swap the bucket
+    expression for sampled quantile boundaries and keep the same
+    offset+rank shape."""
     from pyspark.sql.window import Window
 
-    parted = (
-        df.select(key)
-        .repartitionByRange(n_parts, F.col(key))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    rows = sorted((r._pid, r._n) for r in counts.collect())  # ≤ n_parts rows
-    offsets = []
-    acc = 0
-    for pid, n in rows:
-        offsets.append((pid, acc))
-        acc += n
-    off = df.sparkSession.createDataFrame(offsets, ["_pid", "_offset"])
-    w = Window.partitionBy("_pid").orderBy(key)
-    return (
-        parted.join(F.broadcast(off), "_pid")
-        .select(
-            key,
-            (F.col("_offset") + F.row_number().over(w)).alias("global_id"),
+    kk = df.select(key)
+    bounds = kk.agg(F.min(key).alias("_lo"), F.max(key).alias("_hi"))
+    span = (F.col("_hi") - F.col("_lo") + 1).cast("double")
+    bucketed = kk.crossJoin(F.broadcast(bounds)).select(
+        key,
+        F.least(
+            F.lit(n_parts - 1),
+            F.floor(
+                (F.col(key) - F.col("_lo")).cast("double") * n_parts / span
+            ),
         )
+        .cast("int")
+        .alias("_b"),
+    )
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    off = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w = Window.partitionBy("_b").orderBy(key)
+    return bucketed.join(F.broadcast(off), "_b").select(
+        key,
+        (F.col("_offset") + F.row_number().over(w)).alias("global_id"),
     )
 
 

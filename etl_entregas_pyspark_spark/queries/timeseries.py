@@ -332,7 +332,7 @@ _ISLAND_SPAN_US = 10 * 60 * 1_000_000  # each error opens a 10-minute window
                epoch_us(ts) + {_ISLAND_SPAN_US} AS e
         FROM events WHERE event_type = 'error'
     ), flagged AS (
-        SELECT user_id, s, e,
+        SELECT user_id, event_id, s, e,
                CASE WHEN s > COALESCE(MAX(e) OVER (
                         PARTITION BY user_id ORDER BY s, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
@@ -340,7 +340,7 @@ _ISLAND_SPAN_US = 10 * 60 * 1_000_000  # each error opens a 10-minute window
         FROM iv
     ), islands AS (
         SELECT user_id, s, e,
-               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
                                      ROWS UNBOUNDED PRECEDING) AS island_id
         FROM flagged
     ), merged AS (
@@ -380,15 +380,21 @@ def q133_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1)
         .otherwise(0)
         .alias("new_island"),
     )
+    # Running sum must replay the SAME total order the new_island flags were
+    # computed under — (s, event_id), a key that is unique per user.  Ordering
+    # by (s, e) alone ties when two errors share a timestamp (every interval
+    # has the same fixed span), letting a ni=0 row precede its ni=1 peer and
+    # glue it onto the previous island across a real gap.
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.select(
