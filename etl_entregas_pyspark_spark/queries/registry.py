@@ -41,72 +41,69 @@ def register(name: str, oracle: Optional[str], doc: str = "") -> Callable[[Spark
 # front; everything else follows in registration order, so the window is
 # always "all unproven queries + as many previously-proven as fit".
 _PRIORITY = [
-    # --- round-4 window -----------------------------------------------
-    # r03's four red rows first: q58/q59/q83 crashed on unix_micros over
-    # the regenerated TIMESTAMP_NTZ testdata (fixed via timeutil.epoch_us,
-    # tz-free timestampdiff); q38 crashed the driver canonicalizer on
-    # array-typed output (now serialized via array_join in both engines).
-    "q58_asof_join",
-    "q59_range_join",
-    "q83_sessionization",
-    "q38_array_funcs",
-    # The 28 queries that have never had a driver CORRECTNESS row
-    # (r02 VERDICT "Next round" item 1) — the whole q96-q125 family.
-    "q96_map_funcs",
-    "q97_explode_outer",
-    "q99_rfm_segments",
-    "q101_ohlc_bars",
-    "q102_rolling_zscore",
-    "q103_bigram_counts",
-    "q104_cdc_apply",
-    "q105_per_key_sample",
-    "q106_kmeans_loop",
-    "q107_skew_split_join",
-    "q108_twap",
-    "q109_minmax_scale",
-    "q110_boilerplate_score",
-    "q111_cluster_canonical",
-    "q112_winsorize",
-    "q113_debounce_dedup",
-    "q114_user_paths",
-    "q115_pagerank",
-    "q116_pii_redaction",
-    "q117_vocab_coverage",
-    "q118_basket_pairs",
-    "q119_benford_audit",
-    "q120_transition_matrix",
-    "q121_mad_outliers",
-    "q122_group_ols",
-    "q123_weighted_sample",
-    "q124_hourly_churn",
-    "q125_inverted_index",
-    # Sketches upgraded from rows-only to bounds-checked oracles this
-    # round (r02 VERDICT item 4) — need their first hash row.
-    "q34_approx_distinct",
-    "q35_approx_quantiles",
-    # epoch-arithmetic path touched by the NTZ fix — re-verify.
-    "q98_cohort_retention",
-    # new this round: graph triangles, equi-depth bucketizer, BM25.
-    "q126_copurchase_triangles",
-    "q127_quantile_bucketize",
-    "q128_bm25_scoring",
-    "q129_multimodal_embed",
-    "q130_zorder_layout",
+    # --- round-5 window: the re-verification rotation ------------------
+    # r4 was 50/50 green, but 43 queries' newest rows date to round 1
+    # while round 4's diff touched their modules (VERDICT r4: stale-green
+    # rot is real — q58/q59/q83 were green in r2-era code and red in r3).
+    # This window = (a) the 3 queries whose code changed this round,
+    # (b) all 43 round-1-stale queries, (c) the 4 new round-5 operators.
+    # The 42 round-3-stale queries are the PLANNED ROUND-6 WINDOW; this
+    # round they are locally re-proven by a full-registry
+    # tools/check_correctness.py run (recorded in COVERAGE.md).
+    # (a) changed this round: island tie-break, lazy global ids, NULLIF.
     "q131_global_index",
-    "q132_bloom_semi_join",
     "q133_interval_islands",
-    "q134_pareto_skyline",
-    "q135_power_iteration",
     "q136_chisq_drift",
-    "q137_association_rules",
-    # --- backfill: previously-green, keep the flagship + one exemplar
-    # per family fresh (everything below already has a green r01/r02/r03
-    # row; the rest of the registry follows in registration order) -----
-    "q60_entregas_pipeline",
-    "q61_entregas_quality_metrics",
-    # q93's stat crossJoins gained explicit broadcast hints this round —
-    # plan changed (values shouldn't have), so it stays in the window.
-    "q93_dedup_pipeline",
+    # (b) round-1-stale, in registration order.
+    "q01_pricing_summary",
+    "q06_global_agg",
+    "q28_having",
+    "q12_rollup",
+    "q13_cube",
+    "q03_top_orders",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q07_left_join_counts",
+    "q08_anti_join",
+    "q09_semi_join",
+    "q10_full_outer",
+    "q11_broadcast_brand",
+    "q14_window_topn",
+    "q15_window_running",
+    "q16_window_lag",
+    "q17_window_rank_ntile",
+    "q18_topk_orders",
+    "q19_set_ops",
+    "q20_distinct",
+    "q21_string_funcs",
+    "q22_date_funcs",
+    "q23_null_handling",
+    "q24_case_buckets",
+    "q25_map_lookup",
+    "q26_math_funcs",
+    "q50_vector_norms",
+    "q51_cosine_topk",
+    "q52_knn_label_vote",
+    "q53_minhash_near_dup",
+    "q54_simhash",
+    "q55_ivf_assign",
+    "q30_events_tumbling",
+    "q31_events_sliding",
+    "q32_events_session",
+    "q41_lang_profile",
+    "q42_fingerprint_dedup",
+    "q44_quality_score",
+    "q45_word_jaccard_pairs",
+    "q36_exact_percentiles",
+    "q46_regex_tokens",
+    "q47_rolling_fingerprint",
+    "q56_cosine_near_dup",
+    # (c) new in round 5 (registered later this round; names not yet in
+    # REGISTRY are filtered out, so this list is forward-safe).
+    "q138_auc_rank",
+    "q139_ks_drift",
+    "q140_split_gain",
+    "q141_bigram_perplexity",
 ]
 
 
