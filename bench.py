@@ -106,6 +106,10 @@ HEADLINE = [
     "q135_power_iteration",
     "q136_chisq_drift",
     "q137_association_rules",
+    "q138_auc_rank",
+    "q139_ks_drift",
+    "q140_split_gain",
+    "q141_bigram_perplexity",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -1,0 +1,331 @@
+"""ML evaluation / feature-audit operators: rank-based AUC, two-sample
+Kolmogorov-Smirnov drift, and information-gain split scoring.
+
+The reference pipeline (reference `src/etl_entregas.py:537-553`) has no ML
+surface at all; these extend the engine toward the model-evaluation and
+feature-selection passes a training-data platform runs next to its ETL.
+Shared design rule: compress to per-(group, value) counts FIRST, so every
+window below runs over the compressed distinct-value domain, partitioned
+by the group key — never a global single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_entregas_pyspark_spark.queries.registry import register
+from etl_entregas_pyspark_spark.queries.relational import T, rnd, _rnd_sql
+from etl_entregas_pyspark_spark.queries.events import E
+
+
+def auc_by_group(pts: DataFrame, group: str = "lang") -> DataFrame:
+    """(group, n_pos, n_neg, auc) from rows (group, score: double, y: 0/1).
+
+    Tie-aware Mann-Whitney: compress to per-(group, score) counts, rank
+    the distinct scores with a group-partitioned window (doubled ranks
+    stay integer through ties), then one exact-integer identity with a
+    single final fp division. Groups with only one class are dropped
+    (AUC undefined)."""
+    per_score = pts.groupBy(group, "score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w_before = (
+        Window.partitionBy(group)
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.select(
+        group,
+        "cnt",
+        "pos",
+        (2 * F.coalesce(F.sum("cnt").over(w_before), F.lit(0)) + F.col("cnt") + 1).alias(
+            "r2"
+        ),
+    )
+    agg = ranked.groupBy(group).agg(
+        F.sum(F.col("pos") * F.col("r2")).cast("bigint").alias("s2"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    auc = (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)) / (
+        2 * F.col("n_pos") * F.col("n_neg")
+    ).cast("double")
+    return agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        group, "n_pos", "n_neg", rnd(auc, 6).alias("auc")
+    )
+
+
+def ks_by_group(pts: DataFrame, group: str = "event_type") -> DataFrame:
+    """(group, n_first, n_second, ks_stat) from rows (group, value: double,
+    s1: 0/1) where s1 marks sample-1 membership (else sample 2).
+
+    D = max_v |F1(v) - F2(v)| over the pooled support, in exact integers
+    (max |cum1*n2 - cum2*n1|, one final division). Groups with an empty
+    sample are dropped."""
+    cells = pts.groupBy(group, "value").agg(
+        F.sum("s1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("s1")).cast("bigint").alias("c2"),
+    )
+    w_cum = (
+        Window.partitionBy(group)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group)
+    cum = cells.select(
+        group,
+        F.sum("c1").over(w_cum).cast("bigint").alias("cum1"),
+        F.sum("c2").over(w_cum).cast("bigint").alias("cum2"),
+        F.sum("c1").over(w_all).cast("bigint").alias("n1"),
+        F.sum("c2").over(w_all).cast("bigint").alias("n2"),
+    )
+    agg = cum.groupBy(group).agg(
+        F.first("n1").alias("n_first"),
+        F.first("n2").alias("n_second"),
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))).alias(
+            "_dmax"
+        ),
+    )
+    ks = F.col("_dmax").cast("double") / (F.col("n_first") * F.col("n_second"))
+    return agg.filter((F.col("n_first") > 0) & (F.col("n_second") > 0)).select(
+        group, "n_first", "n_second", rnd(ks, 6).alias("ks_stat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — ROC AUC via the Mann-Whitney rank-sum (tie-aware, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q138_auc_rank",
+    f"""
+    WITH pts AS (
+        SELECT d.lang,
+               CAST(e.embedding[1] AS DOUBLE) AS score,
+               e.label % 2 AS y
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ), per_score AS (
+        SELECT lang, score,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM pts GROUP BY lang, score
+    ), ranked AS (
+        SELECT lang, cnt, pos,
+               2 * COALESCE(SUM(cnt) OVER (
+                       PARTITION BY lang ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + cnt + 1 AS r2
+        FROM per_score
+    ), agg AS (
+        SELECT lang,
+               CAST(SUM(pos * r2) AS BIGINT) AS s2,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+        FROM ranked GROUP BY lang
+    )
+    SELECT lang, n_pos, n_neg,
+           {_rnd_sql("(s2 - n_pos * (n_pos + 1)) / CAST(2 * n_pos * n_neg AS DOUBLE)", 6)} AS auc
+    FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """,
+    doc="per-group ROC AUC from the Mann-Whitney rank-sum: score = first "
+    "embedding dim, label = parity of the class id, groups = document "
+    "language. Tie-aware average ranks are kept INTEGER by doubling "
+    "(r2 = 2*rank_before + cnt + 1), so AUC = (S2 - P(P+1)) / (2PN) is "
+    "one exact-integer expression with a single fp division at the end — "
+    "bitwise across engines, no per-pair comparison (the naive O(P*N) "
+    "self-join). Plan: compress to per-(lang, score) counts first, so "
+    "the rank window runs over the distinct-score domain partitioned by "
+    "lang. For one GLOBAL AUC at 100 TB (no partition key), swap the "
+    "window for the q131 value-bucket prefix-sum: bucket scores, "
+    "per-bucket counts, broadcast cumulative offsets — same rank "
+    "arithmetic, no single-partition sort.",
+)
+def q138_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    pts = e.join(d, e.vec_id == d.doc_id).select(
+        "lang",
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") % 2).alias("y"),
+    )
+    return auc_by_group(pts, "lang")
+
+
+# ---------------------------------------------------------------------------
+# q139 — two-sample Kolmogorov-Smirnov drift (numeric twin of q136)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q139_ks_drift",
+    f"""
+    WITH cells AS (
+        SELECT event_type, value,
+               CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN EXTRACT(day FROM ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events GROUP BY event_type, value
+    ), cum AS (
+        SELECT event_type,
+               CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+               CAST(SUM(c2) OVER w AS BIGINT) AS cum2,
+               CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+               CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        FROM cells
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, ANY_VALUE(n1) AS n_first, ANY_VALUE(n2) AS n_second,
+           {_rnd_sql("CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)"
+                     " / (ANY_VALUE(n1) * ANY_VALUE(n2))", 6)} AS ks_stat
+    FROM cum
+    GROUP BY event_type
+    HAVING ANY_VALUE(n1) > 0 AND ANY_VALUE(n2) > 0
+    """,
+    doc="two-sample Kolmogorov-Smirnov statistic per event type: the "
+    "NUMERIC drift monitor beside q136's categorical chi-square — does "
+    "the `value` distribution shift between month halves? D = "
+    "max_v |F1(v) - F2(v)| over the pooled support, computed as "
+    "max |cum1*n2 - cum2*n1| in exact integers with ONE final division "
+    "(empirical CDFs never materialize as doubles, so no accumulated fp "
+    "drift and no cross-engine sum-order hazard). Plan: compress to "
+    "per-(type, value) counts, then one cumulative window over the "
+    "distinct-value domain partitioned by event_type — the same single "
+    "exchange serves the per-type totals and the final max.",
+)
+def q139_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    pts = e.select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("s1"),
+    )
+    return ks_by_group(pts, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q140 — information-gain split scoring (decision-tree feature audit)
+# ---------------------------------------------------------------------------
+
+# 0·log2(0) := 0 convention, via exact counts: H-contribution of a count c
+# within a node of size n is c*log2(c), guarded for c = 0.
+_CLOG_SQL = "(CASE WHEN {c} > 0 THEN {c} * LOG2(CAST({c} AS DOUBLE)) ELSE 0 END)"
+
+
+@register(
+    "q140_split_gain",
+    f"""
+    WITH base AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               o_orderpriority AS priority,
+               CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR) AS mon,
+               c_mktsegment AS segment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), long AS (
+        SELECT feature, value, y FROM (
+            SELECT 'priority' AS feature, priority AS value, y FROM base
+            UNION ALL
+            SELECT 'month', mon, y FROM base
+            UNION ALL
+            SELECT 'segment', segment, y FROM base
+        )
+    ), cells AS (
+        SELECT feature, value,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM long GROUP BY feature, value
+    ), per_feature AS (
+        SELECT feature,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(n) AS BIGINT) AS total,
+               CAST(SUM(pos) AS BIGINT) AS total_pos,
+               CAST(SUM(CAST(FLOOR(({_CLOG_SQL.format(c="n")}
+                   - {_CLOG_SQL.format(c="pos")}
+                   - {_CLOG_SQL.format(c="(n - pos)")}) * 10000.0) AS BIGINT)) AS DOUBLE)
+                   / 10000.0 AS child_bits
+        FROM cells GROUP BY feature
+    )
+    SELECT feature, n_values,
+           {_rnd_sql(
+               "(" + _CLOG_SQL.format(c="total") + " - " + _CLOG_SQL.format(c="total_pos")
+               + " - " + _CLOG_SQL.format(c="(total - total_pos)") + ") / total", 6)} AS parent_entropy,
+           {_rnd_sql("child_bits / total", 6)} AS child_entropy,
+           {_rnd_sql(
+               "(" + _CLOG_SQL.format(c="total") + " - " + _CLOG_SQL.format(c="total_pos")
+               + " - " + _CLOG_SQL.format(c="(total - total_pos)") + ") / total"
+               " - child_bits / total", 6)} AS gain
+    FROM per_feature
+    """,
+    doc="information-gain split audit: score each candidate categorical "
+    "feature (order priority, order month, customer segment) by how many "
+    "bits it buys predicting the binary label o_orderstatus = 'F' — the "
+    "scoring loop of a distributed decision-tree / feature-selection "
+    "pass. Entropies come from EXACT integer counts via the identity "
+    "n*H = n*log2(n) - pos*log2(pos) - neg*log2(neg) (0*log2(0) := 0), "
+    "so each output is a short fixed-order expression over bigints with "
+    "fp only in the final log2/divide, rounded 6dp. Plan: one stack-"
+    "unpivot (no join between features), per-(feature, value) partial "
+    "counts collapse in the scan stage, then a per-feature rollup — two "
+    "constant-width exchanges; the customer dim joins broadcast.",
+)
+def q140_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.col("o_orderpriority").alias("priority"),
+        F.month("o_orderdate").cast("string").alias("mon"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    long = base.select(
+        F.expr(
+            "stack(3, 'priority', priority, 'month', mon, 'segment', segment)"
+        ).alias("feature", "value"),
+        "y",
+    )
+    cells = long.groupBy("feature", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+
+    def clog(col):
+        return F.when(col > 0, col * F.log2(col.cast("double"))).otherwise(F.lit(0.0))
+
+    per_feature = cells.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum("pos").cast("bigint").alias("total_pos"),
+        # per-cell contributions are doubles; quantize to fixed point before
+        # the sum so the total is order-independent across partitionings and
+        # engines (dsum pattern — see relational.dsum)
+        (
+            F.sum(
+                F.floor(
+                    (
+                        clog(F.col("n"))
+                        - clog(F.col("pos"))
+                        - clog(F.col("n") - F.col("pos"))
+                    )
+                    * 10000.0
+                ).cast("long")
+            ).cast("double")
+            / 10000.0
+        ).alias("child_bits"),
+    )
+    parent_bits = (
+        clog(F.col("total"))
+        - clog(F.col("total_pos"))
+        - clog(F.col("total") - F.col("total_pos"))
+    )
+    return per_feature.select(
+        "feature",
+        "n_values",
+        rnd(parent_bits / F.col("total"), 6).alias("parent_entropy"),
+        rnd(F.col("child_bits") / F.col("total"), 6).alias("child_entropy"),
+        rnd(parent_bits / F.col("total") - F.col("child_bits") / F.col("total"), 6).alias(
+            "gain"
+        ),
+    )

@@ -1044,3 +1044,107 @@ def q128_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — bigram-LM perplexity scoring (the CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q141_bigram_perplexity",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), unigram AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), vocab AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v FROM unigram
+    ), stream AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+    ), big AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12 FROM stream GROUP BY bigram
+    ), scored AS (
+        SELECT s.doc_id, s.lang,
+               CAST(FLOOR(LOG2((b.c12 + 1) / (u.c1 + v.v)) * 1000000.0) AS BIGINT) AS q
+        FROM stream s
+        JOIN big b USING (bigram)
+        JOIN unigram u ON split_part(s.bigram, ' ', 1) = u.w
+        CROSS JOIN vocab v
+    ), per_doc AS (
+        SELECT doc_id, lang,
+               -CAST(SUM(q) AS BIGINT) / 1000000.0 / COUNT(*) AS xent
+        FROM scored GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {_rnd_sql(f"({_dsum_sql('xent', 6)}) / COUNT(*)", 6)} AS avg_xent,
+           {_rnd_sql("MAX(xent)", 6)} AS max_xent
+    FROM per_doc GROUP BY lang
+    """,
+    doc="bigram language-model cross-entropy per document, rolled up per "
+    "language — the CCNet/KenLM-style perplexity quality filter: train "
+    "add-one-smoothed bigram stats ON the corpus itself (c12, unigram "
+    "context counts, vocab size), score every document's mean "
+    "-log2 p(w2|w1), aggregate per language. Per-bigram log terms are "
+    "fixed-point-quantized (floor 1e-6) before the per-doc sum and the "
+    "per-lang mean reuses dsum, so every accumulation is an exact "
+    "integer sum — order-independent across partitionings and engines; "
+    "fp appears only in the one log2 and the final divisions. Plan: the "
+    "bigram stream joins its own partial-aggregated counts (same key as "
+    "the groupBy → the exchange is reused) and the unigram table on the "
+    "context word; the 1-row vocab size broadcasts. Cost is linear in "
+    "total tokens — nothing is doc-pairwise — and the count tables "
+    "shrink with Zipf mass, so AQE broadcasts them at moderate scale; "
+    "at 100 TB they stay shuffles co-partitioned with the stream.",
+)
+def q141_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    stream = d.filter(n >= 2).select(
+        "doc_id", "lang", F.explode(bigrams).alias("bigram")
+    )
+    unigram = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    vocab = unigram.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    big = stream.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    scored = (
+        stream.join(big, "bigram")
+        .withColumn("w", F.element_at(F.split(F.col("bigram"), " "), 1))
+        .join(unigram, "w")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(
+                F.log2((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        ((-F.sum("q").cast("bigint")) / 1000000.0 / F.count(F.lit(1))).alias("xent")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        rnd(dsum(F.col("xent"), 6) / F.count(F.lit(1)), 6).alias("avg_xent"),
+        rnd(F.max("xent"), 6).alias("max_xent"),
+    )

@@ -475,3 +475,85 @@ def test_bloom_filter_never_false_negative(spark_sess, members, probes):
             passed.add(r.k)
     true_members = set(probes) & members
     assert true_members <= passed  # no false negatives, ever
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # group
+        st.integers(min_value=0, max_value=8),   # score (coarse: many ties)
+        st.integers(min_value=0, max_value=1),   # label
+    ),
+    min_size=2, max_size=80,
+))
+def test_auc_rank_matches_pairwise_definition(spark_sess, rows):
+    """Rank-sum AUC must equal the O(P*N) pairwise definition
+    P(score_pos > score_neg) + 0.5*P(tie) on arbitrary tied data."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    from etl_entregas_pyspark_spark.queries.mlmetrics import auc_by_group
+
+    schema = StructType([
+        StructField("g", IntegerType(), False),
+        StructField("score", DoubleType(), False),
+        StructField("y", IntegerType(), False),
+    ])
+    data = [(g, float(s), y) for g, s, y in rows]
+    df = spark_sess.createDataFrame(data, schema).repartition(4)
+    got = {r.g: r.auc for r in auc_by_group(df, "g").collect()}
+
+    want = {}
+    for g in {g for g, _, _ in data}:
+        pos = [s for gg, s, y in data if gg == g and y == 1]
+        neg = [s for gg, s, y in data if gg == g and y == 0]
+        if not pos or not neg:
+            continue
+        wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+        want[g] = wins / (len(pos) * len(neg))
+    assert set(got) == set(want)
+    for g in want:
+        assert abs(got[g] - want[g]) < 1e-6 + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # group
+        st.integers(min_value=0, max_value=10),  # value (coarse: shared support)
+        st.integers(min_value=0, max_value=1),   # sample flag
+    ),
+    min_size=2, max_size=80,
+))
+def test_ks_drift_matches_cdf_scan(spark_sess, rows):
+    """Integer-exact KS must equal the brute-force max CDF gap over the
+    pooled support."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    from etl_entregas_pyspark_spark.queries.mlmetrics import ks_by_group
+
+    schema = StructType([
+        StructField("g", IntegerType(), False),
+        StructField("value", DoubleType(), False),
+        StructField("s1", IntegerType(), False),
+    ])
+    data = [(g, float(v), s) for g, v, s in rows]
+    df = spark_sess.createDataFrame(data, schema).repartition(4)
+    got = {r.g: (r.n_first, r.n_second, r.ks_stat) for r in ks_by_group(df, "g").collect()}
+
+    want = {}
+    for g in {g for g, _, _ in data}:
+        a = sorted(v for gg, v, s in data if gg == g and s == 1)
+        b = sorted(v for gg, v, s in data if gg == g and s == 0)
+        if not a or not b:
+            continue
+        support = sorted(set(a) | set(b))
+        d = max(
+            abs(sum(1 for x in a if x <= v) / len(a) - sum(1 for x in b if x <= v) / len(b))
+            for v in support
+        )
+        want[g] = (len(a), len(b), d)
+    assert set(got) == set(want)
+    for g in want:
+        n1, n2, d = want[g]
+        assert got[g][0] == n1 and got[g][1] == n2
+        assert abs(got[g][2] - d) < 1e-6 + 1e-9
