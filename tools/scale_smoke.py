@@ -32,7 +32,9 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q126_copurchase_triangles", "q127_quantile_bucketize",
            "q128_bm25_scoring", "q130_zorder_layout", "q131_global_index",
            "q132_bloom_semi_join", "q133_interval_islands", "q134_pareto_skyline",
-           "q135_power_iteration", "q136_chisq_drift", "q137_association_rules"]
+           "q135_power_iteration", "q136_chisq_drift", "q137_association_rules",
+           "q138_auc_rank", "q139_ks_drift", "q140_split_gain",
+           "q141_bigram_perplexity"]
 # fact tables replicated with shifted keys; dims copied as-is.
 # documents replicate with IDENTICAL text — deliberately: N× literal
 # duplication is the near-dup operator's worst case (every LSH bucket's
