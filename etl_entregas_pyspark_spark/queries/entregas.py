@@ -320,3 +320,53 @@ def q60_entregas_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_entregas_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = entregas_raw(spark, sf_dir)
     return quality.metrics_frame(raw, ENTREGAS_CONFIG)
+
+
+# ---------------------------------------------------------------------------
+# q142 — P6 country equality filter (the one §2 operator that was
+# config-off in q60: reference `config/config.yaml` ships `country: null`,
+# so q60's parity path never exercises `filters.country_filter`)
+# ---------------------------------------------------------------------------
+
+_Q142_CONFIG = {
+    **ENTREGAS_CONFIG,
+    # lowercase on purpose: P6 is case-NORMALIZED equality (reference
+    # `src/etl_entregas.py` uppercases both sides), so the config value
+    # 'gt' must match the raw 'GT' rows
+    "filters": {**ENTREGAS_CONFIG["filters"], "country": "gt"},
+}
+
+
+@register(
+    "q142_country_filter",
+    _QUALITY_FILTER_SQL.replace(
+        "WHERE upper(pais) IN ('GT','SV','HN','EC','PE','JM')",
+        "WHERE upper(pais) IN ('GT','SV','HN','EC','PE','JM')\n"
+        "          AND upper(pais) = upper('gt')",
+    )
+    + """
+    SELECT tipo_entrega,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT ruta) AS BIGINT) AS n_rutas,
+           MIN(fecha_proceso) AS first_fecha,
+           MAX(fecha_proceso) AS last_fecha
+    FROM filtered GROUP BY tipo_entrega
+    """,
+    doc="P6 country equality filter on the live pipeline path: quality "
+    "stages → date-range filter → case-normalized country filter "
+    "(config 'gt' matches raw 'GT' — upper() on both sides, the "
+    "reference's semantics), rolled up per delivery type. The predicate "
+    "is a scan-stage filter Catalyst pushes into the parquet read of the "
+    "synthesized frame's source columns — no exchange added; the rollup "
+    "is one constant-width aggregation.",
+)
+def q142_country_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = entregas_raw(spark, sf_dir)
+    cleaned = quality.apply_quality(raw, ENTREGAS_CONFIG)
+    filtered = filters.apply_filters(cleaned, _Q142_CONFIG)
+    return filtered.groupBy("tipo_entrega").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("ruta").cast("bigint").alias("n_rutas"),
+        F.min("fecha_proceso").alias("first_fecha"),
+        F.max("fecha_proceso").alias("last_fecha"),
+    )

@@ -80,7 +80,9 @@ _PRIORITY = [
     "q23_null_handling",
     "q24_case_buckets",
     "q25_map_lookup",
-    "q26_math_funcs",
+    # q26_math_funcs yields its slot to q142 (the r4 VERDICT's P6 gap —
+    # a new query needs its FIRST row more than a stale-green needs a
+    # refresh); q26 leads the round-6 window instead.
     "q50_vector_norms",
     "q51_cosine_topk",
     "q52_knn_label_vote",
@@ -104,6 +106,7 @@ _PRIORITY = [
     "q139_ks_drift",
     "q140_split_gain",
     "q141_bigram_perplexity",
+    "q142_country_filter",
 ]
 
 
