@@ -1,0 +1,101 @@
+"""sf1 bench record: replicate sf0.1 facts 10× in /tmp (shifted keys —
+the scale_smoke layout, including the worst-case IDENTICAL 10× document
+duplication) and run the full `bench.py` headline battery against it,
+writing `BENCH_SF1.json` at the repo root.
+
+This turns SCALE.md's 100×-survival arguments into a measured artifact at
+one decade above the driver's bench point (r4 VERDICT residual #3).
+
+Usage: python tools/bench_sf1.py [replicas=10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_replica(replicas: int) -> tuple[str, dict]:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from tools.scale_smoke import FACTS, KEY_STRIDE, SRC
+
+    out_dir = tempfile.mkdtemp(prefix="bench_sf1_")
+    spark = (
+        SparkSession.builder.appName("bench-sf1-build")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = {}
+    try:
+        for name in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+            shutil.copy(f"{SRC}/{name}.parquet", f"{out_dir}/{name}.parquet")
+        for name, keys in FACTS.items():
+            base = spark.read.parquet(f"{SRC}/{name}.parquet")
+            rep = spark.range(replicas).select(F.col("id").alias("__rep__"))
+            scaled = base.crossJoin(rep)
+            for k in keys:
+                scaled = scaled.withColumn(k, F.col(k) + F.col("__rep__") * KEY_STRIDE)
+            scaled.drop("__rep__").repartition(32).write.mode("overwrite").parquet(
+                f"{out_dir}/{name}.parquet"
+            )
+            rows[name] = spark.read.parquet(f"{out_dir}/{name}.parquet").count()
+    finally:
+        spark.stop()
+    return out_dir, rows
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir, rows = build_replica(replicas)
+    try:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=out_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        detail = summary = None
+        for line in proc.stdout.replace("\r", "\n").splitlines():
+            m = re.search(r'\{"metric".*', line)
+            if not m:
+                continue
+            rec = json.loads(m.group(0))
+            if rec["metric"] == "headline_queries_detail":
+                detail = rec
+            elif rec["metric"] == "headline_queries_total_wall":
+                summary = rec
+        record = {
+            "sf": 1.0,
+            "built_from": f"{replicas}x sf0.1 (shifted fact keys; documents "
+                          "duplicated verbatim — dedup worst case)",
+            "rows": rows,
+            "rc": proc.returncode,
+            "summary": summary,
+            "detail": detail,
+        }
+        with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as f:
+            json.dump(record, f, indent=1)
+        print(json.dumps({"sf1_total_sec": summary and summary["value"],
+                          "n_errors": summary and summary["queries"]["n_errors"],
+                          "rc": proc.returncode}))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
