@@ -110,6 +110,12 @@ HEADLINE = [
     "q139_ks_drift",
     "q140_split_gain",
     "q141_bigram_perplexity",
+    "q142_country_filter",
+    "q143_fk_integrity",
+    "q144_decay_score",
+    "q145_count_min_sketch",
+    "q146_last_touch_attribution",
+    "q147_distinct_n",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

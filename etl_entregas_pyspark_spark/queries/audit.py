@@ -227,3 +227,71 @@ def q121_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — referential-integrity (FK orphan) audit across the star schema
+# ---------------------------------------------------------------------------
+
+_FK_RELS = [
+    # (name, child table, child key, parent table, parent key)
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _fk_sql(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+        SELECT '{name}' AS fk_name,
+               CAST(SUM(c.n) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN p.{pk} IS NULL THEN c.n ELSE 0 END) AS BIGINT)
+                   AS n_orphan_rows,
+               CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_orphan_keys
+        FROM (SELECT {ck} AS k, COUNT(*) AS n FROM {child}
+              WHERE {ck} IS NOT NULL GROUP BY {ck}) c
+        LEFT JOIN {parent} p ON c.k = p.{pk}
+    """
+
+
+@register(
+    "q143_fk_integrity",
+    " UNION ALL ".join(_fk_sql(*rel) for rel in _FK_RELS),
+    doc="referential-integrity audit over every FK edge of the star schema "
+    "(+ the deliberately unconstrained events.user_id edge, the one that "
+    "CAN orphan): per edge, total child rows, orphan rows, and distinct "
+    "orphan keys. The plan never joins the raw fact to the dimension: "
+    "children first collapse to per-key counts (partial-aggregated, so "
+    "the exchange carries distinct keys, not rows), then a "
+    "dimension-sized LEFT join — broadcast for every dim here — scores "
+    "orphanhood, and a constant-width rollup finishes. Five edges = five "
+    "independent branch plans unioned; at 100 TB each branch is one "
+    "fact-scan + one key-domain exchange, and AQE broadcasts every "
+    "parent side.",
+)
+def q143_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child, ck, parent, pk in _FK_RELS:
+        c = (
+            T(spark, sf_dir, child)
+            .filter(F.col(ck).isNotNull())
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = T(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        j = c.join(F.broadcast(p), c.k == p.pk, "left")
+        branch = j.agg(
+            F.lit(name).alias("fk_name"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("pk").isNull(), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+            F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan_keys"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

@@ -920,3 +920,78 @@ def q136_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_second",
         rnd(chi2, 6).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — last-touch conversion attribution (marketing analytics)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@register(
+    "q146_last_touch_attribution",
+    f"""
+    WITH stream AS (
+        SELECT user_id, event_id, event_type, value,
+               epoch_us(ts) AS s,
+               MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click_s
+        FROM events
+    ), purchases AS (
+        SELECT CASE WHEN last_click_s IS NOT NULL
+                         AND s - last_click_s <= {_ATTR_WINDOW_US}
+                    THEN 'attributed' ELSE 'organic' END AS bucket,
+               value
+        FROM stream WHERE event_type = 'purchase'
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {_dsum_sql('value', 6)} AS revenue
+    FROM purchases GROUP BY bucket
+    """,
+    doc="last-touch conversion attribution: each purchase is attributed to "
+    "the most recent PRECEDING click by the same user within a 7-day "
+    "lookback (strictly-before frame with an event_id tie-break, so "
+    "same-microsecond click+purchase resolves identically everywhere), "
+    "else counted organic. The classic marketing-attribution join "
+    "expressed as ONE running-max window instead of a per-purchase "
+    "point-in-time self-join — same shape as the q58 as-of join's "
+    "union+window trick. Plan: one hash exchange on user_id, "
+    "per-partition sort bounded by per-user history; revenue uses dsum "
+    "so the rollup is shuffle-order-independent.",
+)
+def q146_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = E(spark, sf_dir)
+    s = epoch_us("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(s, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stream = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        s.alias("s"),
+        F.max(F.when(F.col("event_type") == "click", s)).over(w).alias("last_click_s"),
+    )
+    bucket = F.when(
+        F.col("last_click_s").isNotNull()
+        & (F.col("s") - F.col("last_click_s") <= _ATTR_WINDOW_US),
+        "attributed",
+    ).otherwise("organic")
+    return (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            dsum(F.col("value"), 6).alias("revenue"),
+        )
+    )

@@ -404,3 +404,96 @@ def q122_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(slope, 6).alias("slope"),
         rnd((syd - slope * sxd) / nd, 4).alias("intercept"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q145 — count-min sketch (the mergeable frequency sketch, made explicit)
+# ---------------------------------------------------------------------------
+
+_CMS_W = 64          # width (counters per row)
+_CMS_SALTS = ("a", "b", "c")  # depth 3
+_CMS_TOPK = 20
+
+
+def _cms_pos_sql(expr: str, salt: str) -> str:
+    from etl_entregas_pyspark_spark.queries.similarity import _md5_int_sql
+
+    salted = "concat({}, '{}')".format(expr, salt)
+    return f"{_md5_int_sql(salted)} % {_CMS_W}"
+
+
+def _cms_pos(col: Column, salt: str) -> Column:
+    from etl_entregas_pyspark_spark.queries.similarity import md5_int
+
+    return md5_int(F.concat(col, F.lit(salt))) % _CMS_W
+
+
+@register(
+    "q145_count_min_sketch",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), pos AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS d, {_cms_pos_sql('tok', s)} AS p FROM toks"
+            for d, s in enumerate(_CMS_SALTS))}
+    ), cms AS (
+        SELECT d, p, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY d, p
+    ), truth AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM toks GROUP BY tok
+        ORDER BY true_n DESC, tok LIMIT {_CMS_TOPK}
+    )
+    SELECT t.tok, t.true_n,
+           LEAST({", ".join(
+               f"(SELECT c FROM cms WHERE d = {d} AND p = {_cms_pos_sql('t.tok', s)})"
+               for d, s in enumerate(_CMS_SALTS))}) AS est_n,
+           LEAST({", ".join(
+               f"(SELECT c FROM cms WHERE d = {d} AND p = {_cms_pos_sql('t.tok', s)})"
+               for d, s in enumerate(_CMS_SALTS))}) - t.true_n AS overestimate
+    FROM truth t
+    """,
+    doc=f"count-min sketch over the token stream: {len(_CMS_SALTS)}x{_CMS_W} "
+    "counters (md5-salted rows), estimate = min over rows — the mergeable "
+    "frequency sketch a streaming/partitioned pipeline keeps instead of "
+    "exact counts, evaluated here against the exact top-20 so the "
+    "one-sided error contract (est >= true, bounded overestimate) is "
+    "oracle-VISIBLE, not just asserted. Fully deterministic given the "
+    "hash salts, so the whole sketch hash-matches across engines. Plan: "
+    "the counter build is one partial-aggregated exchange of at most "
+    f"{len(_CMS_SALTS) * _CMS_W} cells (the sketch property: state is "
+    "O(w*d) whatever the stream size); the probe side is a "
+    f"{_CMS_TOPK}-row TakeOrdered joined to the broadcast cell table. "
+    "Sketch rows merge by cell-wise addition, so partial sketches from "
+    "independent partitions/streams combine without rescanning — the "
+    "100-TB story is the exchange carries 192 cells, never tokens.",
+)
+def q145_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    pos = None
+    for i, s in enumerate(_CMS_SALTS):
+        b = toks.select(F.lit(i).alias("d"), _cms_pos(F.col("tok"), s).alias("p"))
+        pos = b if pos is None else pos.unionByName(b)
+    cms = pos.groupBy("d", "p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    truth = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "tok")
+        .limit(_CMS_TOPK)
+    )
+    probe = truth
+    for i, s in enumerate(_CMS_SALTS):
+        cell = cms.filter(F.col("d") == i).select(
+            F.col("p").alias(f"p{i}"), F.col("c").alias(f"c{i}")
+        )
+        probe = probe.withColumn(f"p{i}", _cms_pos(F.col("tok"), s)).join(
+            F.broadcast(cell), f"p{i}"
+        )
+    est = F.least(*[F.col(f"c{i}") for i in range(len(_CMS_SALTS))])
+    return probe.select(
+        "tok",
+        "true_n",
+        est.alias("est_n"),
+        (est - F.col("true_n")).alias("overestimate"),
+    )

@@ -1148,3 +1148,77 @@ def q141_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(dsum(F.col("xent"), 6) / F.count(F.lit(1)), 6).alias("avg_xent"),
         rnd(F.max("xent"), 6).alias("max_xent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — distinct-n corpus diversity (generation-quality / mode-collapse
+# metric, Li et al. 2016)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q147_distinct_n",
+    f"""
+    WITH toks AS (
+        SELECT lang, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+        SELECT lang, unnest(t) AS g FROM toks
+    ), bi AS (
+        SELECT lang, unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM toks WHERE len(t) >= 2
+    ), u AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS d1
+        FROM uni GROUP BY lang
+    ), b AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n2,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS d2
+        FROM bi GROUP BY lang
+    )
+    SELECT u.lang, u.n1, u.d1, b.n2, b.d2,
+           {_rnd_sql("CAST(u.d1 AS DOUBLE) / u.n1", 6)} AS distinct_1,
+           {_rnd_sql("CAST(b.d2 AS DOUBLE) / b.n2", 6)} AS distinct_2
+    FROM u JOIN b ON u.lang = b.lang
+    """,
+    doc="distinct-1 / distinct-2 corpus diversity per language (the "
+    "mode-collapse metric for generated/synthetic data, and the "
+    "repetition profile of a scraped corpus): unique-to-total ratio of "
+    "unigrams and bigrams. Counts are exact; distinct counts ride "
+    "Spark's two-phase partial-distinct aggregation (per-partition "
+    "dedup BEFORE the exchange, so the shuffle carries distinct grams "
+    "per partition, not the raw stream). Two gram streams aggregate "
+    "independently and join on the 5-row lang domain — broadcast. For "
+    "100-TB cardinalities where exact distinct is too hot, q34's HLL is "
+    "the drop-in (same group keys, approximate d1/d2).",
+)
+def q147_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    uni = d.select("lang", F.explode(toks).alias("g"))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = d.select("lang", F.explode(bigrams).alias("g"))
+    u = uni.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.countDistinct("g").cast("bigint").alias("d1"),
+    )
+    b = bi.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+        F.countDistinct("g").cast("bigint").alias("d2"),
+    )
+    return u.join(b, "lang").select(
+        "lang",
+        "n1",
+        "d1",
+        "n2",
+        "d2",
+        rnd(F.col("d1").cast("double") / F.col("n1"), 6).alias("distinct_1"),
+        rnd(F.col("d2").cast("double") / F.col("n2"), 6).alias("distinct_2"),
+    )

@@ -410,3 +410,60 @@ def q133_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("covered_us"),
         F.min("island_start").cast("bigint").alias("first_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — time-decay engagement score (daily half-life, feature-store style)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "q144_decay_score",
+    f"""
+    WITH mx AS (
+        SELECT MAX(epoch_us(ts)) AS t_max FROM events
+    ), terms AS (
+        SELECT user_id,
+               CAST(FLOOR(value / POWER(2.0, LEAST((t_max - epoch_us(ts)) // {_DAY_US}, 62))
+                          * 1000000.0) AS BIGINT) AS q
+        FROM events CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(q) AS BIGINT) / 1000000.0 AS decay_score
+    FROM terms GROUP BY user_id
+    """,
+    doc="per-user engagement score with a one-day half-life anchored at "
+    "the corpus max timestamp — the recsys/feature-store recency "
+    "weighting, batch form. The decay factor is 2^-d with an INTEGER "
+    "day exponent: every power of two is exactly representable, so "
+    "value/2^d is one exact double operation — no libm pow-of-fraction "
+    "whose last-ulp could diverge across engines. Per-event terms are "
+    "fixed-point-quantized (floor 1e-6) and integer-summed per user, so "
+    "the aggregate is partition-order-independent. Plan: the 1-row "
+    "anchor broadcasts back over the scan (q99 windowless pattern), one "
+    "hash exchange on user_id total.",
+)
+def q144_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    mx = e.agg(F.max(epoch_us("ts")).alias("t_max"))
+    d = F.least(
+        F.floor((F.col("t_max") - epoch_us("ts")) / F.lit(_DAY_US)),
+        F.lit(62),
+    )
+    q = (
+        F.floor(F.col("value") / F.pow(F.lit(2.0), d) * 1000000.0)
+        .cast("bigint")
+        .alias("q")
+    )
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select("user_id", q)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum("q").cast("bigint") / 1000000.0).alias("decay_score"),
+        )
+    )

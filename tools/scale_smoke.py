@@ -34,7 +34,9 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q132_bloom_semi_join", "q133_interval_islands", "q134_pareto_skyline",
            "q135_power_iteration", "q136_chisq_drift", "q137_association_rules",
            "q138_auc_rank", "q139_ks_drift", "q140_split_gain",
-           "q141_bigram_perplexity"]
+           "q141_bigram_perplexity", "q143_fk_integrity",
+           "q144_decay_score", "q145_count_min_sketch",
+           "q146_last_touch_attribution", "q147_distinct_n"]
 # fact tables replicated with shifted keys; dims copied as-is.
 # documents replicate with IDENTICAL text — deliberately: N× literal
 # duplication is the near-dup operator's worst case (every LSH bucket's
