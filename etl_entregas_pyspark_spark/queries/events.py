@@ -929,6 +929,39 @@ def q136_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
 
 
+def attribute_purchases(e: DataFrame) -> DataFrame:
+    """Per-purchase last-touch classification: (event_id, user_id, bucket,
+    value) where bucket is 'attributed' iff a click by the same user
+    precedes the purchase within the lookback window (strictly before,
+    event_id tie-break). Shared by q146 (batch rollup) and the streaming
+    twin (streaming.stateful.streaming_attribution), so the equivalence
+    test pins both to one definition."""
+    from pyspark.sql.window import Window
+
+    s = epoch_us("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(s, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stream = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        s.alias("s"),
+        F.max(F.when(F.col("event_type") == "click", s)).over(w).alias("last_click_s"),
+    )
+    bucket = F.when(
+        F.col("last_click_s").isNotNull()
+        & (F.col("s") - F.col("last_click_s") <= _ATTR_WINDOW_US),
+        "attributed",
+    ).otherwise("organic")
+    return stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", bucket.alias("bucket"), "value"
+    )
+
+
 @register(
     "q146_last_touch_attribution",
     f"""
@@ -964,31 +997,8 @@ _ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
     "so the rollup is shuffle-order-independent.",
 )
 def q146_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    e = E(spark, sf_dir)
-    s = epoch_us("ts")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(s, "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    stream = e.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "value",
-        s.alias("s"),
-        F.max(F.when(F.col("event_type") == "click", s)).over(w).alias("last_click_s"),
-    )
-    bucket = F.when(
-        F.col("last_click_s").isNotNull()
-        & (F.col("s") - F.col("last_click_s") <= _ATTR_WINDOW_US),
-        "attributed",
-    ).otherwise("organic")
     return (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(bucket.alias("bucket"), "value")
+        attribute_purchases(E(spark, sf_dir))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_purchases"),

@@ -219,3 +219,82 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming last-touch attribution — the live twin of
+# queries.events.attribute_purchases (q146)
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("bucket", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+ATTRIBUTION_STATE_SCHEMA = StructType([StructField("last_click_us", LongType())])
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # keep in lock-step with q146
+
+
+def _attribution_update(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (last_click_us,) = state.get if state.exists else (None,)
+    out: list[tuple[int, int, str, float]] = []
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])  # in-batch time order
+    for r in rows.itertuples(index=False):
+        us = int(r.ts.value // 1000)
+        if r.event_type == "purchase":
+            attributed = (
+                last_click_us is not None and us - last_click_us <= _ATTR_WINDOW_US
+            )
+            out.append(
+                (
+                    int(r.event_id),
+                    int(key[0]),
+                    "attributed" if attributed else "organic",
+                    float(r.value),
+                )
+            )
+        # processing in (ts, event_id) order replays the batch window's
+        # strictly-before frame exactly: a same-microsecond click with a
+        # SMALLER event_id was already folded into last_click_us, one
+        # with a larger id hasn't been — same tie semantics as q146
+        if r.event_type == "click":
+            last_click_us = us
+    state.update((last_click_us,))
+    yield pd.DataFrame(
+        {
+            "event_id": [o[0] for o in out],
+            "user_id": [o[1] for o in out],
+            "bucket": [o[2] for o in out],
+            "value": [o[3] for o in out],
+        }
+    )
+
+
+def streaming_attribution(events: DataFrame) -> DataFrame:
+    """Classify purchases attributed/organic as they arrive, carrying one
+    long per user (the last click time) in the state store across
+    micro-batches — the live twin of q146's batch window formulation,
+    equivalence-tested against it on time-sliced replays.
+
+    State is ONE long per active user — size ∝ users, independent of
+    stream length; on a cluster a ProcessingTimeTimeout of the lookback
+    window would expire idle users without changing results (an expired
+    key can only produce 'organic', same as absent state after 7 days).
+    Same ordered-arrival contract as streaming_debounce."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribution_update,
+        outputStructType=ATTRIBUTION_OUTPUT_SCHEMA,
+        stateStructType=ATTRIBUTION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -166,3 +166,54 @@ def test_streaming_transitions_match_batch(spark, sf_dir):
         assert dict(got) == want and len(want) > 0
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_attribution_matches_batch(spark, sf_dir):
+    """Replaying the events table in four time-ordered slices must classify
+    every purchase exactly as the batch q146 window does — including
+    purchases whose attributing click arrived in an EARLIER trigger
+    (carried by the one-long-per-user state)."""
+    import shutil
+    import tempfile
+    import time
+
+    from etl_entregas_pyspark_spark.queries.events import attribute_purchases
+    from etl_entregas_pyspark_spark.streaming.stateful import streaming_attribution
+
+    src = tempfile.mkdtemp(prefix="events_attr_")
+    try:
+        e = E(spark, sf_dir)
+        bounds = e.selectExpr(
+            "percentile(" + epoch_us_sql("ts") + ", 0.25) AS a",
+            "percentile(" + epoch_us_sql("ts") + ", 0.5) AS b",
+            "percentile(" + epoch_us_sql("ts") + ", 0.75) AS c",
+        ).collect()[0]
+        us = epoch_us("ts")
+        slices = [
+            e.filter(us < bounds.a),
+            e.filter((us >= bounds.a) & (us < bounds.b)),
+            e.filter((us >= bounds.b) & (us < bounds.c)),
+            e.filter(us >= bounds.c),
+        ]
+        for s in slices:
+            s.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            streaming_attribution(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("attributed")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {r.event_id: r.bucket for r in spark.table("attributed").collect()}
+        want = {
+            r.event_id: r.bucket
+            for r in attribute_purchases(spark.read.parquet(src)).collect()
+        }
+        assert got == want and len(want) > 0
+        assert "attributed" in set(want.values())  # non-degenerate corpus
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
