@@ -557,3 +557,66 @@ def test_ks_drift_matches_cdf_scan(spark_sess, rows):
         n1, n2, d = want[g]
         assert got[g][0] == n1 and got[g][1] == n2
         assert abs(got[g][2] - d) < 1e-6 + 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=200))
+def test_count_min_never_underestimates(spark_sess, tokens):
+    """CMS one-sided error: for EVERY key, min-over-rows of the salted
+    counters must be >= the true count (and equal when no collision)."""
+    from collections import Counter
+
+    from etl_entregas_pyspark_spark.queries.sketches import _CMS_SALTS, _cms_pos
+
+    df = spark_sess.createDataFrame([(t,) for t in tokens], "tok string").repartition(4)
+    pos = None
+    for i, s in enumerate(_CMS_SALTS):
+        b = df.select(F.lit(i).alias("d"), _cms_pos(F.col("tok"), s).alias("p"))
+        pos = b if pos is None else pos.unionByName(b)
+    cms = {
+        (r.d, r.p): r.c
+        for r in pos.groupBy("d", "p").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    probe = spark_sess.createDataFrame(
+        [(t,) for t in set(tokens)], "tok string"
+    ).select(
+        "tok", *[_cms_pos(F.col("tok"), s).alias(f"p{i}") for i, s in enumerate(_CMS_SALTS)]
+    )
+    truth = Counter(tokens)
+    for r in probe.collect():
+        est = min(cms.get((i, getattr(r, f"p{i}")), 0) for i in range(len(_CMS_SALTS)))
+        assert est >= truth[r.tok], (r.tok, est, truth[r.tok])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=20),
+)
+def test_fk_orphan_counts_match_python_model(spark_sess, child_keys, parent_keys):
+    """Orphan row/key counts from the collapse-then-probe plan must equal
+    the brute-force set difference on arbitrary key multisets."""
+    from collections import Counter
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cschema = StructType([StructField("k", LongType(), False)])
+    c = (
+        spark_sess.createDataFrame([(k,) for k in child_keys], cschema)
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = spark_sess.createDataFrame([(k,) for k in parent_keys], cschema).select(
+        F.col("k").alias("pk")
+    )
+    j = c.join(F.broadcast(p), c.k == p.pk, "left")
+    row = j.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(F.col("pk").isNull(), F.col("n")).otherwise(0)).alias("n_orphan_rows"),
+        F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0)).alias("n_orphan_keys"),
+    ).collect()[0]
+    truth = Counter(child_keys)
+    want_rows = sum(n for k, n in truth.items() if k not in parent_keys)
+    want_keys = sum(1 for k in truth if k not in parent_keys)
+    assert row.n_rows == len(child_keys)
+    assert row.n_orphan_rows == want_rows
+    assert row.n_orphan_keys == want_keys
