@@ -142,7 +142,9 @@ def ks_by_group(pts: DataFrame, group: str = "event_type") -> DataFrame:
     "lang. For one GLOBAL AUC at 100 TB (no partition key), swap the "
     "window for the q131 value-bucket prefix-sum: bucket scores, "
     "per-bucket counts, broadcast cumulative offsets — same rank "
-    "arithmetic, no single-partition sort.",
+    "arithmetic, no single-partition sort. Range bound: S2 <= N*(2N+1) "
+    "per group, so bigint holds to ~2e9 rows per group; past that, lift "
+    "s2/r2 to decimal(38,0) — the identity is unchanged.",
 )
 def q138_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
@@ -194,7 +196,9 @@ def q138_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift and no cross-engine sum-order hazard). Plan: compress to "
     "per-(type, value) counts, then one cumulative window over the "
     "distinct-value domain partitioned by event_type — the same single "
-    "exchange serves the per-type totals and the final max.",
+    "exchange serves the per-type totals and the final max. Range "
+    "bound: |cum*n| <= n1*n2 per type, bigint-safe to ~3e9 rows per "
+    "side; past that, lift the products to decimal(38,0).",
 )
 def q139_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = E(spark, sf_dir)
