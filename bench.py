@@ -116,6 +116,8 @@ HEADLINE = [
     "q145_count_min_sketch",
     "q146_last_touch_attribution",
     "q147_distinct_n",
+    "q148_rrf_fusion",
+    "q149_seasonal_anomaly",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -295,3 +295,80 @@ def q143_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q149 — seasonal (hour-of-day) anomaly baseline over event volumes
+# ---------------------------------------------------------------------------
+
+_ANOM_K2 = 4  # flag when (c - mean)^2 > K2 * var, i.e. |z| > 2
+
+
+@register(
+    "q149_seasonal_anomaly",
+    f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS d,
+               EXTRACT(hour FROM ts) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ), stats AS (
+        SELECT event_type, hod,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM daily GROUP BY event_type, hod
+    )
+    SELECT s.event_type, s.hod, s.n_days,
+           {_rnd_sql('CAST(s.s AS DOUBLE) / s.n_days', 4)} AS mean_c,
+           CAST(SUM(CASE WHEN
+                    POWER(CAST(d.c AS DOUBLE) * s.n_days - s.s, 2)
+                    > {_ANOM_K2} * (CAST(s.q AS DOUBLE) * s.n_days - CAST(s.s AS DOUBLE) * s.s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM daily d JOIN stats s ON d.event_type = s.event_type AND d.hod = s.hod
+    GROUP BY s.event_type, s.hod, s.n_days, s.s, s.q
+    """,
+    doc="seasonal anomaly baseline: for each (event_type, hour-of-day) "
+    "cell, the daily event count is compared against that cell's own "
+    "across-days mean/variance — the ops-monitoring pattern that "
+    "separates 'traffic is low for 3am' from 'traffic is low'. The |z|>2 "
+    "test is evaluated WITHOUT square roots or variance division via "
+    "(c*n - S)^2 > K2*(n*Q - S^2) over exact integer sufficient stats "
+    "(S, Q) — products go through IEEE doubles identically in both "
+    "engines (single expressions, no accumulation), and the flag count "
+    "per cell is an integer. Plan: the raw scan collapses to per-(type, "
+    "day, hour) partial counts; the stats rollup is 120 cells broadcast "
+    "back onto the daily frame (AQE picks the broadcast); no windows at "
+    "all, so nothing single-partitions at any scale.",
+)
+def q149_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.events import E
+
+    e = E(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    stats = daily.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    j = daily.join(F.broadcast(stats), ["event_type", "hod"])
+    dev2 = F.pow(F.col("c").cast("double") * F.col("n_days") - F.col("s"), 2)
+    var_n2 = F.col("q").cast("double") * F.col("n_days") - F.col("s").cast(
+        "double"
+    ) * F.col("s")
+    return j.groupBy("event_type", "hod", "n_days", "s", "q").agg(
+        F.sum(F.when(dev2 > _ANOM_K2 * var_n2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalies"),
+    ).select(
+        "event_type",
+        "hod",
+        "n_days",
+        rnd(F.col("s").cast("double") / F.col("n_days"), 4).alias("mean_c"),
+        "n_anomalies",
+    )

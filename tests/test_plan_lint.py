@@ -36,6 +36,9 @@ _GLOBAL_WINDOW_OK = {
                                  # count rows — model state, not data
     "q134_pareto_skyline",       # global merge phase over local-pruned
                                  # survivors (size-insensitive by design)
+    "q148_rrf_fusion",           # row_number over two 30-row top-k
+                                 # frames (each arm ends in a distributed
+                                 # TakeOrderedAndProject first)
 }
 
 

@@ -36,7 +36,8 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q138_auc_rank", "q139_ks_drift", "q140_split_gain",
            "q141_bigram_perplexity", "q143_fk_integrity",
            "q144_decay_score", "q145_count_min_sketch",
-           "q146_last_touch_attribution", "q147_distinct_n"]
+           "q146_last_touch_attribution", "q147_distinct_n",
+           "q148_rrf_fusion", "q149_seasonal_anomaly"]
 # fact tables replicated with shifted keys; dims copied as-is.
 # documents replicate with IDENTICAL text — deliberately: N× literal
 # duplication is the near-dup operator's worst case (every LSH bucket's
