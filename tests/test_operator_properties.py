@@ -620,3 +620,48 @@ def test_fk_orphan_counts_match_python_model(spark_sess, child_keys, parent_keys
     assert row.n_rows == len(child_keys)
     assert row.n_orphan_rows == want_rows
     assert row.n_orphan_keys == want_keys
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # user
+        st.integers(min_value=0, max_value=40),       # age in days
+        st.integers(min_value=1, max_value=50_000),   # value in cents
+    ),
+    min_size=1, max_size=60,
+))
+def test_decay_score_matches_python_model(spark_sess, rows):
+    """The integer-day 2^-d decay sum must equal a brute-force model
+    using the same quantization (powers of two are exact, so the only
+    approximation is the shared floor-1e6 step)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+    import tempfile
+
+    from etl_entregas_pyspark_spark.queries.timeseries import q144_decay_score
+
+    t0 = datetime(2024, 3, 1)
+    data = [
+        (i, t0 - timedelta(days=age), u, "click", cents / 100.0, "{}")
+        for i, (u, age, cents) in enumerate(rows)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark_sess.createDataFrame(
+            data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).write.parquet(f"{d}/events.parquet")
+        got = {r.user_id: (r.n_events, r.decay_score)
+               for r in q144_decay_score(spark_sess, d).collect()}
+
+    t_max = max(ts for _, ts, *_ in data)
+    acc = defaultdict(lambda: [0, 0])
+    import math
+    for _, ts, u, _t, v, _p in data:
+        dd = min(int((t_max - ts).total_seconds() // 86400), 62)
+        acc[u][0] += 1
+        acc[u][1] += math.floor(v / (2.0 ** dd) * 1_000_000.0)
+    want = {u: (n, s / 1_000_000.0) for u, (n, s) in acc.items()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-9
