@@ -64,7 +64,11 @@ def ks_by_group(pts: DataFrame, group: str = "event_type") -> DataFrame:
 
     D = max_v |F1(v) - F2(v)| over the pooled support, in exact integers
     (max |cum1*n2 - cum2*n1|, one final division). Groups with an empty
-    sample are dropped."""
+    sample are dropped. NULL values are dropped up front: Spark's window
+    sort puts NULLs first while DuckDB's puts them last, so a NULL in the
+    support would shift the two engines' cumulative CDFs differently —
+    and a KS statistic over an unordered point is meaningless anyway."""
+    pts = pts.filter(F.col("value").isNotNull())
     cells = pts.groupBy(group, "value").agg(
         F.sum("s1").cast("bigint").alias("c1"),
         F.sum(1 - F.col("s1")).cast("bigint").alias("c2"),
@@ -169,7 +173,7 @@ def q138_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, value,
                CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
                CAST(SUM(CASE WHEN EXTRACT(day FROM ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS c2
-        FROM events GROUP BY event_type, value
+        FROM events WHERE value IS NOT NULL GROUP BY event_type, value
     ), cum AS (
         SELECT event_type,
                CAST(SUM(c1) OVER w AS BIGINT) AS cum1,

@@ -41,72 +41,70 @@ def register(name: str, oracle: Optional[str], doc: str = "") -> Callable[[Spark
 # front; everything else follows in registration order, so the window is
 # always "all unproven queries + as many previously-proven as fit".
 _PRIORITY = [
-    # --- round-5 window: the re-verification rotation ------------------
-    # r4 was 50/50 green, but 43 queries' newest rows date to round 1
-    # while round 4's diff touched their modules (VERDICT r4: stale-green
-    # rot is real — q58/q59/q83 were green in r2-era code and red in r3).
-    # This window = (a) the 3 queries whose code changed this round,
-    # (b) all 43 round-1-stale queries, (c) the 4 new round-5 operators.
-    # The 42 round-3-stale queries are the PLANNED ROUND-6 WINDOW; this
-    # round they are locally re-proven by a full-registry
-    # tools/check_correctness.py run (recorded in COVERAGE.md).
-    # (a) changed this round: island tie-break, lazy global ids, NULLIF.
-    "q131_global_index",
-    "q133_interval_islands",
-    "q136_chisq_drift",
-    # (b) round-1-stale, in registration order.
-    "q01_pricing_summary",
-    "q06_global_agg",
-    "q28_having",
-    "q12_rollup",
-    "q13_cube",
-    "q03_top_orders",
-    "q04_order_priority",
-    "q05_region_revenue",
-    "q07_left_join_counts",
-    "q08_anti_join",
-    "q09_semi_join",
-    "q10_full_outer",
-    "q11_broadcast_brand",
-    "q14_window_topn",
-    "q15_window_running",
-    "q16_window_lag",
-    "q17_window_rank_ntile",
-    "q18_topk_orders",
-    "q19_set_ops",
-    "q20_distinct",
-    "q21_string_funcs",
-    "q22_date_funcs",
-    "q23_null_handling",
-    "q24_case_buckets",
-    "q25_map_lookup",
-    # q26_math_funcs yields its slot to q142 (the r4 VERDICT's P6 gap —
-    # a new query needs its FIRST row more than a stale-green needs a
-    # refresh); q26 leads the round-6 window instead.
-    "q50_vector_norms",
-    "q51_cosine_topk",
-    "q52_knn_label_vote",
-    "q53_minhash_near_dup",
-    "q54_simhash",
-    "q55_ivf_assign",
-    "q30_events_tumbling",
-    "q31_events_sliding",
-    "q32_events_session",
-    "q41_lang_profile",
-    "q42_fingerprint_dedup",
-    "q44_quality_score",
-    "q45_word_jaccard_pairs",
-    "q36_exact_percentiles",
-    "q46_regex_tokens",
-    "q47_rolling_fingerprint",
-    "q56_cosine_near_dup",
-    # (c) new in round 5 (registered later this round; names not yet in
-    # REGISTRY are filtered out, so this list is forward-safe).
-    "q138_auc_rank",
-    "q139_ks_drift",
-    "q140_split_gain",
-    "q141_bigram_perplexity",
-    "q142_country_filter",
+    # --- round-6 window ------------------------------------------------
+    # (a) NEW this round (registered later in r6; unregistered names are
+    # filtered out, so this list is forward-safe).
+    "q150_bucketed_dedup_chain",
+    "q151_stream_upsert_sink",
+    "q152_setjoin_prefix_filter",
+    "q153_tdigest_quantile_merge",
+    # (b) the 7 round-5 operators with no driver row yet.
+    "q143_fk_integrity",
+    "q144_decay_score",
+    "q145_count_min_sketch",
+    "q146_last_touch_attribution",
+    "q147_distinct_n",
+    "q148_rrf_fusion",
+    "q149_seasonal_anomaly",
+    # (c) q26 yielded its r5 slot to q142; its newest row is round 1.
+    "q26_math_funcs",
+    # (d) the 42 queries whose newest driver row dates to round 3
+    # (stale-green rotation — r4 proved rot is real). Any that overflow
+    # the 50-query window roll to the round-7 rotation; all 147 are
+    # locally re-proven each round by tools/check_correctness.py at
+    # sf0.01 AND sf0.1 (recorded in COVERAGE.md).
+    "q27_conditional_agg",
+    "q29_pivot",
+    "q33_events_json",
+    "q37_from_json",
+    "q39_scalar_subquery",
+    "q40_text_stats",
+    "q43_langid_heuristic",
+    "q49_posexplode",
+    "q57_multimodal_decode",
+    "q62_dedup_components",
+    "q63_deterministic_split",
+    "q64_decontamination",
+    "q65_statistical_moments",
+    "q66_chunking",
+    "q67_stratified_sample",
+    "q68_int8_quantization",
+    "q69_trailing_range_window",
+    "q70_gap_fill_forward",
+    "q71_alto_valor_flag",
+    "q72_dedup_materialize",
+    "q73_ivf_search",
+    "q74_unpivot",
+    "q75_kmeans_step",
+    "q76_grouping_sets",
+    "q77_edit_distance_pairs",
+    "q78_tfidf_top_terms",
+    "q79_salted_aggregate",
+    "q80_latest_per_key",
+    "q81_reconciliation",
+    "q82_sequence_packing",
+    "q84_funnel",
+    "q85_repetition_profile",
+    "q86_mixture_weights",
+    "q87_expectation_audit",
+    "q88_corpus_filter",
+    "q89_heavy_hitters",
+    "q90_denylist_scrub",
+    "q91_exists_decorrelated",
+    "q92_length_histogram",
+    "q94_scd2_intervals",
+    "q95_partial_merge",
+    "q100_incremental_dedup",
 ]
 
 

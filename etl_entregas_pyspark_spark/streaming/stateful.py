@@ -247,7 +247,15 @@ def _attribution_update(
 ) -> Iterator[pd.DataFrame]:
     (last_click_us,) = state.get if state.exists else (None,)
     out: list[tuple[int, int, str, float]] = []
-    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    batches = list(pdf_iter)
+    if not batches:
+        # timeout-triggered invocations (state.hasTimedOut) deliver an empty
+        # iterator — nothing to attribute, keep state for the expiry policy
+        yield pd.DataFrame(
+            {"event_id": [], "user_id": [], "bucket": [], "value": []}
+        ).astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
+        return
+    rows = pd.concat(batches, ignore_index=True)
     rows = rows.sort_values(["ts", "event_id"])  # in-batch time order
     for r in rows.itertuples(index=False):
         us = int(r.ts.value // 1000)
@@ -260,7 +268,9 @@ def _attribution_update(
                     int(r.event_id),
                     int(key[0]),
                     "attributed" if attributed else "organic",
-                    float(r.value),
+                    # a NULL purchase value still attributes; carry 0.0 rather
+                    # than crashing the whole query on one malformed event
+                    0.0 if pd.isna(r.value) else float(r.value),
                 )
             )
         # processing in (ts, event_id) order replays the batch window's

@@ -76,7 +76,6 @@ def test_no_undocumented_global_window(plans):
     in one task — the classic scale cliff. The formatted spec lists
     partition exprs first; if the very first argument already carries a
     sort direction, the partition list is empty."""
-    pat = re.compile(r"windowspecdefinition\([^()]*?\b(ASC|DESC)\b")
 
     def has_global_window(p: str) -> bool:
         for m in re.finditer(r"windowspecdefinition\(", p):

@@ -83,6 +83,16 @@ def main() -> None:
             "sf": 1.0,
             "built_from": f"{replicas}x sf0.1 (shifted fact keys; documents "
                           "duplicated verbatim — dedup worst case)",
+            "fidelity_caveats": [
+                "only the fact tables are replicated: region/nation/customer/"
+                "supplier/part/embeddings stay at sf0.1, so embedding-heavy "
+                "queries (q138, q148 semantic arm) and dim-join-heavy queries "
+                "time against sf0.1-sized dims",
+                "orders.o_custkey is shifted while customer is copied "
+                "unchanged, so ~90% of replicated orders have no matching "
+                "customer — customer-join row counts (e.g. q140) understate "
+                "true sf1 join cost",
+            ],
             "rows": rows,
             "rc": proc.returncode,
             "summary": summary,
