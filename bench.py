@@ -10,6 +10,7 @@ startup-dominated while ours measure data throughput.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -118,6 +119,10 @@ HEADLINE = [
     "q147_distinct_n",
     "q148_rrf_fusion",
     "q149_seasonal_anomaly",
+    "q150_bucketed_dedup_chain",
+    "q151_stream_upsert_sink",
+    "q152_setjoin_prefix_filter",
+    "q153_sliding_distinct",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
@@ -179,6 +184,15 @@ def main() -> None:
             if timed:
                 dt = round(time.time() - t0, 3)
                 times[name] = min(times.get(name, dt), dt)
+            # hygiene OUTSIDE the timed region: drop cached frames and nudge
+            # the driver GC so ContextCleaner releases the finished query's
+            # localCheckpoint RDD blocks. Without this the battery slowly
+            # accumulates checkpoint blobs in the shared heap and LATE
+            # queries pay rising GC cost as the battery grows — the
+            # r4→r5 "+42% on q111" regression was battery-size residue,
+            # not query-plan regression (isolated A/B in COVERAGE.md).
+            spark.catalog.clearCache()
+            gc.collect()
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

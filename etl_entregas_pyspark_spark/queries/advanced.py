@@ -122,7 +122,14 @@ _Q62_TEMPLATE = """
 def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc, component) for every doc in the near-dup pair graph, where
     component = min doc id reachable (the canonical representative)."""
-    pairs = _near_dup_edges(spark, sf_dir)
+    return propagate_components(_near_dup_edges(spark, sf_dir))
+
+
+def propagate_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair graph given as
+    (doc_a, doc_b) rows: (doc, component) with component = min reachable
+    id. Shared by the q53-pair chain (q62/q72/q111) and the bucketed
+    production chain (q150)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct().cache()

@@ -47,7 +47,7 @@ _PRIORITY = [
     "q150_bucketed_dedup_chain",
     "q151_stream_upsert_sink",
     "q152_setjoin_prefix_filter",
-    "q153_tdigest_quantile_merge",
+    "q153_sliding_distinct",
     # (b) the 7 round-5 operators with no driver row yet.
     "q143_fk_integrity",
     "q144_decay_score",

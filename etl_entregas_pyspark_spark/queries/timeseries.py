@@ -467,3 +467,78 @@ def q144_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("q").cast("bigint") / 1000000.0).alias("decay_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — sliding-window DISTINCT count via interval sweep
+# ---------------------------------------------------------------------------
+
+_SLIDE_H_US = 3600 * 1_000_000  # 1-hour trailing window (inclusive bounds)
+
+
+@register(
+    "q153_sliding_distinct",
+    """
+    SELECT event_id, event_type, ts,
+           CAST(COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_active_users
+    FROM events
+    """,
+    doc="trailing 1-hour DISTINCT user count at every event — the live "
+    "concurrency / active-user metric. Spark window functions CANNOT "
+    "express DISTINCT aggregates over a frame (AnalysisException), so "
+    "this decomposes into an exact interval sweep: user u is counted at "
+    "time t iff u's LATEST event <= t is within [t-1h, t]; that event's "
+    "validity is the interval [ts, min(next_same_user_ts, ts+1h+1us)), "
+    "so each event contributes +1 at its start and -1 at its end, and "
+    "the distinct count at t is the running net of all deltas <= t — "
+    "one prefix sum over the per-(type, microsecond) net deltas, joined "
+    "back to the events on (type, ts). All integer microsecond "
+    "arithmetic; ties collapse exactly (a same-instant handover's -1/+1 "
+    "cancels in the net). Plan: one lead() window per (type, user) — "
+    "high-cardinality partitions — then the cumulative sum partitions "
+    "by event_type only (5 keys): at 100 TB that per-type sort becomes "
+    "the q131 value-bucket prefix-sum (bucket the timeline, per-bucket "
+    "partials, broadcast cumulative offsets — identical arithmetic, no "
+    "fat partition). Oracle: DuckDB's native windowed COUNT(DISTINCT).",
+)
+def q153_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    w_next = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    base = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        epoch_us("ts").alias("t_us"),
+        F.lead(epoch_us("ts")).over(w_next).alias("next_us"),
+    )
+    plus = base.select("event_type", F.col("t_us").alias("tm"), F.lit(1).alias("d"))
+    minus = base.select(
+        "event_type",
+        F.least(
+            F.coalesce(F.col("next_us"), F.lit(2**62)),
+            F.col("t_us") + F.lit(_SLIDE_H_US + 1),
+        ).alias("tm"),
+        F.lit(-1).alias("d"),
+    )
+    deltas = (
+        plus.unionByName(minus)
+        .groupBy("event_type", "tm")
+        .agg(F.sum("d").alias("net"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("tm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = deltas.select(
+        F.col("event_type").alias("c_type"),
+        "tm",
+        F.sum("net").over(w_cum).cast("bigint").alias("n_active_users"),
+    )
+    return base.join(
+        cum,
+        (F.col("event_type") == F.col("c_type")) & (F.col("t_us") == F.col("tm")),
+    ).select("event_id", "event_type", "ts", "n_active_users")

@@ -1,0 +1,185 @@
+"""Exactly-once keyed upsert sink: ``foreachBatch`` MERGE-by-key with an
+idempotent, versioned snapshot store.
+
+This is the one production streaming shape the rest of the streaming
+surface (watermarked aggregation, streaming dedup, stream-stream join,
+``applyInPandasWithState`` operators) did not yet exercise: applying a
+keyed change log to a queryable snapshot with exactly-once semantics.
+Structured Streaming guarantees at-least-once delivery to ``foreachBatch``
+— after a failure the SAME epoch can be re-delivered — so the sink must
+make re-application a no-op. Two mechanisms compose here:
+
+1. **Epoch fencing** — the snapshot store records the last applied epoch
+   in a pointer file written via atomic rename; a re-delivered epoch
+   ``<=`` the committed one is skipped outright. This is the standard
+   transactional-sink recipe from the Structured Streaming programming
+   guide (public Spark docs, "foreachBatch: reuse existing batch data
+   sources ... using the batchId to deduplicate").
+2. **Versioned rewrites** — each merge writes a NEW ``v<N>`` directory and
+   only then swings the pointer, so readers never see a half-written
+   snapshot and a crash mid-write leaves the previous version intact.
+
+The merge itself (``merge_snapshot``) is a pure DataFrame computation
+shared with the batch twin q151, which folds the same change log in
+time-sliced chunks and is value-checked against q104's single-pass
+snapshot by the DuckDB oracle. Equivalence of the LIVE sink with q104 is
+pinned by ``tests/test_upsert_sink.py`` on a time-sliced replay, including
+a deliberate epoch re-delivery.
+
+Scale: the per-batch merge is one shuffle of (existing snapshot ∪ batch
+keys); at 100 TB the snapshot store would be a bucketed table on the key
+(io.writers.write_bucketed) so the merge join co-locates without moving
+snapshot bytes — the same layout argument as q150. Rewriting only
+key-buckets touched by the batch (partition-pruned merge) is the next
+refinement; semantics are identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_POINTER = "_COMMITTED.json"
+
+SNAPSHOT_COLS = [
+    "user_id", "current_value", "updated_at", "last_event_id", "n_ops", "live",
+]
+
+
+def merge_snapshot(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Fold one change-log batch into the keyed snapshot store.
+
+    ``batch`` carries (user_id, event_id, ts, value, op) with op 'U'
+    (upsert) or 'D' (delete tombstone). The store keeps, per key, the
+    winning op by global (ts, event_id) order plus the TOTAL op count —
+    tombstoned keys stay in the store with ``live = false`` so their op
+    history survives a later re-insert (q104 reports lifetime n_ops).
+    The fold is associative over time-slices and idempotent for a
+    replayed *merge result* (epoch fencing handles replayed *inputs*);
+    out-of-order slices are safe because the winner is chosen by
+    (ts, event_id), not arrival order."""
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_all = Window.partitionBy("user_id")
+    last = (
+        batch.select("user_id", "event_id", "ts", "value", "op")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("batch_ops", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("b_value"),
+            F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("b_event_id"),
+            F.col("op").alias("b_op"),
+            "batch_ops",
+        )
+    )
+    if existing is None:
+        return last.select(
+            "user_id",
+            F.col("b_value").alias("current_value"),
+            F.col("b_ts").alias("updated_at"),
+            F.col("b_event_id").alias("last_event_id"),
+            F.col("batch_ops").cast("bigint").alias("n_ops"),
+            (F.col("b_op") == "U").alias("live"),
+        )
+    e = existing.alias("e")
+    b = last.alias("b")
+    joined = e.join(b, "user_id", "full_outer")
+    b_present = F.col("b_ts").isNotNull()
+    e_present = F.col("updated_at").isNotNull()
+    b_newer = b_present & (
+        ~e_present
+        | (F.col("b_ts") > F.col("updated_at"))
+        | (
+            (F.col("b_ts") == F.col("updated_at"))
+            & (F.col("b_event_id") > F.col("last_event_id"))
+        )
+    )
+    return joined.select(
+        "user_id",
+        F.when(b_newer, F.col("b_value")).otherwise(F.col("current_value")).alias(
+            "current_value"
+        ),
+        F.when(b_newer, F.col("b_ts")).otherwise(F.col("updated_at")).alias(
+            "updated_at"
+        ),
+        F.when(b_newer, F.col("b_event_id")).otherwise(F.col("last_event_id")).alias(
+            "last_event_id"
+        ),
+        (
+            F.coalesce(F.col("n_ops"), F.lit(0))
+            + F.coalesce(F.col("batch_ops"), F.lit(0))
+        ).cast("bigint").alias("n_ops"),
+        F.when(b_newer, F.col("b_op") == "U").otherwise(F.col("live")).alias("live"),
+    )
+
+
+def snapshot_view(store: DataFrame) -> DataFrame:
+    """The queryable post-merge snapshot: live keys only, q104's columns."""
+    return store.filter(F.col("live")).select(
+        "user_id", "current_value", "updated_at", "n_ops"
+    )
+
+
+def _read_pointer(snapshot_dir: str) -> dict:
+    p = os.path.join(snapshot_dir, _POINTER)
+    if not os.path.exists(p):
+        return {"epoch": -1, "version": 0}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_pointer(snapshot_dir: str, epoch: int, version: int) -> None:
+    fd, tmp = tempfile.mkstemp(dir=snapshot_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"epoch": int(epoch), "version": int(version)}, f)
+    os.replace(tmp, os.path.join(snapshot_dir, _POINTER))  # atomic on POSIX
+
+
+def read_snapshot_store(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
+    ptr = _read_pointer(snapshot_dir)
+    if ptr["version"] == 0:
+        return None
+    return spark.read.parquet(os.path.join(snapshot_dir, f"v{ptr['version']}"))
+
+
+def upsert_batch(batch_df: DataFrame, epoch_id: int, snapshot_dir: str) -> bool:
+    """Apply one micro-batch to the snapshot store; returns False when the
+    epoch was already committed (re-delivery after recovery — skipped, so
+    n_ops never double-counts). Write order is crash-safe: new version
+    directory first, pointer swing (atomic rename) last."""
+    os.makedirs(snapshot_dir, exist_ok=True)
+    ptr = _read_pointer(snapshot_dir)
+    if epoch_id <= ptr["epoch"]:
+        return False
+    spark = batch_df.sparkSession
+    existing = read_snapshot_store(spark, snapshot_dir)
+    merged = merge_snapshot(existing, batch_df)
+    new_version = ptr["version"] + 1
+    merged.write.mode("overwrite").parquet(
+        os.path.join(snapshot_dir, f"v{new_version}")
+    )
+    _commit_pointer(snapshot_dir, epoch_id, new_version)
+    return True
+
+
+def start_upsert_sink(
+    change_log: DataFrame, snapshot_dir: str, checkpoint_dir: str
+):
+    """Run the streaming change log into the snapshot store. The source
+    must carry (user_id, event_id, ts, value, op)."""
+    return (
+        change_log.writeStream.foreachBatch(
+            lambda df, epoch: upsert_batch(df, epoch, snapshot_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
