@@ -123,6 +123,12 @@ HEADLINE = [
     "q151_stream_upsert_sink",
     "q152_setjoin_prefix_filter",
     "q153_sliding_distinct",
+    "q154_calibration_bins",
+    "q155_psi_drift",
+    "q156_feature_matrix",
+    "q157_negative_sampling",
+    "q158_containment_join",
+    "q159_linear_attribution",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

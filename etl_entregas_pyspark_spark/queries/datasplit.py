@@ -608,3 +608,84 @@ def q130_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — deterministic negative sampling for recommendation training
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4  # proposals per user
+_NEG_PARTS = 2000  # part-key domain is 0..1999 (contiguous)
+
+
+@register(
+    "q157_negative_sampling",
+    f"""
+    WITH inter AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), users AS (
+        SELECT DISTINCT custkey FROM inter WHERE custkey % 7 = 0
+    ), props AS (
+        SELECT u.custkey, k.k,
+               {_md5_int_sql("CAST(u.custkey AS VARCHAR) || '#' || CAST(k.k AS VARCHAR)")}
+                   % {_NEG_PARTS} AS part_neg
+        FROM users u CROSS JOIN (SELECT unnest(range(1, {_NEG_K + 1})) AS k) k
+    )
+    SELECT p.custkey, CAST(p.k AS BIGINT) AS k, CAST(p.part_neg AS BIGINT) AS part_neg
+    FROM props p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM inter i
+        WHERE i.custkey = p.custkey AND i.partkey = p.part_neg
+    )
+    """,
+    doc="deterministic negative sampling: for every 7th customer, propose "
+    "K=4 candidate parts via a content hash (md5(custkey#k) mod "
+    "|parts|) and anti-join away true interactions — the (user, "
+    "negative-item) pairs a two-tower or matrix-factorization trainer "
+    "consumes. Hash proposals (not rand()) make the sample reproducible "
+    "across runs, engines, partitionings, and retries — the same "
+    "property as q63's content-hash split; collisions with true "
+    "interactions simply drop (observed rate ~ interactions/|parts|), "
+    "which is the standard accept-reject formulation. Plan: the "
+    "interaction set is ONE distinct scan reused by proposal and "
+    "anti-join sides; proposals are |users|*K rows; the anti-join "
+    "shuffles on (custkey, partkey) — at 100 TB interactions are "
+    "pre-bucketed on custkey (q150's layout) and the anti-join "
+    "co-locates shuffle-free.",
+)
+def q157_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("partkey")
+    )
+    inter = o.join(l, "o_orderkey").select("custkey", "partkey").distinct()
+    users = inter.filter(F.col("custkey") % 7 == 0).select("custkey").distinct()
+    props = users.select(
+        "custkey", F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("k")
+    ).select(
+        "custkey",
+        "k",
+        (
+            md5_int(
+                F.concat(
+                    F.col("custkey").cast("string"),
+                    F.lit("#"),
+                    F.col("k").cast("string"),
+                )
+            )
+            % _NEG_PARTS
+        ).alias("part_neg"),
+    )
+    neg = props.join(
+        inter,
+        (props.custkey == inter.custkey) & (props.part_neg == inter.partkey),
+        "left_anti",
+    )
+    return neg.select(
+        "custkey",
+        F.col("k").cast("bigint").alias("k"),
+        F.col("part_neg").cast("bigint").alias("part_neg"),
+    )

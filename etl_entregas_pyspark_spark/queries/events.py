@@ -1005,3 +1005,78 @@ def q146_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), 6).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — linear multi-touch attribution (the credit-splitting twin of q146)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q159_linear_attribution",
+    f"""
+    WITH purchases AS (
+        SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_s, value
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_s
+        FROM events WHERE event_type = 'click'
+    ), touch AS (
+        SELECT p.user_id, p.p_id, p.value, c.click_id,
+               CAST(COUNT(*) OVER (PARTITION BY p.p_id) AS BIGINT) AS m
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.c_s < p.p_s
+         AND p.p_s - c.c_s <= {7 * 24 * 3600 * 1_000_000}
+    )
+    SELECT click_id, ANY_VALUE(user_id) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(value / m * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS credit
+    FROM touch GROUP BY click_id
+    """,
+    doc="linear (equal-split) multi-touch attribution: each purchase's "
+    "value divides equally across ALL of the user's clicks in the 7-day "
+    "lookback (strictly before), and every click reports its total "
+    "earned credit — the fair-share companion to q146's last-touch "
+    "winner-take-all. The touch join is an equi-join on user_id with a "
+    "range predicate (per-user histories are bounded, so the pair "
+    "volume is sum-of-products per user, never cross-corpus); the "
+    "per-purchase touch count m is a window over the purchase id; each "
+    "credit share value/m is ONE division then floor-1e-6 quantized, so "
+    "the per-click sum is partition-order-independent and "
+    "engine-identical. At 100 TB the user_id equi-join co-locates via "
+    "the standard user-bucketed event layout; fan-out is bounded by "
+    "clicks-per-user x purchases-per-user within one key.",
+)
+def q159_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    s = epoch_us("ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), s.alias("p_s"), "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        s.alias("c_s"),
+    )
+    touch = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_s < purchases.p_s)
+        & (purchases.p_s - clicks.c_s <= _ATTR_WINDOW_US),
+    )
+    from pyspark.sql.window import Window as _W
+
+    m = F.count(F.lit(1)).over(_W.partitionBy("p_id")).cast("bigint")
+    shares = touch.select(
+        "click_id",
+        "user_id",
+        "p_id",
+        F.floor(F.col("value") / m * 1000000.0).cast("bigint").alias("q_credit"),
+    )
+    return shares.groupBy("click_id").agg(
+        F.first("user_id").alias("user_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        (F.sum("q_credit").cast("double") / 1000000.0).alias("credit"),
+    )

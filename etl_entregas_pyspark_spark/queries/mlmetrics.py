@@ -337,3 +337,188 @@ def q140_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — calibration (reliability) bins for a scored classifier
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+@register(
+    "q154_calibration_bins",
+    f"""
+    WITH pts AS (
+        SELECT CAST(e.embedding[1] AS DOUBLE) AS score, e.label % 2 AS y
+        FROM embeddings e
+    ), ext AS (
+        SELECT MIN(score) AS lo, MAX(score) AS hi FROM pts
+    ), binned AS (
+        SELECT LEAST(CAST(FLOOR((score - lo) / (hi - lo) * {_CAL_BINS}) AS BIGINT),
+                     {_CAL_BINS - 1}) AS bin,
+               score, y
+        FROM pts, ext
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_rnd_sql("CAST(SUM(CAST(FLOOR(score * 1000000.0) AS BIGINT)) AS DOUBLE)"
+                     " / 1000000.0 / COUNT(*)", 6)} AS mean_score,
+           {_rnd_sql("CAST(SUM(y) AS DOUBLE) / COUNT(*)", 6)} AS frac_pos
+    FROM binned GROUP BY bin
+    """,
+    doc="reliability-diagram bins: the calibration companion to q138's "
+    "AUC — equal-width score bins over the observed [min, max], each "
+    "reporting its population, quantized mean score, and positive rate; "
+    "a calibrated scorer has mean_score tracking frac_pos per bin. The "
+    "(lo, hi) extent is ONE scalar aggregate broadcast back over the "
+    "scan (windowless q99 pattern), bin assignment is a single "
+    "fixed-order fp expression identical in both engines, and the mean "
+    "is a dsum-quantized integer sum with one final division — no "
+    "accumulation-order hazard. Plan: two passes over the scored "
+    "column, both whole-stage-codegen, one 10-row exchange.",
+)
+def q154_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") % 2).alias("y"),
+    )
+    ext = pts.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = pts.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor(
+                (F.col("score") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _CAL_BINS
+            ).cast("bigint"),
+            F.lit(_CAL_BINS - 1),
+        ).alias("bin"),
+        "score",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        rnd(
+            F.sum(F.floor(F.col("score") * 1000000.0).cast("bigint")).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+        rnd(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias("frac_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155 — PSI (population stability index) feature-drift monitor
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+# additive smoothing keeps empty bins finite (the standard 0.5 pseudo-count)
+_PSI_TERM = (
+    "((c1 + 0.5) / (n1 + {b} * 0.5) - (c2 + 0.5) / (n2 + {b} * 0.5))"
+    " * LN(((c1 + 0.5) / (n1 + {b} * 0.5)) / ((c2 + 0.5) / (n2 + {b} * 0.5)))"
+).format(b=_PSI_BINS)
+
+
+@register(
+    "q155_psi_drift",
+    f"""
+    WITH pts AS (
+        SELECT event_type, value,
+               CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS s1
+        FROM events WHERE value IS NOT NULL
+    ), ext AS (
+        SELECT event_type AS e_type, MIN(value) AS lo, MAX(value) AS hi
+        FROM pts WHERE s1 = 1 GROUP BY event_type
+    ), binned AS (
+        SELECT p.event_type,
+               LEAST(GREATEST(CAST(FLOOR((p.value - x.lo) / (x.hi - x.lo)
+                                          * {_PSI_BINS}) AS BIGINT), 0),
+                     {_PSI_BINS - 1}) AS bin,
+               p.s1
+        FROM pts p JOIN ext x ON p.event_type = x.e_type
+    ), cells AS (
+        SELECT event_type, bin,
+               CAST(SUM(s1) AS BIGINT) AS c1,
+               CAST(SUM(1 - s1) AS BIGINT) AS c2
+        FROM binned GROUP BY event_type, bin
+    ), tot AS (
+        SELECT event_type, bin, c1, c2,
+               SUM(c1) OVER (PARTITION BY event_type) AS n1,
+               SUM(c2) OVER (PARTITION BY event_type) AS n2
+        FROM cells
+    )
+    SELECT event_type,
+           CAST(ANY_VALUE(n1) AS BIGINT) AS n_ref,
+           CAST(ANY_VALUE(n2) AS BIGINT) AS n_cur,
+           {_rnd_sql("CAST(SUM(CAST(FLOOR((" + _PSI_TERM + ") * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0", 5)} AS psi
+    FROM tot GROUP BY event_type
+    """,
+    doc="population stability index per event type: the industry-standard "
+    "score-drift monitor beside q136 (chi-square, categorical) and q139 "
+    "(KS, max CDF gap) — PSI = sum (p_i - q_i) ln(p_i / q_i) over 10 "
+    "equal-width bins of the REFERENCE (first month-half) extent, 0.5 "
+    "pseudo-count smoothing so empty bins stay finite, current-half "
+    "values clamped into the edge bins. Bin edges come from one "
+    "per-type min/max aggregate (broadcast join — with 5 types the "
+    "whole extent table is bytes); each PSI term is a fixed-order "
+    "double expression quantized floor-1e-6 before the integer sum, so "
+    "the aggregate is partition-order-independent and engine-identical "
+    "(same libm ln on this host, the q140/q141 contract). Plan: two "
+    "scans (extent + binning), one 50-row cell exchange, and a 5-row "
+    "result — nothing grows with data volume except the scans.",
+)
+def q155_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    pts = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("s1"),
+    )
+    ext = (
+        pts.filter(F.col("s1") == 1)
+        .groupBy(F.col("event_type").alias("e_type"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    binned = pts.join(
+        F.broadcast(ext), pts.event_type == ext.e_type
+    ).select(
+        "event_type",
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * _PSI_BINS
+                ).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        "s1",
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum("s1").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("s1")).cast("bigint").alias("c2"),
+    )
+    w_all = Window.partitionBy("event_type")
+    tot = cells.select(
+        "event_type",
+        "c1",
+        "c2",
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    p = (F.col("c1") + 0.5) / (F.col("n1") + _PSI_BINS * 0.5)
+    q = (F.col("c2") + 0.5) / (F.col("n2") + _PSI_BINS * 0.5)
+    term = (p - q) * F.log(p / q)
+    return tot.groupBy("event_type").agg(
+        F.first("n1").cast("bigint").alias("n_ref"),
+        F.first("n2").cast("bigint").alias("n_cur"),
+        rnd(
+            F.sum(F.floor(term * 1000000.0).cast("bigint")).cast("double")
+            / 1000000.0,
+            5,
+        ).alias("psi"),
+    )

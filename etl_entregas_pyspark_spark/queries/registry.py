@@ -48,6 +48,12 @@ _PRIORITY = [
     "q151_stream_upsert_sink",
     "q152_setjoin_prefix_filter",
     "q153_sliding_distinct",
+    "q154_calibration_bins",
+    "q155_psi_drift",
+    "q156_feature_matrix",
+    "q157_negative_sampling",
+    "q158_containment_join",
+    "q159_linear_attribution",
     # (b) the 7 round-5 operators with no driver row yet.
     "q143_fk_integrity",
     "q144_decay_score",

@@ -542,3 +542,75 @@ def q153_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum,
         (F.col("event_type") == F.col("c_type")) & (F.col("t_us") == F.col("tm")),
     ).select("event_id", "event_type", "ts", "n_active_users")
+
+
+# ---------------------------------------------------------------------------
+# q156 — point-in-time feature matrix (leakage-free feature-store backfill)
+# ---------------------------------------------------------------------------
+
+_FM_DAY_US = 86400 * 1_000_000
+
+
+@register(
+    "q156_feature_matrix",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+               CAST(datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                    AS BIGINT) AS day
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           COALESCE(CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT))
+                         OVER w90 AS DOUBLE) / 10000.0, 0.0) AS spend_90d,
+           CAST(COUNT(*) OVER w90 AS BIGINT) AS n_orders_90d,
+           CAST(day - LAG(day) OVER (PARTITION BY o_custkey
+                                     ORDER BY day, o_orderkey) AS BIGINT)
+               AS days_since_prev
+    FROM o
+    WINDOW w90 AS (PARTITION BY o_custkey ORDER BY day
+                   RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+    """,
+    doc="point-in-time training-feature assembly: for EVERY order, the "
+    "customer's trailing-90-day spend and order count STRICTLY BEFORE "
+    "the order's own day (RANGE 90 PRECEDING AND 1 PRECEDING — same-day "
+    "siblings are excluded, so no feature ever sees its own label's "
+    "timestamp) plus recency (days since previous order). This is the "
+    "leakage-free feature-store backfill contract: train-time features "
+    "computed per historical example must equal what serving would have "
+    "known at that instant, which the strictly-before frame guarantees "
+    "by construction. Day ordinals are exact integers (midnight-aligned "
+    "timestamps / 86400e6), spend is a dsum-quantized integer sum. "
+    "Plan: ONE hash exchange on o_custkey serves both the RANGE frame "
+    "and the recency lag (same partitioning, Catalyst plans one sort); "
+    "per-customer row counts are bounded, so no fat partitions at any "
+    "corpus size.",
+)
+def q156_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.floor(epoch_us("o_orderdate") / F.lit(_FM_DAY_US)).cast("long").alias("day"),
+    )
+    w90 = (
+        Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-90, -1)
+    )
+    w_prev = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.coalesce(
+            F.sum(F.floor(F.col("o_totalprice") * 10000.0).cast("bigint"))
+            .over(w90)
+            .cast("double")
+            / 10000.0,
+            F.lit(0.0),
+        ).alias("spend_90d"),
+        F.count(F.lit(1)).over(w90).cast("bigint").alias("n_orders_90d"),
+        (F.col("day") - F.lag("day").over(w_prev))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
