@@ -129,6 +129,9 @@ HEADLINE = [
     "q157_negative_sampling",
     "q158_containment_join",
     "q159_linear_attribution",
+    "q160_interval_overlap_join",
+    "q161_proportional_allocation",
+    "q162_bfs_levels",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -1,6 +1,8 @@
-"""Range join and iterative connected components — the last two "operators
-Spark lacks natively", built per the SURVEY §2.11 recipe (compose
-built-ins; never O(n²), never a UDF).
+"""Operators Spark lacks natively, built per the SURVEY §2.11 recipe
+(compose built-ins; never O(n²), never a UDF): range join (q59),
+interval-overlap join (q160), iterative connected components (q62 family),
+PageRank supersteps (q115), largest-remainder allocation (q161), and
+bounded BFS over a bipartite graph (q162).
 
 q59 range join: a naive interval join is a cartesian theta-join. The
 scalable decomposition buckets time into fixed grains: each interval
@@ -662,4 +664,268 @@ def q137_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lift").desc(), "ant", "cons")
         .limit(_AR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160 — interval OVERLAP join (both sides are intervals; q59 generalized)
+# ---------------------------------------------------------------------------
+
+_OV_GRAIN_S = 300  # 5-minute grains; intervals here span <= 3 grains
+
+
+@register(
+    "q160_interval_overlap_join",
+    """
+    WITH err AS (
+        SELECT event_id AS error_id, epoch_us(ts) AS a_start,
+               epoch_us(ts) + 600000000 AS a_end
+        FROM events WHERE event_type = 'error'
+    ), pur AS (
+        SELECT event_id AS purchase_id, epoch_us(ts) - 300000000 AS b_start,
+               epoch_us(ts) + 300000000 AS b_end
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.error_id, p.purchase_id,
+           CAST(LEAST(e.a_end, p.b_end) - GREATEST(e.a_start, p.b_start)
+                AS BIGINT) AS overlap_us
+    FROM err e JOIN pur p
+      ON e.a_start < p.b_end AND p.b_start < e.a_end
+    """,
+    doc="interval-overlap join: every (error outage window, purchase "
+    "risk window) pair whose intervals intersect, with the exact "
+    "overlap length — the generalization of q59 (point-in-range) to "
+    "interval x interval, which Spark would otherwise plan as a "
+    "cartesian theta-join. Decomposition: both sides explode to the "
+    "fixed 5-minute grains they touch (bounded by len/grain + 1 rows "
+    "each), candidates come from a grain EQUI-join, a pair spanning "
+    "several shared grains dedups once, and the exact predicate + "
+    "overlap arithmetic run integer-only on microsecond bounds. Grain "
+    "choice trades fan-out for candidate precision exactly as in q59; "
+    "at 100 TB the grain column is also the time-partition key, so the "
+    "equi-join prunes to co-resident partitions. Oracle: the plain "
+    "theta join.",
+)
+def q160_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    us = epoch_us("ts")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        us.alias("a_start"),
+        (us + 600_000_000).alias("a_end"),
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (us - 300_000_000).alias("b_start"),
+        (us + 300_000_000).alias("b_end"),
+    )
+    g = _OV_GRAIN_S * 1_000_000
+
+    def gridded(df, s, t):
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / g), F.floor((F.col(t) - 1) / g)
+                )
+            ).alias("grain"),
+        )
+
+    cand = (
+        gridded(err, "a_start", "a_end")
+        .join(gridded(pur, "b_start", "b_end"), "grain")
+        .select("error_id", "purchase_id", "a_start", "a_end", "b_start", "b_end")
+        .dropDuplicates(["error_id", "purchase_id"])
+    )
+    return cand.filter(
+        (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end"))
+    ).select(
+        "error_id",
+        "purchase_id",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).cast("bigint").alias("overlap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q161 — proportional allocation with largest-remainder exactness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q161_proportional_allocation",
+    """
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q
+        FROM lineitem
+    ), o AS (
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               AS total_cents
+        FROM orders
+    ), base AS (
+        SELECT li.l_orderkey, li.l_linenumber, li.q, o.total_cents,
+               CAST(SUM(li.q) OVER (PARTITION BY li.l_orderkey) AS BIGINT) AS qsum
+        FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+    ), shares AS (
+        SELECT l_orderkey, l_linenumber,
+               total_cents * q // qsum AS floor_cents,
+               (total_cents * q) % qsum AS rem,
+               CAST(total_cents
+                    - SUM(total_cents * q // qsum)
+                      OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_extra
+        FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor_cents
+                + CASE WHEN ROW_NUMBER() OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY rem DESC, l_linenumber) <= n_extra
+                       THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+    FROM shares
+    """,
+    doc="pro-rata allocation with largest-remainder exactness: spread "
+    "each order's total (integer cents) across its line items "
+    "proportionally to quantity so the integer allocations sum to the "
+    "order total EXACTLY — floor shares first, then the leftover cents "
+    "go to the lines with the largest integer remainders "
+    "(deterministic l_linenumber tie-break). Every step is bigint "
+    "arithmetic (total*q div Q, total*q mod Q), so both engines agree "
+    "bitwise and rounding drift is structurally impossible — the "
+    "invoice-splitting / cost-attribution primitive every billing "
+    "pipeline needs. Plan: one hash exchange on l_orderkey serves the "
+    "quantity sum, the floor-share sum, and the remainder rank (same "
+    "partitioning, one sort); the orders join is a fact-fact equi-join "
+    "that pre-bucketed tables co-locate (SCALE.md, Joins). Range "
+    "bound: total_cents * q <= ~1e10 per row — bigint-safe to "
+    "petabyte-scale order values.",
+)
+def q161_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("q"),
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias(
+            "total_cents"
+        ),
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    base = li.join(o, "l_orderkey").select(
+        "l_orderkey",
+        "l_linenumber",
+        "q",
+        "total_cents",
+        F.sum("q").over(w_ord).cast("bigint").alias("qsum"),
+    )
+    floor_cents = F.expr("total_cents * q div qsum")
+    shares = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        floor_cents.alias("floor_cents"),
+        ((F.col("total_cents") * F.col("q")) % F.col("qsum")).alias("rem"),
+        (
+            F.col("total_cents")
+            - F.sum(floor_cents).over(w_ord)
+        ).cast("bigint").alias("n_extra"),
+    )
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber")
+    )
+    return shares.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("floor_cents")
+            + F.when(F.row_number().over(w_rank) <= F.col("n_extra"), 1).otherwise(0)
+        ).cast("bigint").alias("alloc_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — bounded BFS over the bipartite purchase graph (reach levels)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q162_bfs_levels",
+    """
+    WITH inter AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), l0 AS (
+        SELECT DISTINCT c FROM inter WHERE c % 50 = 0
+    ), l1 AS (
+        SELECT DISTINCT i.p FROM inter i JOIN l0 ON i.c = l0.c
+    ), l2 AS (
+        SELECT DISTINCT i.c FROM inter i JOIN l1 ON i.p = l1.p
+        WHERE i.c NOT IN (SELECT c FROM l0)
+    ), l3 AS (
+        SELECT DISTINCT i.p FROM inter i JOIN l2 ON i.c = l2.c
+        WHERE i.p NOT IN (SELECT p FROM l1)
+    )
+    SELECT 'customer' AS node_type, c AS node_id, CAST(0 AS BIGINT) AS level
+    FROM l0
+    UNION ALL
+    SELECT 'part', p, 1 FROM l1
+    UNION ALL
+    SELECT 'customer', c, 2 FROM l2
+    UNION ALL
+    SELECT 'part', p, 3 FROM l3
+    """,
+    doc="bounded breadth-first search over the bipartite customer-part "
+    "purchase graph: seed customers (custkey % 50 = 0), then alternate "
+    "hops — parts they bought (level 1), other customers of those "
+    "parts (level 2), those customers' parts (level 3) — keeping each "
+    "node at its MINIMUM level via anti-joins against the frontier "
+    "history. This is the collaborative-filtering neighborhood / "
+    "fraud-ring expansion primitive; 'users who bought what you "
+    "bought also bought...' is exactly the level-3 frontier. Each hop "
+    "is one equi-join on the interaction table + one anti-join "
+    "(Pregel superstep as a relational plan, like q115); hop count is "
+    "a constant, so lineage depth is fixed. At 100 TB the interaction "
+    "table is bucketed on each join side's key (two sort orders / "
+    "projections, the standard bipartite layout) and every frontier "
+    "is broadcast-sized relative to it. Oracle: unrolled CTE hops.",
+)
+def q162_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"), "o_orderkey"
+    )
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("p")
+    )
+    inter = o.join(l, "o_orderkey").select("c", "p").distinct().localCheckpoint()
+    l0 = inter.filter(F.col("c") % 50 == 0).select("c").distinct()
+    l1 = inter.join(l0, "c").select("p").distinct()
+    l2 = (
+        inter.join(l1, "p")
+        .select("c")
+        .distinct()
+        .join(l0, "c", "left_anti")
+    )
+    l3 = (
+        inter.join(l2, "c")
+        .select("p")
+        .distinct()
+        .join(l1, "p", "left_anti")
+    )
+    lvl = F.lit
+    return (
+        l0.select(F.lit("customer").alias("node_type"), F.col("c").alias("node_id"),
+                  lvl(0).cast("bigint").alias("level"))
+        .unionByName(l1.select(F.lit("part").alias("node_type"),
+                               F.col("p").alias("node_id"),
+                               lvl(1).cast("bigint").alias("level")))
+        .unionByName(l2.select(F.lit("customer").alias("node_type"),
+                               F.col("c").alias("node_id"),
+                               lvl(2).cast("bigint").alias("level")))
+        .unionByName(l3.select(F.lit("part").alias("node_type"),
+                               F.col("p").alias("node_id"),
+                               lvl(3).cast("bigint").alias("level")))
     )

@@ -54,6 +54,9 @@ _PRIORITY = [
     "q157_negative_sampling",
     "q158_containment_join",
     "q159_linear_attribution",
+    "q160_interval_overlap_join",
+    "q161_proportional_allocation",
+    "q162_bfs_levels",
     # (b) the 7 round-5 operators with no driver row yet.
     "q143_fk_integrity",
     "q144_decay_score",

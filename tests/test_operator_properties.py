@@ -348,12 +348,16 @@ def test_interval_islands_match_python_model(spark_sess, rows):
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = iv.select(
-        "user_id", "s", "e",
+        "user_id", "event_id", "s", "e",
         F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1)
         .otherwise(0).alias("ni"),
     )
+    # the running island-number MUST use the SAME total order as the flag
+    # window (production q133 does): with variable-length same-start
+    # intervals, ordering one window by (s, e) and the other by
+    # (s, event_id) mislabels islands — hypothesis found the case
     w_run = (
-        Window.partitionBy("user_id").orderBy("s", "e")
+        Window.partitionBy("user_id").orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (
@@ -665,3 +669,26 @@ def test_decay_score_matches_python_model(spark_sess, rows):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-9
+
+
+def test_q161_allocations_sum_exactly_to_order_totals(spark, sf_dir):
+    """Largest-remainder exactness: per order, the integer cent
+    allocations must reproduce round(o_totalprice*100) EXACTLY — the
+    invariant that distinguishes this from naive proportional rounding."""
+    import pyspark.sql.functions as F
+
+    from etl_entregas_pyspark_spark.queries.advanced import (
+        q161_proportional_allocation,
+    )
+
+    alloc = (
+        q161_proportional_allocation(spark, sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.sum("alloc_cents").alias("got"))
+    )
+    want = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("want"),
+    )
+    bad = alloc.join(want, "l_orderkey").filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0
