@@ -132,6 +132,11 @@ HEADLINE = [
     "q160_interval_overlap_join",
     "q161_proportional_allocation",
     "q162_bfs_levels",
+    "q163_weighted_sample_noreplace",
+    "q164_category_entropy",
+    "q165_ab_proportion_test",
+    "q166_golden_record",
+    "q167_pmi_cooccurrence",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

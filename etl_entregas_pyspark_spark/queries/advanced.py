@@ -678,11 +678,12 @@ _OV_GRAIN_S = 300  # 5-minute grains; intervals here span <= 3 grains
     "q160_interval_overlap_join",
     """
     WITH err AS (
-        SELECT event_id AS error_id, epoch_us(ts) AS a_start,
+        SELECT user_id, event_id AS error_id, epoch_us(ts) AS a_start,
                epoch_us(ts) + 600000000 AS a_end
         FROM events WHERE event_type = 'error'
     ), pur AS (
-        SELECT event_id AS purchase_id, epoch_us(ts) - 300000000 AS b_start,
+        SELECT user_id, event_id AS purchase_id,
+               epoch_us(ts) - 300000000 AS b_start,
                epoch_us(ts) + 300000000 AS b_end
         FROM events WHERE event_type = 'purchase'
     )
@@ -690,50 +691,59 @@ _OV_GRAIN_S = 300  # 5-minute grains; intervals here span <= 3 grains
            CAST(LEAST(e.a_end, p.b_end) - GREATEST(e.a_start, p.b_start)
                 AS BIGINT) AS overlap_us
     FROM err e JOIN pur p
-      ON e.a_start < p.b_end AND p.b_start < e.a_end
+      ON e.user_id = p.user_id
+     AND e.a_start < p.b_end AND p.b_start < e.a_end
     """,
-    doc="interval-overlap join: every (error outage window, purchase "
-    "risk window) pair whose intervals intersect, with the exact "
-    "overlap length — the generalization of q59 (point-in-range) to "
-    "interval x interval, which Spark would otherwise plan as a "
+    doc="interval-overlap join: every same-user (error outage window, "
+    "purchase risk window) pair whose intervals intersect, with the "
+    "exact overlap length — the generalization of q59 (point-in-range) "
+    "to interval x interval, which Spark would otherwise plan as a "
     "cartesian theta-join. Decomposition: both sides explode to the "
     "fixed 5-minute grains they touch (bounded by len/grain + 1 rows "
-    "each), candidates come from a grain EQUI-join, a pair spanning "
-    "several shared grains dedups once, and the exact predicate + "
-    "overlap arithmetic run integer-only on microsecond bounds. Grain "
-    "choice trades fan-out for candidate precision exactly as in q59; "
-    "at 100 TB the grain column is also the time-partition key, so the "
-    "equi-join prunes to co-resident partitions. Oracle: the plain "
-    "theta join.",
+    "each), candidates come from a (user_id, grain) EQUI-join, a pair "
+    "spanning several shared grains dedups once, and the exact "
+    "predicate + overlap arithmetic run integer-only on microsecond "
+    "bounds. The entity key in the join is load-bearing at scale: an "
+    "UNKEYED overlap join's true pair count is O(per-grain density^2) "
+    "— measured 47x wall on 16x data (SCALE.md) because 16x density "
+    "on both sides means ~256x genuinely overlapping pairs; keying by "
+    "user bounds density per join group and restores linear growth. "
+    "Oracle: the plain theta join.",
 )
 def q160_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = E(spark, sf_dir)
     us = epoch_us("ts")
     err = e.filter(F.col("event_type") == "error").select(
+        "user_id",
         F.col("event_id").alias("error_id"),
         us.alias("a_start"),
         (us + 600_000_000).alias("a_end"),
     )
     pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
         (us - 300_000_000).alias("b_start"),
         (us + 300_000_000).alias("b_end"),
     )
     g = _OV_GRAIN_S * 1_000_000
 
-    def gridded(df, s, t):
+    def gridded(df, s, t, grain_name):
         return df.select(
             "*",
             F.explode(
                 F.sequence(
                     F.floor(F.col(s) / g), F.floor((F.col(t) - 1) / g)
                 )
-            ).alias("grain"),
+            ).alias(grain_name),
         )
 
     cand = (
-        gridded(err, "a_start", "a_end")
-        .join(gridded(pur, "b_start", "b_end"), "grain")
+        gridded(err, "a_start", "a_end", "grain")
+        .join(
+            gridded(pur, "b_start", "b_end", "p_grain"),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("grain") == F.col("p_grain")),
+        )
         .select("error_id", "purchase_id", "a_start", "a_end", "b_start", "b_end")
         .dropDuplicates(["error_id", "purchase_id"])
     )

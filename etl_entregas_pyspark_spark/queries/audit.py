@@ -372,3 +372,78 @@ def q149_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("s").cast("double") / F.col("n_days"), 4).alias("mean_c"),
         "n_anomalies",
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — categorical diversity audit: Shannon entropy + Gini impurity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q164_category_entropy",
+    f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY lang, source
+    ), per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+               CAST(SUM(CAST(FLOOR((CASE WHEN c > 0
+                        THEN c * LOG2(CAST(c AS DOUBLE)) ELSE 0 END)
+                        * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS clog
+        FROM cells GROUP BY lang
+    )
+    SELECT lang, n_sources, n,
+           {_rnd_sql("LOG2(CAST(n AS DOUBLE)) - clog / n", 6)} AS entropy_bits,
+           {_rnd_sql("1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n AS DOUBLE) * n)", 6)}
+               AS gini
+    FROM per_lang
+    """,
+    doc="categorical diversity audit per language: Shannon entropy and "
+    "Gini impurity of the source-distribution — the corpus-mixture "
+    "monitor a training-data pipeline runs beside q86's mixture "
+    "weights (has one source quietly taken over a language slice?). "
+    "Entropy uses the exact-count identity H = log2(n) - sum(c*log2(c))"
+    "/n with per-cell terms floor-1e-4 quantized before the integer "
+    "sum (order-independent, q140's contract); Gini is PURE integer "
+    "arithmetic (1 - sum(c^2)/n^2) with a single final division — "
+    "bitwise cross-engine. Plan: one (lang, source) partial-aggregated "
+    "exchange, then a per-lang rollup of a few dozen cells; cost is "
+    "the scan, state is the category cross-product.",
+)
+def q164_category_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    clog_cell = F.when(
+        F.col("c") > 0, F.col("c") * F.log2(F.col("c").cast("double"))
+    ).otherwise(F.lit(0.0))
+    per_lang = cells.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+        (
+            F.sum(F.floor(clog_cell * 10000.0).cast("bigint")).cast("double")
+            / 10000.0
+        ).alias("clog"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_sources",
+        "n",
+        rnd(
+            F.log2(F.col("n").cast("double")) - F.col("clog") / F.col("n"), 6
+        ).alias("entropy_bits"),
+        rnd(
+            1.0
+            - F.col("sum_c2").cast("double")
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("gini"),
+    )

@@ -689,3 +689,65 @@ def q157_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("k"),
         F.col("part_neg").cast("bigint").alias("part_neg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WSN_K = 5
+_WSN_M = 1_000_000  # hash-uniform resolution
+
+
+@register(
+    "q163_weighted_sample_noreplace",
+    f"""
+    WITH keyed AS (
+        SELECT source, doc_id,
+               POWER((({_md5_int_sql("CAST(doc_id AS VARCHAR) || '#wsn'")}
+                       % {_WSN_M}) + 0.5) / {_WSN_M}.0,
+                     1.0 / n_chars) AS k
+        FROM documents WHERE n_chars > 0 AND source IS NOT NULL
+    )
+    SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY k DESC, doc_id) AS rnk
+        FROM keyed
+    ) WHERE rnk <= {_WSN_K}
+    """,
+    doc="weighted sampling WITHOUT replacement, k=5 docs per source with "
+    "probability proportional to n_chars — the Efraimidis-Spirakis "
+    "A-ES one-pass reduction (public: Inf. Proc. Letters 2006): draw "
+    "u ~ Uniform(0,1) per item, keep the top-k by u^(1/w); the order "
+    "statistics reproduce sequential weighted draws exactly. u comes "
+    "from a content hash, not rand(), so the sample is reproducible "
+    "across runs/engines/partitionings (q63's determinism contract); "
+    "u^(1/w) is one pow() on identical doubles — same libm on both "
+    "engines (the q140/q141 contract). Unlike q123's Poisson sampling "
+    "(independent coin per row, random SIZE), A-ES returns EXACTLY k "
+    "per stratum. Plan: keys are computed in the scan stage; top-k per "
+    "source is a partitioned window (at extreme per-stratum skew, the "
+    "same salted partial top-k rewrite as SCALE.md's ANN section "
+    "applies verbatim).",
+)
+def q163_weighted_sample_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") > 0) & F.col("source").isNotNull()
+    )
+    u = (
+        (md5_int(F.concat(F.col("doc_id").cast("string"), F.lit("#wsn"))) % _WSN_M)
+        + 0.5
+    ) / float(_WSN_M)
+    keyed = d.select(
+        "source", "doc_id", F.pow(u, 1.0 / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (
+        keyed.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _WSN_K)
+        .select("source", "doc_id", F.col("rnk").cast("bigint").alias("rnk"))
+    )

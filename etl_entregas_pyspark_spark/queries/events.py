@@ -1080,3 +1080,98 @@ def q159_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         (F.sum("q_credit").cast("double") / 1000000.0).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — golden-record survivorship (field-level precedence merge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q166_golden_record",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               epoch_us(ts) AS s
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen,
+           MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_event_type,
+           MAX(CASE WHEN rn_purchase = 1 THEN value END) AS last_purchase_value,
+           MAX(CASE WHEN rn_click = 1 THEN ts END) AS last_click_ts
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY s DESC, event_id DESC) AS rn_last,
+               ROW_NUMBER() OVER (PARTITION BY user_id,
+                                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                                  ORDER BY s DESC, event_id DESC)
+                   * CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rn_purchase,
+               ROW_NUMBER() OVER (PARTITION BY user_id,
+                                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                                  ORDER BY s DESC, event_id DESC)
+                   * CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS rn_click
+        FROM e
+    ) GROUP BY user_id
+    """,
+    doc="golden-record survivorship: assemble ONE row per user where "
+    "each field survives by its own precedence rule — lifetime count "
+    "and first/last seen from plain aggregates, last event type from "
+    "the newest row, last purchase value only from purchase rows, last "
+    "click time only from click rows (all recency-resolved with the "
+    "(ts, event_id) tie-break). This is the MDM / identity-resolution "
+    "merge shape: per-FIELD winners from different source rows, not "
+    "one winning row (which is q80's latest-per-key). Implementation "
+    "keeps ONE user_id exchange: the three row_number windows and the "
+    "final groupBy all share the user_id clustering (the conditional "
+    "windows partition by (user_id, is_X) — same hash prefix), and "
+    "each field folds with MAX(CASE WHEN rn=1 ...) so no joins ever "
+    "form. At 100 TB this is the standard profile-store compaction "
+    "run; state per task is bounded by per-user history.",
+)
+def q166_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = E(spark, sf_dir)
+    s = epoch_us("ts")
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_c = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("s").desc(), F.col("event_id").desc()
+    )
+    w_p = Window.partitionBy("user_id", "is_p").orderBy(
+        F.col("s").desc(), F.col("event_id").desc()
+    )
+    w_c = Window.partitionBy("user_id", "is_c").orderBy(
+        F.col("s").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        s.alias("s"),
+        is_p.alias("is_p"),
+        is_c.alias("is_c"),
+    ).select(
+        "*",
+        F.row_number().over(w_last).alias("rn_last"),
+        (F.row_number().over(w_p) * F.col("is_p")).alias("rn_purchase"),
+        (F.row_number().over(w_c) * F.col("is_c")).alias("rn_click"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("event_type"))).alias(
+            "last_event_type"
+        ),
+        F.max(F.when(F.col("rn_purchase") == 1, F.col("value"))).alias(
+            "last_purchase_value"
+        ),
+        F.max(F.when(F.col("rn_click") == 1, F.col("ts"))).alias("last_click_ts"),
+    )

@@ -522,3 +522,80 @@ def q155_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — A/B two-proportion z-test (experimentation primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q165_ab_proportion_test",
+    f"""
+    WITH pts AS (
+        SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+               user_id % 2 AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ), cells AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        FROM pts GROUP BY day
+    )
+    SELECT day, n_a, x_a, n_b, x_b,
+           {_rnd_sql(
+               "CAST((x_a * n_b - x_b * n_a) AS DOUBLE)"
+               " * (x_a * n_b - x_b * n_a)"
+               " / (n_a * n_b) * (n_a + n_b)"
+               " / (x_a + x_b) / (n_a + n_b - x_a - x_b)", 6)} AS z2
+    FROM cells
+    WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+      AND x_a + x_b < n_a + n_b
+    """,
+    doc="daily A/B two-proportion z-test: split users into arms by "
+    "user-id parity, conversion = purchase event, and per day report "
+    "the squared pooled z statistic z^2 = (pA - pB)^2 / (p(1-p)(1/nA + "
+    "1/nB)) — the significance gate every experimentation platform "
+    "evaluates continuously (z^2 > 3.84 ~ p < 0.05). The statistic is "
+    "algebraically rearranged so ALL products are computed on exact "
+    "integer counts and the doubles enter only in one fixed-order "
+    "expression (no pA/pB intermediates whose rounding could differ), "
+    "rounded 6dp. Degenerate days (an empty arm, zero or unanimous "
+    "conversion) are excluded — the statistic is undefined there. "
+    "Plan: one conditional-sum groupBy on day (31 groups), map-side "
+    "partials, nothing scales beyond the scan.",
+)
+def q165_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    pts = e.select(
+        F.dayofmonth("ts").cast("bigint").alias("day"),
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    cells = pts.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    d = F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")
+    x = F.col("x_a") + F.col("x_b")
+    nx = F.col("n_a") + F.col("n_b") - x
+    n = F.col("n_a") + F.col("n_b")
+    # z^2 = d^2 * n / (nA * nB * x * (n - x)) with d = xA*nB - xB*nA:
+    # algebraically equal to (pA-pB)^2 / (p(1-p)(1/nA+1/nB)) but with all
+    # products on exact integers and ONE fixed-order double expression
+    # (division order matches the oracle token-for-token)
+    z2 = (
+        d.cast("double") * d / (F.col("n_a") * F.col("n_b")) * n / x / nx
+    )
+    return cells.filter(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (x > 0) & (x < n)
+    ).select("day", "n_a", "x_a", "n_b", "x_b", rnd(z2, 6).alias("z2"))

@@ -57,6 +57,11 @@ _PRIORITY = [
     "q160_interval_overlap_join",
     "q161_proportional_allocation",
     "q162_bfs_levels",
+    "q163_weighted_sample_noreplace",
+    "q164_category_entropy",
+    "q165_ab_proportion_test",
+    "q166_golden_record",
+    "q167_pmi_cooccurrence",
     # (b) the 7 round-5 operators with no driver row yet.
     "q143_fk_integrity",
     "q144_decay_score",

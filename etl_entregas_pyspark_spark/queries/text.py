@@ -1222,3 +1222,82 @@ def q147_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("d1").cast("double") / F.col("n1"), 6).alias("distinct_1"),
         rnd(F.col("d2").cast("double") / F.col("n2"), 6).alias("distinct_2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — PMI word co-occurrence (collocation mining)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIRS = 20  # support floor: PMI of rare pairs is noise
+
+
+@register(
+    "q167_pmi_cooccurrence",
+    f"""
+    WITH w AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w
+    ), uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY tok
+    ), pair AS (
+        SELECT a.tok AS w1, b.tok AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT p.w1, p.w2, p.c12,
+           {_rnd_sql("LOG2(CAST(p.c12 AS DOUBLE) * n.n_docs / (u1.c * u2.c))", 6)}
+               AS pmi
+    FROM pair p
+    JOIN uni u1 ON p.w1 = u1.tok
+    JOIN uni u2 ON p.w2 = u2.tok
+    CROSS JOIN n
+    WHERE p.c12 >= {_PMI_MIN_PAIRS}
+    """,
+    doc="pointwise mutual information over within-document word "
+    "co-occurrence: PMI(w1, w2) = log2(P12 / (P1 P2)) with document-"
+    "frequency probabilities — the classic collocation / related-terms "
+    "miner (phrase detection in word2vec preprocessing uses exactly "
+    "this score). All counts are exact integers and PMI is ONE log2 of "
+    "an exact integer rational (c12 * N / (c1 * c2)) — no probability "
+    "intermediates, engine-identical. Pair generation follows q118's "
+    "basket pattern: collect each doc's distinct words and explode the "
+    "local pair grid — per-doc work is bounded by distinct-words², no "
+    "self-join ever reaches the cluster (on an open-vocabulary corpus "
+    "you'd support-prune the unigram tail FIRST, then grid only "
+    "retained words — same plan, one extra semi-join). Support floor "
+    "c12 >= 20 keeps the noise floor out. One exchange for unigram "
+    "counts (broadcast back), one for pair partial-aggregation.",
+)
+def q167_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws")
+    )
+    w = docs.select("doc_id", F.explode("ws").alias("tok"))
+    n = w.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    uni = w.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ws = F.col("ws")
+    grid = F.flatten(
+        F.transform(
+            ws, lambda x: F.transform(ws, lambda y: F.struct(x.alias("a"), y.alias("b")))
+        )
+    )
+    pair = (
+        docs.select(F.explode(grid).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .groupBy(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_PAIRS)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    out = (
+        pair.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    pmi = F.log2(
+        F.col("c12").cast("double") * F.col("n_docs") / (F.col("c1") * F.col("c2"))
+    )
+    return out.select("w1", "w2", "c12", rnd(pmi, 6).alias("pmi"))

@@ -37,7 +37,11 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
            "q141_bigram_perplexity", "q143_fk_integrity",
            "q144_decay_score", "q145_count_min_sketch",
            "q146_last_touch_attribution", "q147_distinct_n",
-           "q148_rrf_fusion", "q149_seasonal_anomaly"]
+           "q148_rrf_fusion", "q149_seasonal_anomaly",
+           "q150_bucketed_dedup_chain", "q152_setjoin_prefix_filter",
+           "q153_sliding_distinct", "q156_feature_matrix",
+           "q159_linear_attribution", "q160_interval_overlap_join",
+           "q161_proportional_allocation", "q162_bfs_levels"]
 # fact tables replicated with shifted keys; dims copied as-is.
 # documents replicate with IDENTICAL text — deliberately: N× literal
 # duplication is the near-dup operator's worst case (every LSH bucket's
