@@ -137,6 +137,8 @@ HEADLINE = [
     "q165_ab_proportion_test",
     "q166_golden_record",
     "q167_pmi_cooccurrence",
+    "q168_geo_distance_join",
+    "q169_hierarchy_rollup",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -939,3 +939,60 @@ def q162_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("p").alias("node_id"),
                                lvl(3).cast("bigint").alias("level")))
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — bounded hierarchy rollup (BOM / org-tree subtree aggregation)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_DEPTH = 3  # aggregate each node over descendants within 3 levels
+
+
+@register(
+    "q169_hierarchy_rollup",
+    f"""
+    WITH contrib AS (
+        SELECT unnest(list_distinct([
+                   p_partkey, p_partkey // 2, p_partkey // 4, p_partkey // 8
+               ])) AS anc,
+               CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM part
+    )
+    SELECT anc AS part_id,
+           CAST(COUNT(*) AS BIGINT) AS n_desc,
+           CAST(SUM(cents) AS BIGINT) AS subtree_cents
+    FROM contrib GROUP BY anc
+    """,
+    doc="bounded hierarchy rollup: each part aggregates retail price "
+    "over its subtree within 3 levels, on the synthetic binary tree "
+    "parent(p) = p div 2 (the testdata has no hierarchy; the derived "
+    "one is deterministic in both engines). The BOM / org-chart "
+    "subtree-total shape — and the plan is the interesting part: "
+    "instead of iterating child->parent joins, every node EXPLODES its "
+    "own bounded ancestor path (p >> 0..3, list_distinct for the "
+    "root's self-loops) and one groupBy(ancestor) folds the rollup — "
+    "depth-k subtree aggregation as ONE partial-aggregated exchange "
+    "with k+1 rows per node, no loop, no lineage growth. Prices enter "
+    "as exact integer cents. Unbounded-depth rollups switch to q62's "
+    "pointer-jumping (O(log depth) rounds); for the bounded window "
+    "every BI tool actually asks for, the explode form is strictly "
+    "better at any scale.",
+)
+def q169_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    anc = F.array_distinct(
+        F.array(
+            F.col("p_partkey"),
+            F.expr("p_partkey div 2"),
+            F.expr("p_partkey div 4"),
+            F.expr("p_partkey div 8"),
+        )
+    )
+    contrib = p.select(F.explode(anc).alias("anc"), "cents")
+    return contrib.groupBy(F.col("anc").alias("part_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_desc"),
+        F.sum("cents").cast("bigint").alias("subtree_cents"),
+    )

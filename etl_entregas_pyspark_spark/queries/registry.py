@@ -62,6 +62,8 @@ _PRIORITY = [
     "q165_ab_proportion_test",
     "q166_golden_record",
     "q167_pmi_cooccurrence",
+    "q168_geo_distance_join",
+    "q169_hierarchy_rollup",
     # (b) the 7 round-5 operators with no driver row yet.
     "q143_fk_integrity",
     "q144_decay_score",
