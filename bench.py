@@ -139,6 +139,8 @@ HEADLINE = [
     "q167_pmi_cooccurrence",
     "q168_geo_distance_join",
     "q169_hierarchy_rollup",
+    "q170_rolling_corr",
+    "q171_link_prediction",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

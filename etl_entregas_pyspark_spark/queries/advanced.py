@@ -996,3 +996,74 @@ def q169_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_desc"),
         F.sum("cents").cast("bigint").alias("subtree_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — link prediction: neighbor-set Jaccard over the purchase graph
+# ---------------------------------------------------------------------------
+
+_LP_MIN_COMMON = 3
+
+
+@register(
+    "q171_link_prediction",
+    f"""
+    WITH inter AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM inter GROUP BY c
+    ), common AS (
+        SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM inter a JOIN inter b ON a.p = b.p AND a.c < b.c
+        GROUP BY a.c, b.c
+        HAVING COUNT(*) >= {_LP_MIN_COMMON}
+    )
+    SELECT m.c1, m.c2, m.cn AS n_common,
+           {_rnd_sql("CAST(m.cn AS DOUBLE) / (d1.d + d2.d - m.cn)", 4)}
+               AS jaccard
+    FROM common m
+    JOIN deg d1 ON m.c1 = d1.c
+    JOIN deg d2 ON m.c2 = d2.c
+    """,
+    doc="link prediction over the bipartite purchase graph: for every "
+    "customer pair with >= 3 parts in common, the Jaccard similarity "
+    "of their neighbor (part) sets — the classic common-neighbors "
+    "feature a recommender or fraud-ring model scores candidate edges "
+    "with (q162 finds WHO is reachable; this scores HOW ALIKE they "
+    "buy). Counts are exact integers; the score is one division, "
+    "rounded 4dp. Plan: the distinct interaction scan is shared by the "
+    "degree aggregate and the part-keyed self-join; the join's pair "
+    "stream is support-pruned by the HAVING before the degree joins "
+    "(which broadcast — degrees are one row per customer). At 100 TB "
+    "the self-join is bounded by part popularity: hub parts (bought by "
+    "everyone) would contribute quadratic pairs and zero signal, so "
+    "production first caps part degree (drop the top-percentile hubs, "
+    "exactly q137's support-prune argument) — same plan, one extra "
+    "filter on a part-degree aggregate.",
+)
+def q171_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"), "o_orderkey"
+    )
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("p")
+    )
+    inter = o.join(l, "o_orderkey").select("c", "p").distinct().localCheckpoint()
+    deg = inter.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = inter.select(F.col("c").alias("c1"), "p")
+    b = inter.select(F.col("c").alias("c2"), "p")
+    common = (
+        a.join(b, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= _LP_MIN_COMMON)
+    )
+    d1 = deg.select(F.col("c").alias("c1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("c").alias("c2"), F.col("d").alias("d2"))
+    out = common.join(F.broadcast(d1), "c1").join(F.broadcast(d2), "c2")
+    jac = F.col("n_common").cast("double") / (
+        F.col("d1") + F.col("d2") - F.col("n_common")
+    )
+    return out.select("c1", "c2", "n_common", rnd(jac, 4).alias("jaccard"))

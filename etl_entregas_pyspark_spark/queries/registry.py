@@ -64,6 +64,8 @@ _PRIORITY = [
     "q167_pmi_cooccurrence",
     "q168_geo_distance_join",
     "q169_hierarchy_rollup",
+    "q170_rolling_corr",
+    "q171_link_prediction",
     # (b) the 7 round-5 operators with no driver row yet.
     "q143_fk_integrity",
     "q144_decay_score",

@@ -11,7 +11,7 @@ from pyspark.sql.window import Window
 
 from etl_entregas_pyspark_spark.queries.events import E
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, dsum, rnd
+from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, _rnd_sql, dsum, rnd
 from etl_entregas_pyspark_spark.timeutil import epoch_us
 
 
@@ -613,4 +613,103 @@ def q156_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("day") - F.lag("day").over(w_prev))
         .cast("bigint")
         .alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — rolling correlation between two event series (windowed suff-stats)
+# ---------------------------------------------------------------------------
+
+_RC_WIN = 6  # trailing hours (ROWS frame within each day partition)
+_RC_Q = 10_000  # value quantization for exact integer sufficient stats
+
+
+@register(
+    "q170_rolling_corr",
+    f"""
+    WITH hourly AS (
+        SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(FLOOR(value * {_RC_Q}.0) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * {_RC_Q}.0) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT day, hour,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+        FROM hourly
+        WINDOW w AS (PARTITION BY day ORDER BY hour
+                     ROWS BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, hour, n,
+           {_rnd_sql(
+               "CAST(n * sxy - sx * sy AS DOUBLE)"
+               " / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+               " / SQRT(CAST(n * syy - sy * sy AS DOUBLE))", 6)} AS corr
+    FROM stats
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="rolling Pearson correlation between the hourly click-value and "
+    "purchase-value series, over a trailing 6-hour frame within each "
+    "day — the co-movement monitor quant/telemetry stores compute "
+    "continuously (is the purchase stream still tracking the click "
+    "stream?). Hourly sums are quantized to integers FIRST, so every "
+    "windowed sufficient statistic (n, Sx, Sy, Sxy, Sxx, Syy) is an "
+    "exact bigint and corr is one fixed-order double expression — "
+    "engine-identical, no accumulation drift (the windowed sibling of "
+    "q122's closed-form OLS). Zero-variance windows are excluded "
+    "(undefined). Plan: one hour-grain pre-aggregation (map-side "
+    "combined), then a day-partitioned 24-row window — the exchange "
+    "carries 744 rows/month regardless of event volume. Range bound: "
+    "x*y <= ~1e16 per hour-pair at this quantization — bigint holds; "
+    "scale the quantizer down for heavier-tailed values.",
+)
+def q170_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    q = F.floor(F.col("value") * _RC_Q).cast("bigint")
+    hourly = e.groupBy(
+        F.dayofmonth("ts").cast("bigint").alias("day"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", q).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", q).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("hour")
+        .rowsBetween(-(_RC_WIN - 1), Window.currentRow)
+    )
+    stats = hourly.select(
+        "day",
+        "hour",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.filter((vx > 0) & (vy > 0)).select(
+        "day",
+        "hour",
+        "n",
+        rnd(
+            cov.cast("double") / F.sqrt(vx.cast("double")) / F.sqrt(vy.cast("double")),
+            6,
+        ).alias("corr"),
     )
