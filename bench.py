@@ -141,6 +141,7 @@ HEADLINE = [
     "q169_hierarchy_rollup",
     "q170_rolling_corr",
     "q171_link_prediction",
+    "q172_clamped_running_sum",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -66,6 +66,7 @@ _PRIORITY = [
     "q169_hierarchy_rollup",
     "q170_rolling_corr",
     "q171_link_prediction",
+    "q172_clamped_running_sum",
     # (b) the 7 round-5 operators with no driver row yet.
     "q143_fk_integrity",
     "q144_decay_score",

@@ -713,3 +713,92 @@ def q170_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — clamped running balance (zero-floor fold as a window identity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q172_clamped_running_sum",
+    """
+    WITH flow AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    WHEN event_type = 'click'
+                    THEN -CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END AS x
+        FROM events WHERE user_id < 50
+    ), pre AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS prefix
+        FROM flow
+    ), mins AS (
+        SELECT user_id, event_id, prefix,
+               CAST(MIN(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS run_min
+        FROM pre
+    )
+    SELECT user_id, event_id,
+           CAST(prefix - LEAST(0, run_min) AS BIGINT) AS balance_cents
+    FROM mins
+    """,
+    doc="running balance with a ZERO FLOOR: purchases credit, clicks "
+    "debit, and the balance clamps at 0 after every event — the "
+    "inventory / prepaid-wallet / rate-limiter fold S_t = max(0, "
+    "S_{t-1} + x_t) that window functions cannot express directly "
+    "(each step depends non-linearly on the previous). The exact "
+    "algebraic identity unlocks it: S_t = prefix_t - min(0, "
+    "min_{k<=t} prefix_k) — a clamp-at-zero fold equals the raw prefix "
+    "sum minus its most negative excursion so far — so the whole "
+    "operator is two stacked windows over ONE user_id exchange, all "
+    "integer cents, bitwise cross-engine. (Proof sketch: both sides "
+    "satisfy the same recurrence; min(0, run_min) only moves when the "
+    "clamp would have bound.) The general-lower-bound and capped "
+    "variants follow the same identity shifted. At 100 TB this is an "
+    "ordinary partitioned window — per-user history bounds the sort; "
+    "the non-scalable alternative (per-key UDF fold) is exactly what "
+    "this avoids.",
+)
+def q172_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir).filter(F.col("user_id") < 50)
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    flow = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", cents)
+        .when(F.col("event_type") == "click", -cents)
+        .otherwise(F.lit(0))
+        .alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # running min of the prefix uses the SAME (ts, event_id) order; the
+    # ordering columns are carried through so no value re-sort happens
+    pre = flow.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("x").over(w).cast("bigint").alias("prefix"),
+    )
+    run_min = F.min("prefix").over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return pre.select(
+        "user_id",
+        "event_id",
+        (F.col("prefix") - F.least(F.lit(0), run_min))
+        .cast("bigint")
+        .alias("balance_cents"),
+    )

@@ -275,3 +275,19 @@ def test_ab_test_symmetric_under_arm_swap(spark, sf_dir):
         )
         assert abs(swapped - r.z2) < 1e-4, (r.day, swapped, r.z2)
     assert base
+
+
+# ---------------------------------------------------------------------------
+# q172 clamp identity — prefix - min(0, running min) ≡ the max(0, ·) fold
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40))
+def test_clamp_identity_matches_fold(xs):
+    prefix, run_min, s = 0, 0, 0
+    for x in xs:
+        prefix += x
+        run_min = min(run_min, prefix)
+        s = max(0, s + x)  # the fold window functions cannot express
+        assert prefix - min(0, run_min) == s
