@@ -192,7 +192,6 @@ def q152_setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _C_TAU = 0.8
-_C_MOD = 3  # doc_id % 3 == 1 — a different slice than q152's
 
 
 def _q158_oracle() -> str:
@@ -202,7 +201,7 @@ def _q158_oracle() -> str:
     return f"""
     WITH docs AS (
         SELECT doc_id, {_sh_sql(3)} AS toks
-        FROM documents WHERE doc_id % {_C_MOD} = 1
+        FROM documents
     )
     SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
            {_rnd_sql(cont, 4)} AS containment
@@ -236,7 +235,6 @@ def _q158_oracle() -> str:
 def q158_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         T(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % _C_MOD == 1)
         # single-split testdata: spread tokenization (SCALE.md note)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("tok"))
