@@ -1035,7 +1035,8 @@ _LP_MIN_COMMON = 3
     "rounded 4dp. Plan: the distinct interaction scan is shared by the "
     "degree aggregate and the part-keyed self-join; the join's pair "
     "stream is support-pruned by the HAVING before the degree joins "
-    "(which broadcast — degrees are one row per customer). At 100 TB "
+    "(left to AQE: degree cardinality is the customer count, so a "
+    "forced broadcast would not survive large SF). At 100 TB "
     "the self-join is bounded by part popularity: hub parts (bought by "
     "everyone) would contribute quadratic pairs and zero signal, so "
     "production first caps part degree (drop the top-percentile hubs, "
@@ -1062,7 +1063,10 @@ def q171_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = deg.select(F.col("c").alias("c1"), F.col("d").alias("d1"))
     d2 = deg.select(F.col("c").alias("c2"), F.col("d").alias("d2"))
-    out = common.join(F.broadcast(d1), "c1").join(F.broadcast(d2), "c2")
+    # no broadcast hint: degree cardinality equals the customer count, so
+    # forcing a broadcast would OOM the driver at large SF — AQE picks
+    # broadcast on its own when the degree frame is actually small
+    out = common.join(d1, "c1").join(d2, "c2")
     jac = F.col("n_common").cast("double") / (
         F.col("d1") + F.col("d2") - F.col("n_common")
     )

@@ -20,6 +20,9 @@ shuffle-free on the bucket key.
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,7 +43,21 @@ from etl_entregas_pyspark_spark.queries.similarity import (
 )
 
 _N_BUCKETS = 16
-_TABLE = "b150_documents"
+
+
+def _bucket_table(spark: SparkSession) -> tuple[str, str]:
+    """Per-session table name and a stable per-session data path.
+
+    The table name is suffixed with the Spark application id so concurrent
+    sessions sharing a metastore don't clobber each other, and the path is
+    derived from the same id so repeated invocations in one session reuse
+    (and first clean) ONE directory instead of leaking a fresh
+    ``mkdtemp`` per run — DROP TABLE on an external table leaves the
+    files, so the caller must own the path lifecycle."""
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    table = f"b150_documents_{app_id}"
+    path = os.path.join(tempfile.gettempdir(), f"q150_bucketed_docs_{app_id}")
+    return table, path
 
 
 def _q150_oracle() -> str:
@@ -112,11 +129,12 @@ def q150_bucketed_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lay the corpus down bucketed once (at production scale this is the
     # standing ingest layout, not a per-query step; the write is included
     # here so the query is self-contained for the driver)
-    spark.sql(f"DROP TABLE IF EXISTS {_TABLE}")
-    path = tempfile.mkdtemp(prefix="q150_bucketed_docs_")
-    write_bucketed(raw, _TABLE, ["doc_id"], _N_BUCKETS, path=path,
+    table, path = _bucket_table(spark)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(path, ignore_errors=True)  # external table: files outlive DROP
+    write_bucketed(raw, table, ["doc_id"], _N_BUCKETS, path=path,
                    sort_cols=["doc_id"])
-    docs = spark.table(_TABLE)
+    docs = spark.table(table)
 
     fpdf = docs.select(
         "doc_id", "n_chars", F.md5(F.lower(F.col("text"))).alias("fp")

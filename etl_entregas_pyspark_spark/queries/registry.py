@@ -41,66 +41,15 @@ def register(name: str, oracle: Optional[str], doc: str = "") -> Callable[[Spark
 # front; everything else follows in registration order, so the window is
 # always "all unproven queries + as many previously-proven as fit".
 _PRIORITY = [
-    # --- round-6 window ------------------------------------------------
-    # (a) NEW this round (registered later in r6; unregistered names are
-    # filtered out, so this list is forward-safe).
-    "q150_bucketed_dedup_chain",
-    "q151_stream_upsert_sink",
-    "q152_setjoin_prefix_filter",
-    "q153_sliding_distinct",
-    "q154_calibration_bins",
-    "q155_psi_drift",
-    "q156_feature_matrix",
-    "q157_negative_sampling",
-    "q158_containment_join",
-    "q159_linear_attribution",
-    "q160_interval_overlap_join",
-    "q161_proportional_allocation",
-    "q162_bfs_levels",
-    "q163_weighted_sample_noreplace",
-    "q164_category_entropy",
-    "q165_ab_proportion_test",
-    "q166_golden_record",
-    "q167_pmi_cooccurrence",
-    "q168_geo_distance_join",
-    "q169_hierarchy_rollup",
-    "q170_rolling_corr",
-    "q171_link_prediction",
-    "q172_clamped_running_sum",
-    # (b) the 7 round-5 operators with no driver row yet.
-    "q143_fk_integrity",
-    "q144_decay_score",
-    "q145_count_min_sketch",
-    "q146_last_touch_attribution",
-    "q147_distinct_n",
-    "q148_rrf_fusion",
-    "q149_seasonal_anomaly",
-    # (c) q26 yielded its r5 slot to q142; its newest row is round 1.
-    "q26_math_funcs",
-    # (d) the 42 queries whose newest driver row dates to round 3
-    # (stale-green rotation — r4 proved rot is real). Any that overflow
-    # the 50-query window roll to the round-7 rotation; all 147 are
-    # locally re-proven each round by tools/check_correctness.py at
-    # sf0.01 AND sf0.1 (recorded in COVERAGE.md).
-    "q27_conditional_agg",
-    "q29_pivot",
-    "q33_events_json",
-    "q37_from_json",
-    "q39_scalar_subquery",
-    "q40_text_stats",
-    "q43_langid_heuristic",
-    "q49_posexplode",
-    "q57_multimodal_decode",
-    "q62_dedup_components",
-    "q63_deterministic_split",
-    "q64_decontamination",
-    "q65_statistical_moments",
-    "q66_chunking",
-    "q67_stratified_sample",
-    "q68_int8_quantization",
-    "q69_trailing_range_window",
-    "q70_gap_fill_forward",
-    "q71_alto_valor_flag",
+    # --- round-7 window ------------------------------------------------
+    # (a) NEW this round (forward-safe: unregistered names are filtered).
+    "q173_link_prediction_capped",
+    "q174_sliding_distinct_bucketed",
+    "q175_stream_sliding_distinct",
+    # (b) the 23 queries whose newest driver row dates to round 3 —
+    # the last stale-green cohort (newest-row histogram after r6:
+    # r6=50, r5=50, r4=47, r3=23). Retiring these makes every registry
+    # query's newest driver row ≤3 rounds old.
     "q72_dedup_materialize",
     "q73_ivf_search",
     "q74_unpivot",
@@ -124,6 +73,33 @@ _PRIORITY = [
     "q94_scd2_intervals",
     "q95_partial_merge",
     "q100_incremental_dedup",
+    # (c) fill the remaining window slots with the stalest round-4 rows
+    # (47 total; the rest roll to the round-8 rotation). Flagships q60/
+    # q61 lead, then registration order.
+    "q60_entregas_pipeline",
+    "q61_entregas_quality_metrics",
+    "q34_approx_distinct",
+    "q35_approx_quantiles",
+    "q38_array_funcs",
+    "q58_asof_join",
+    "q59_range_join",
+    "q83_sessionization",
+    "q93_dedup_pipeline",
+    "q96_map_funcs",
+    "q97_explode_outer",
+    "q98_cohort_retention",
+    "q99_rfm_segments",
+    "q101_ohlc_bars",
+    "q102_rolling_zscore",
+    "q103_bigram_counts",
+    "q104_cdc_apply",
+    "q105_per_key_sample",
+    "q106_kmeans_loop",
+    "q107_skew_split_join",
+    "q108_twap",
+    "q109_minmax_scale",
+    "q110_boilerplate_score",
+    "q111_cluster_canonical",
 ]
 
 

@@ -92,6 +92,16 @@ def q152_setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % _SUBSET_MOD == 0)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
+    return setjoin_pairs(docs, _TAU)
+
+
+def setjoin_pairs(docs: DataFrame, tau: float = _TAU) -> DataFrame:
+    """The q152 pipeline over an arbitrary (doc_id, text) frame: exact
+    collapse → rarest-first prefix emission → equi-join candidates →
+    exact Jaccard verify → clique/cross expansion. Factored out so the
+    hypothesis property test (tests/test_round6_properties.py) drives the
+    REAL Spark implementation against a brute-force model, not a Python
+    re-derivation of the math."""
     # exact collapse on the raw text (NOT lowered: tokens are case-
     # sensitive, so only byte-identical texts may share a representative)
     fpdf = docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
@@ -120,7 +130,7 @@ def q152_setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w_sz).alias("sz"),
     ).localCheckpoint()
     prefix = ordered.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(_TAU) * F.col("sz")) + 1
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
     )
     buckets = (
         prefix.groupBy("tok")
@@ -153,7 +163,7 @@ def q152_setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
     )
     jac = inter / union
-    rep_pairs = verified.filter(jac >= _TAU).select(
+    rep_pairs = verified.filter(jac >= tau).select(
         "rep_a", "rep_b", rnd(jac, 4).alias("jaccard")
     )
 

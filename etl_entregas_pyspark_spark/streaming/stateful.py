@@ -249,8 +249,12 @@ def _attribution_update(
     out: list[tuple[int, int, str, float]] = []
     batches = list(pdf_iter)
     if not batches:
-        # timeout-triggered invocations (state.hasTimedOut) deliver an empty
-        # iterator — nothing to attribute, keep state for the expiry policy
+        # Defensive only: with GroupStateTimeout.NoTimeout (as wired in
+        # streaming_attribution) Spark never invokes this function with an
+        # empty iterator — that path exists only for timeout-triggered
+        # calls under ProcessingTime/EventTime timeouts. Kept so enabling
+        # an idle-key expiry policy later (state.hasTimedOut + state.remove)
+        # can't crash on the empty batch; today it is unreachable.
         yield pd.DataFrame(
             {"event_id": [], "user_id": [], "bucket": [], "value": []}
         ).astype({"event_id": "int64", "user_id": "int64", "value": "float64"})

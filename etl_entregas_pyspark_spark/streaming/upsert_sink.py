@@ -168,7 +168,28 @@ def upsert_batch(batch_df: DataFrame, epoch_id: int, snapshot_dir: str) -> bool:
         os.path.join(snapshot_dir, f"v{new_version}")
     )
     _commit_pointer(snapshot_dir, epoch_id, new_version)
+    _prune_versions(snapshot_dir, keep_from=new_version - 1)
     return True
+
+
+def _prune_versions(snapshot_dir: str, keep_from: int) -> None:
+    """Delete snapshot versions older than ``keep_from`` (the committed
+    version's predecessor stays for crash recovery; everything earlier is
+    superseded). Without this, a long-running sink writes one full
+    snapshot copy per micro-batch and grows disk unboundedly. Pruning
+    runs AFTER the pointer swing, so a crash mid-prune only leaves extra
+    stale versions — never a dangling pointer."""
+    import shutil
+
+    for entry in os.listdir(snapshot_dir):
+        if not entry.startswith("v"):
+            continue
+        try:
+            version = int(entry[1:])
+        except ValueError:
+            continue
+        if version < keep_from:
+            shutil.rmtree(os.path.join(snapshot_dir, entry), ignore_errors=True)
 
 
 def start_upsert_sink(

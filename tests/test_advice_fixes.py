@@ -136,3 +136,46 @@ class TestRound4AdviceFixes:
         v = out[0].chi2_contrib
         assert v is None or not math.isnan(v), f"expected NULL, got {v}"
         assert v is None
+
+
+class TestRound6AdviceFixes:
+    def test_upsert_sink_prunes_superseded_snapshot_versions(self, spark):
+        """The snapshot store must not grow one full copy per micro-batch:
+        after epoch N commits, only v<N> and v<N-1> (crash-recovery
+        predecessor) may remain on disk."""
+        import os
+        import tempfile
+        from datetime import datetime
+
+        from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+            _read_pointer,
+            upsert_batch,
+        )
+
+        def batch(eid):
+            return spark.createDataFrame(
+                [(1, eid, datetime(2024, 1, 1, 0, 0, eid), float(eid), "U")],
+                "user_id long, event_id long, ts timestamp, value double, op string",
+            )
+
+        with tempfile.TemporaryDirectory() as d:
+            for epoch in range(4):
+                assert upsert_batch(batch(epoch), epoch, d)
+            versions = sorted(e for e in os.listdir(d) if e.startswith("v"))
+            assert versions == ["v3", "v4"], versions
+            assert _read_pointer(d)["epoch"] == 3
+
+    def test_q150_bucket_path_is_stable_per_session(self, spark):
+        """Repeated q150 invocations must reuse ONE per-session scratch
+        directory (cleaned before each rewrite), not leak a fresh mkdtemp
+        per run, and the table name must be session-suffixed."""
+        import os
+
+        from etl_entregas_pyspark_spark.queries.bucketed import _bucket_table
+
+        t1, p1 = _bucket_table(spark)
+        t2, p2 = _bucket_table(spark)
+        assert (t1, p1) == (t2, p2)
+        app_id = spark.sparkContext.applicationId
+        assert app_id.replace("-", "_") in t1
+        assert os.path.basename(p1).startswith("q150_bucketed_docs_")

@@ -114,58 +114,53 @@ def test_sliding_distinct_sweep_matches_bruteforce(spark_sess, rows):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=5, deadline=None)
 @given(
     st.lists(
         st.lists(
-            st.integers(min_value=0, max_value=15), min_size=1, max_size=8
+            st.integers(min_value=0, max_value=6), min_size=1, max_size=9
         ),
         min_size=2,
-        max_size=14,
+        max_size=10,
     )
 )
 def test_prefix_filter_join_has_exact_recall(spark_sess, docsets):
-    """The AllPairs prefix: every pair with Jaccard >= tau MUST share a
-    token inside the prefixes — verified against the brute-force join
-    over random small universes (where prefix pruning is stressed
-    hardest)."""
+    """Exact recall of the REAL q152 Spark pipeline (setjoin_pairs):
+    hypothesis-generated word lists become (doc_id, text) rows, run
+    through the actual collapse → prefix → verify → expansion DataFrame
+    chain, and the resulting pairs must equal the brute-force all-pairs
+    Jaccard join over the same 3-word-shingle sets — including empty-
+    shingle docs (< 3 words), identical-text cliques, and cross-group
+    inheritance."""
+    from etl_entregas_pyspark_spark.queries.setjoin import setjoin_pairs
+
     tau = 0.5
-    docs = [(i, sorted(set(xs))) for i, xs in enumerate(docsets)]
+    texts = [" ".join(str(t) for t in words) for words in docsets]
 
-    # brute force in python
-    def jac(a, b):
-        a, b = set(a), set(b)
-        return len(a & b) / len(a | b)
+    def shingles(words):
+        return {
+            " ".join(str(t) for t in words[k : k + 3])
+            for k in range(len(words) - 2)
+        }
 
-    want = {
-        (i, j)
-        for (i, a) in docs
-        for (j, b) in docs
-        if i < j and jac(a, b) >= tau
+    sets = {i: shingles(w) for i, w in enumerate(docsets)}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= tau:
+                    want[(i, j)] = jac
+
+    docs = spark_sess.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard for r in setjoin_pairs(docs, tau).collect()
     }
-
-    import math
-
-    # global df ranking, rarest first, ties by token
-    from collections import Counter
-
-    df = Counter(t for _, xs in docs for t in xs)
-    order = {t: (df[t], t) for t in df}
-    prefixes = {}
-    for i, xs in docs:
-        ranked = sorted(xs, key=lambda t: order[t])
-        p = len(xs) - math.ceil(tau * len(xs)) + 1
-        prefixes[i] = set(ranked[:p])
-    cand = {
-        (i, j)
-        for (i, a) in docs
-        for (j, b) in docs
-        if i < j and prefixes[i] & prefixes[j]
-    }
-    got = {(i, j) for (i, j) in cand if jac(dict(docs)[i], dict(docs)[j]) >= tau}
-    # exact recall: no qualifying pair escapes the candidate set
-    assert want <= cand
-    assert got == want
+    assert set(got) == set(want), (set(got) ^ set(want), texts)
+    for pair, jac in want.items():
+        assert abs(got[pair] - jac) < 5e-5, (pair, got[pair], jac)
 
 
 # ---------------------------------------------------------------------------
