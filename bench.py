@@ -142,6 +142,9 @@ HEADLINE = [
     "q170_rolling_corr",
     "q171_link_prediction",
     "q172_clamped_running_sum",
+    "q173_link_prediction_capped",
+    "q174_sliding_distinct_bucketed",
+    "q175_stream_sliding_distinct",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -1044,6 +1044,20 @@ _LP_MIN_COMMON = 3
     "filter on a part-degree aggregate.",
 )
 def q171_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_prediction_pairs(spark, sf_dir, part_degree_cap=None)
+
+
+def link_prediction_pairs(
+    spark: SparkSession, sf_dir: str, part_degree_cap: int | None
+) -> DataFrame:
+    """Shared q171/q173 plan; ``part_degree_cap`` drops hub parts (those
+    bought by more than ``cap`` distinct customers) BEFORE the part-keyed
+    self-join, bounding per-part pair fan-out to cap² — the production
+    scale guard q171's docstring argues for. Degrees are recomputed over
+    the capped interaction set, so the Jaccard is the similarity of the
+    hub-free neighbor sets (consistent drop-then-score semantics);
+    ``None`` reproduces q171 exactly (tested: equal when cap >= max part
+    degree)."""
     o = T(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c"), "o_orderkey"
     )
@@ -1051,6 +1065,12 @@ def q171_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("p")
     )
     inter = o.join(l, "o_orderkey").select("c", "p").distinct().localCheckpoint()
+    if part_degree_cap is not None:
+        pdeg = inter.groupBy("p").agg(F.count(F.lit(1)).alias("pd"))
+        inter = (
+            inter.join(pdeg.filter(F.col("pd") <= part_degree_cap), "p")
+            .select("c", "p")
+        )
     deg = inter.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a = inter.select(F.col("c").alias("c1"), "p")
     b = inter.select(F.col("c").alias("c2"), "p")
@@ -1071,3 +1091,50 @@ def q171_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d1") + F.col("d2") - F.col("n_common")
     )
     return out.select("c1", "c2", "n_common", rnd(jac, 4).alias("jaccard"))
+
+
+_LP_CAP = 40  # > p95 part degree at every tested SF (39 at sf0.01/sf0.1)
+
+
+@register(
+    "q173_link_prediction_capped",
+    f"""
+    WITH inter0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), pdeg AS (
+        SELECT p, COUNT(*) AS pd FROM inter0 GROUP BY p
+    ), inter AS (
+        SELECT i.c, i.p FROM inter0 i JOIN pdeg g ON i.p = g.p
+        WHERE g.pd <= {_LP_CAP}
+    ), deg AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM inter GROUP BY c
+    ), common AS (
+        SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM inter a JOIN inter b ON a.p = b.p AND a.c < b.c
+        GROUP BY a.c, b.c
+        HAVING COUNT(*) >= {_LP_MIN_COMMON}
+    )
+    SELECT m.c1, m.c2, m.cn AS n_common,
+           {_rnd_sql("CAST(m.cn AS DOUBLE) / (d1.d + d2.d - m.cn)", 4)}
+               AS jaccard
+    FROM common m
+    JOIN deg d1 ON m.c1 = d1.c
+    JOIN deg d2 ON m.c2 = d2.c
+    """,
+    doc="q171 with the production hub guard REGISTERED and oracle-checked "
+    "rather than documented: parts bought by more than 40 distinct "
+    "customers (just above the p95 part degree, stable across SF) are "
+    "dropped before the part-keyed self-join, so per-part pair fan-out "
+    "is bounded by cap² regardless of corpus size — on a real "
+    "co-purchase graph a hub item (bought by everyone) contributes "
+    "quadratic pairs and zero similarity signal, exactly q137's "
+    "support-prune argument. Degrees are recomputed over the capped "
+    "interaction set (drop-then-score). With cap >= max part degree "
+    "this equals q171 row-for-row (equivalence-tested), making the cap "
+    "a pure scale guard, not a semantic fork. Plan: one extra "
+    "part-keyed aggregate + semi-join shaped filter on the shared "
+    "distinct-interaction scan; degree joins left to AQE like q171.",
+)
+def q173_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_prediction_pairs(spark, sf_dir, part_degree_cap=_LP_CAP)

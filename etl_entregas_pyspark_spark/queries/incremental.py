@@ -83,3 +83,83 @@ def q151_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = merge_snapshot(store, chunk).localCheckpoint()
         lo = hi
     return snapshot_view(store)
+
+
+# ---------------------------------------------------------------------------
+# q175 — the LIVE sliding-distinct stream, driver-checked end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q175_stream_sliding_distinct",
+    """
+    SELECT event_id, event_type, ts,
+           CAST(COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_active_users
+    FROM events
+    """,
+    doc="the LIVE streaming concurrency metric, not a batch twin: the "
+    "events table is replayed as four time-ordered micro-batches "
+    "(dayofmonth slices, q151's chunking, paced by file mod-times) "
+    "through a real readStream -> applyInPandasWithState "
+    "(streaming_sliding_distinct) -> memory-sink query, and the emitted "
+    "per-event trailing-1h DISTINCT-user counts must hash-match the "
+    "same windowed COUNT(DISTINCT) oracle as q153/q174 — the state "
+    "store (per type: users active within one lookback of the newest "
+    "instant, pruned as time advances) must therefore carry the count "
+    "EXACTLY across every trigger boundary. Complements q153 (batch "
+    "interval sweep) and q174 (bucketed prefix sum) with the third "
+    "execution mode a production metric needs: incremental, per-event, "
+    "state ∝ active users. Arrow-batched stateful stage, whitelisted "
+    "like the multimodal queries (Spark has no JVM-side per-event "
+    "distinct-count-over-frame primitive to express this).",
+)
+def q175_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from etl_entregas_pyspark_spark.streaming.stateful import (
+        streaming_sliding_distinct,
+    )
+    from etl_entregas_pyspark_spark.streaming.streams import read_event_stream
+
+    src = tempfile.mkdtemp(prefix="q175_replay_")
+    sink = "q175_sliding_distinct"
+    try:
+        e = E(spark, sf_dir)
+        base_mtime = time.time()
+        lo = 0
+        for i, hi in enumerate(_SLICES):
+            chunk = e.filter(
+                (F.dayofmonth("ts") > lo) & (F.dayofmonth("ts") <= hi)
+            )
+            stage = os.path.join(src, f"_stage{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"slice{i}.parquet")
+            os.rename(part, dst)
+            # FileStreamSource orders by modification time: stamp slices
+            # with strictly increasing mtimes instead of sleeping
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+            shutil.rmtree(stage, ignore_errors=True)
+            lo = hi
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            streaming_sliding_distinct(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # materialize off the transient memory sink so the returned frame
+        # survives the next invocation's queryName reuse
+        return spark.table(sink).localCheckpoint()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -505,7 +505,27 @@ _SLIDE_H_US = 3600 * 1_000_000  # 1-hour trailing window (inclusive bounds)
     "fat partition). Oracle: DuckDB's native windowed COUNT(DISTINCT).",
 )
 def q153_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = E(spark, sf_dir)
+    base, deltas = _sliding_deltas(E(spark, sf_dir))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("tm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = deltas.select(
+        F.col("event_type").alias("c_type"),
+        "tm",
+        F.sum("net").over(w_cum).cast("bigint").alias("n_active_users"),
+    )
+    return base.join(
+        cum,
+        (F.col("event_type") == F.col("c_type")) & (F.col("t_us") == F.col("tm")),
+    ).select("event_id", "event_type", "ts", "n_active_users")
+
+
+def _sliding_deltas(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared q153/q174 decomposition: per-event validity intervals →
+    per-(type, microsecond) net deltas. Returns (base, deltas); the
+    distinct count at t is the running net of all deltas <= t."""
     w_next = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
     base = e.select(
         "event_id",
@@ -528,15 +548,79 @@ def q153_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "tm")
         .agg(F.sum("d").alias("net"))
     )
-    w_cum = (
+    return base, deltas
+
+
+_SLIDE_BUCKETS = 64
+
+
+@register(
+    "q174_sliding_distinct_bucketed",
+    """
+    SELECT event_id, event_type, ts,
+           CAST(COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_active_users
+    FROM events
+    """,
+    doc="q153's sliding-window DISTINCT count with the 100-TB cumulative "
+    "sum REGISTERED, not just documented: q153's one remaining fat "
+    "partition is the per-type prefix sum (5 keys — every delta of a "
+    "type sorts in one task). Here the timeline is range-bucketed per "
+    "type (64 buckets between the type's min/max delta time, bounds "
+    "broadcast), the prefix sum decomposes into per-(type, bucket) "
+    "partial sums → cumulative offsets over the tiny (type x bucket) "
+    "grid (<= 320 rows, broadcast back) → in-bucket running sums, so "
+    "no task ever sorts more than ~1/64 of a type's deltas — q131's "
+    "value-bucket global-index shape applied to a running aggregate. "
+    "Arithmetic is IDENTICAL to q153 (integer net deltas, exact "
+    "microsecond keys): hash-equality is asserted by a test and both "
+    "share one oracle (DuckDB's native windowed COUNT(DISTINCT)). At "
+    "100 TB bucket count scales with data; the offsets grid stays "
+    "broadcastable (types x buckets).",
+)
+def q174_sliding_distinct_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, deltas = _sliding_deltas(E(spark, sf_dir))
+    # checkpointed: bounds, partials, and the in-bucket window all reuse it
+    deltas = deltas.localCheckpoint()
+    bounds = deltas.groupBy("event_type").agg(
+        F.min("tm").alias("_lo"), F.max("tm").alias("_hi")
+    )
+    span = (F.col("_hi") - F.col("_lo") + 1).cast("double")
+    bucketed = deltas.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "tm",
+        "net",
+        F.least(
+            F.lit(_SLIDE_BUCKETS - 1),
+            F.floor((F.col("tm") - F.col("_lo")).cast("double") * _SLIDE_BUCKETS / span),
+        )
+        .cast("int")
+        .alias("_b"),
+    )
+    partials = bucketed.groupBy("event_type", "_b").agg(F.sum("net").alias("_bn"))
+    w_off = (
         Window.partitionBy("event_type")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = partials.select(
+        "event_type",
+        "_b",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_in = (
+        Window.partitionBy("event_type", "_b")
         .orderBy("tm")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = deltas.select(
+    cum = bucketed.join(F.broadcast(off), ["event_type", "_b"]).select(
         F.col("event_type").alias("c_type"),
         "tm",
-        F.sum("net").over(w_cum).cast("bigint").alias("n_active_users"),
+        (F.col("_offset") + F.sum("net").over(w_in)).cast("bigint").alias(
+            "n_active_users"
+        ),
     )
     return base.join(
         cum,

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -309,6 +310,106 @@ def streaming_attribution(events: DataFrame) -> DataFrame:
         _attribution_update,
         outputStructType=ATTRIBUTION_OUTPUT_SCHEMA,
         stateStructType=ATTRIBUTION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming sliding-window DISTINCT count — the live twin of q153/q174
+# ---------------------------------------------------------------------------
+
+SLIDING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("n_active_users", LongType()),
+    ]
+)
+
+# per-type state: the users whose LATEST event is within the lookback of
+# the newest processed instant, with that latest-event time — size is
+# bounded by (active users in one window), independent of stream length
+SLIDING_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("ts_us", ArrayType(LongType())),
+    ]
+)
+
+_SLIDING_H_US = 3600 * 1_000_000  # keep in lock-step with q153's window
+
+
+def _sliding_distinct_update(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        users, ts_us = state.get
+        last = dict(zip(users, ts_us))
+    else:
+        last = {}
+    out: list[tuple[int, int, int]] = []
+    batches = list(pdf_iter)
+    if batches:
+        rows = pd.concat(batches, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        recs = [
+            (int(r.ts.value // 1000), int(r.event_id), int(r.user_id))
+            for r in rows.itertuples(index=False)
+        ]
+        i, n = 0, len(recs)
+        while i < n:
+            t = recs[i][0]
+            j = i
+            # apply every arrival at instant t BEFORE reading the count:
+            # q153's running net folds all deltas <= t, so same-instant
+            # events (multiple users, or a same-user handover whose -1/+1
+            # cancels) all see the same post-update count
+            while j < n and recs[j][0] == t:
+                last[recs[j][2]] = t
+                j += 1
+            lo = t - _SLIDING_H_US  # inclusive: exit is at last+1h+1us
+            last = {u: ts for u, ts in last.items() if ts >= lo}
+            cnt = len(last)
+            for k in range(i, j):
+                out.append((recs[k][1], recs[k][0], cnt))
+            i = j
+    state.update((list(last.keys()), list(last.values())))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.Series([o[0] for o in out], dtype="int64"),
+            "event_type": [key[0]] * len(out),
+            "ts": pd.Series(
+                [pd.Timestamp(o[1] * 1000) for o in out],
+                dtype="datetime64[ns]",
+            ),
+            "n_active_users": pd.Series([o[2] for o in out], dtype="int64"),
+        }
+    )
+
+
+def streaming_sliding_distinct(events: DataFrame) -> DataFrame:
+    """The live concurrency metric: at every arriving event, the number of
+    DISTINCT users of that event's type whose latest event lies in the
+    trailing 1-hour window — the applyInPandasWithState twin of q153's
+    interval sweep (and q174's bucketed form), equivalence-tested against
+    the batch oracle on a time-sliced replay.
+
+    State is keyed by event_type and holds (user, latest_ts) only for
+    users still inside one lookback window of the newest processed
+    instant — pruned as the stream advances, so state size tracks ACTIVE
+    users, not stream length. Same ordered-arrival contract as
+    streaming_debounce/streaming_transitions: per-key time-ordered
+    micro-batches (range-partitioned replay); an out-of-order source
+    needs a watermark buffer in front."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _sliding_distinct_update,
+        outputStructType=SLIDING_OUTPUT_SCHEMA,
+        stateStructType=SLIDING_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

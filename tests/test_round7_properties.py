@@ -1,0 +1,225 @@
+"""Round-7 operator properties: the hub-capped link prediction (q173),
+the bucketed sliding-distinct prefix sum (q174), and the live stateful
+sliding-distinct stream (q175) against their uncapped / windowed / batch
+references."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# q173 — cap is a pure scale guard: equal to q171 when no part exceeds it
+# ---------------------------------------------------------------------------
+
+
+def test_capped_link_prediction_equals_uncapped_under_max_degree(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.advanced import (
+        link_prediction_pairs,
+        q171_link_prediction,
+    )
+
+    capped = link_prediction_pairs(spark, sf_dir, part_degree_cap=10**9)
+    base = q171_link_prediction(spark, sf_dir)
+    key = lambda r: (r.c1, r.c2)  # noqa: E731
+    got = {key(r): (r.n_common, r.jaccard) for r in capped.collect()}
+    want = {key(r): (r.n_common, r.jaccard) for r in base.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_capped_link_prediction_drops_hub_pairs(spark, sf_dir):
+    """With the production cap, every surviving common-neighbor count must
+    be attainable from non-hub parts only, and the output must be a
+    subset-by-key of neither/none — i.e. recomputed degrees mean scores
+    MAY differ, but no pair may rest on a hub part: lowering the cap can
+    only shrink the interaction set."""
+    from etl_entregas_pyspark_spark.queries.advanced import (
+        _LP_CAP,
+        link_prediction_pairs,
+    )
+
+    tight = link_prediction_pairs(spark, sf_dir, part_degree_cap=_LP_CAP)
+    tighter = link_prediction_pairs(
+        spark, sf_dir, part_degree_cap=max(1, _LP_CAP // 2)
+    )
+    n_tight = {(r.c1, r.c2): r.n_common for r in tight.collect()}
+    n_tighter = {(r.c1, r.c2): r.n_common for r in tighter.collect()}
+    # monotonicity: a smaller cap never increases any pair's common count
+    for pair, cn in n_tighter.items():
+        assert pair in n_tight and cn <= n_tight[pair], pair
+
+
+# ---------------------------------------------------------------------------
+# q174 — bucketed prefix sum is value-identical to q153's per-type window
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_sliding_distinct_equals_windowed(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.timeseries import (
+        q153_sliding_distinct,
+        q174_sliding_distinct_bucketed,
+    )
+
+    want = sorted(
+        (r.event_id, r.event_type, r.ts, r.n_active_users)
+        for r in q153_sliding_distinct(spark, sf_dir).collect()
+    )
+    got = sorted(
+        (r.event_id, r.event_type, r.ts, r.n_active_users)
+        for r in q174_sliding_distinct_bucketed(spark, sf_dir).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_bucketed_sliding_distinct_plan_has_no_fat_type_partition(spark, sf_dir):
+    """The point of q174: no windowspec partitioned by event_type ALONE
+    (the 5-key fat partition q153 accepts) — every running-sum window
+    must carry the bucket column too. The tiny offsets window runs over
+    the (type, bucket) grid aggregate, whose input is <= types*buckets
+    rows, and is the only type-partitioned spec allowed."""
+    from etl_entregas_pyspark_spark.queries.timeseries import (
+        q174_sliding_distinct_bucketed,
+    )
+
+    plan = (
+        q174_sliding_distinct_bucketed(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    fat = [
+        m.group(0)
+        for m in re.finditer(r"windowspecdefinition\(event_type#\d+, tm#\d+", plan)
+    ]
+    assert not fat, f"per-type running sum survived the bucketing: {fat}"
+
+
+# ---------------------------------------------------------------------------
+# q175 — live stateful stream equals the batch interval sweep
+# ---------------------------------------------------------------------------
+
+
+def test_stream_sliding_distinct_matches_batch(spark, sf_dir):
+    """The full live path (time-sliced replay -> applyInPandasWithState ->
+    memory sink) must reproduce q153's batch sweep row-for-row, counts
+    carried exactly across trigger boundaries by the state store."""
+    from etl_entregas_pyspark_spark.queries.incremental import (
+        q175_stream_sliding_distinct,
+    )
+    from etl_entregas_pyspark_spark.queries.timeseries import (
+        q153_sliding_distinct,
+    )
+
+    got = {
+        r.event_id: (r.event_type, r.ts, r.n_active_users)
+        for r in q175_stream_sliding_distinct(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_id: (r.event_type, r.ts, r.n_active_users)
+        for r in q153_sliding_distinct(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_sliding_state_prunes_expired_users(spark):
+    """State must track ACTIVE users only: after a quiet gap longer than
+    the lookback, previously seen users may not linger in the state the
+    update function re-emits."""
+    import pandas as pd
+
+    from etl_entregas_pyspark_spark.streaming.stateful import (
+        _SLIDING_H_US,
+        _sliding_distinct_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    state = FakeState()
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1] * 1000) for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    t0 = 1_700_000_000_000_000
+    out1 = list(
+        _sliding_distinct_update(
+            ("click",), iter([batch([(1, t0, 10), (2, t0 + 1, 11)])]), state
+        )
+    )[0]
+    assert list(out1.n_active_users) == [1, 2]
+    # second trigger: far beyond the window — old users must be pruned
+    t1 = t0 + 3 * _SLIDING_H_US
+    out2 = list(
+        _sliding_distinct_update(("click",), iter([batch([(3, t1, 12)])]), state)
+    )[0]
+    assert list(out2.n_active_users) == [1]
+    users, ts_us = state.get
+    assert set(users) == {12}, "expired users linger in state"
+
+
+def test_stream_sliding_boundary_inclusive(spark):
+    """A user whose latest event is EXACTLY lookback-old still counts
+    (q153's exit delta sits at last+1h+1us), one microsecond older does
+    not."""
+    import pandas as pd
+
+    from etl_entregas_pyspark_spark.streaming.stateful import (
+        _SLIDING_H_US,
+        _sliding_distinct_update,
+    )
+
+    class FakeState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def run(gap_us):
+        state = FakeState()
+        t0 = 1_700_000_000_000_000
+        pdf = pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": [
+                    pd.Timestamp(t0 * 1000),
+                    pd.Timestamp((t0 + gap_us) * 1000),
+                ],
+                "user_id": [10, 11],
+                "event_type": ["click", "click"],
+                "value": [1.0, 1.0],
+                "props": ["{}", "{}"],
+            }
+        )
+        out = list(_sliding_distinct_update(("click",), iter([pdf]), state))[0]
+        return list(out.n_active_users)
+
+    assert run(_SLIDING_H_US) == [1, 2]  # exactly 1h apart: both active
+    assert run(_SLIDING_H_US + 1) == [1, 1]  # 1h + 1us: first expired
