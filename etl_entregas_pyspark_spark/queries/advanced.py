@@ -579,7 +579,12 @@ def triangle_participation(e: DataFrame) -> DataFrame:
     "pa < pb, triangles enumerated as a < b < c — each counted exactly "
     "once, no /6 correction, no symmetric blowup. Edge derivation "
     "reuses basket_pair_counts (collect_set + local pair explode, no "
-    "self-join).",
+    "self-join). SCALING RULE (measured, SCALE.md round-7): the support "
+    "threshold is a per-pair basket DENSITY — at Nx baskets per pair it "
+    "must scale by N or it prunes nothing (at 10x density, support 2..10 "
+    "all left 1.2M edges and a 15.6 s wall; support 20 restored the "
+    "exact 3,573-edge sf0.1 graph and a 2.9 s wall). With the threshold "
+    "scaled, triangle cost is flat in corpus size.",
 )
 def q126_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
@@ -1134,7 +1139,13 @@ _LP_CAP = 40  # > p95 part degree at every tested SF (39 at sf0.01/sf0.1)
     "this equals q171 row-for-row (equivalence-tested), making the cap "
     "a pure scale guard, not a semantic fork. Plan: one extra "
     "part-keyed aggregate + semi-join shaped filter on the shared "
-    "distinct-interaction scan; degree joins left to AQE like q171.",
+    "distinct-interaction scan; degree joins left to AQE like q171. "
+    "Measured at 10x density (SCALE.md round-7): uncapped q171 grows "
+    "64x (211.5 s, pair volume is sum of d_p^2); the fixed cap holds "
+    "the job at 3.2 s. Production sets the cap from the corpus's "
+    "observed degree distribution (p95-style); a percentile cap guards "
+    "the HUB TAIL — under uniform density growth the companion valve "
+    "is scaling _LP_MIN_COMMON with density, q126's measured rule.",
 )
 def q173_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_pairs(spark, sf_dir, part_degree_cap=_LP_CAP)

@@ -43,7 +43,7 @@ def build_replica(replicas: int) -> tuple[str, dict]:
     spark.sparkContext.setLogLevel("ERROR")
     rows = {}
     try:
-        for name in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+        for name in ("region", "nation", "supplier", "part"):
             shutil.copy(f"{SRC}/{name}.parquet", f"{out_dir}/{name}.parquet")
         for name, keys in FACTS.items():
             base = spark.read.parquet(f"{SRC}/{name}.parquet")
@@ -57,12 +57,28 @@ def build_replica(replicas: int) -> tuple[str, dict]:
             rows[name] = spark.read.parquet(f"{out_dir}/{name}.parquet").count()
     finally:
         spark.stop()
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump({"replicas": replicas, "rows": rows}, f)
     return out_dir, rows
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir, rows = build_replica(replicas)
+    # SPARK_GRAFT_SF1_DIR: reuse a layout already built by build_replica
+    # (kept on disk for pre-battery experiments); without it, build 10x
+    # fresh and clean up after.
+    args = [a for a in sys.argv[1:] if a != "--keep"]
+    keep = "--keep" in sys.argv or "SPARK_GRAFT_SF1_DIR" in os.environ
+    replicas = int(args[0]) if args else 10
+    prebuilt = os.environ.get("SPARK_GRAFT_SF1_DIR")
+    if prebuilt:
+        out_dir = prebuilt
+        try:
+            with open(os.path.join(prebuilt, "_manifest.json")) as f:
+                rows = json.load(f)["rows"]
+        except OSError:
+            rows = {}
+    else:
+        out_dir, rows = build_replica(replicas)
     try:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=out_dir)
         proc = subprocess.run(
@@ -81,17 +97,17 @@ def main() -> None:
                 summary = rec
         record = {
             "sf": 1.0,
-            "built_from": f"{replicas}x sf0.1 (shifted fact keys; documents "
-                          "duplicated verbatim — dedup worst case)",
+            "built_from": f"{replicas}x sf0.1 (shifted fact keys; customer "
+                          "replicated coherently with the shifted o_custkey; "
+                          "documents and embeddings duplicated verbatim under "
+                          "shifted ids — dedup/near-dup worst case)",
             "fidelity_caveats": [
-                "only the fact tables are replicated: region/nation/customer/"
-                "supplier/part/embeddings stay at sf0.1, so embedding-heavy "
-                "queries (q138, q148 semantic arm) and dim-join-heavy queries "
-                "time against sf0.1-sized dims",
-                "orders.o_custkey is shifted while customer is copied "
-                "unchanged, so ~90% of replicated orders have no matching "
-                "customer — customer-join row counts (e.g. q140) understate "
-                "true sf1 join cost",
+                "part/supplier/nation/region stay at sf0.1 with UNSHIFTED "
+                "fact foreign keys, so per-part and per-supplier fan-in "
+                "grows ~10x instead of part count growing 10x (TPC-H "
+                "proper scales entity counts) — part-keyed self-joins "
+                "(q171) see hub growth, which is the deliberate stress "
+                "the q173 cap exists for",
             ],
             "rows": rows,
             "rc": proc.returncode,
@@ -104,7 +120,8 @@ def main() -> None:
                           "n_errors": summary and summary["queries"]["n_errors"],
                           "rc": proc.returncode}))
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

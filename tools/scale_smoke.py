@@ -49,6 +49,17 @@ QUERIES = ["q01_pricing_summary", "q03_top_orders", "q05_region_revenue",
 # common-crawl-style duplication profile the dedup path must survive.
 FACTS = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey", "o_custkey"],
          "documents": ["doc_id"],
+         # customer replicates with c_custkey shifted by the SAME stride
+         # as orders.o_custkey, so every replicated order keeps a matching
+         # customer — without this, ~90% of orders were orphaned and
+         # customer-join row counts understated true sf1 cost (r6 verdict
+         # fidelity caveat)
+         "customer": ["c_custkey"],
+         # embeddings replicate verbatim under shifted vec_ids — the same
+         # duplication worst case as documents (every cosine bucket's
+         # membership multiplies by N), so embedding-arm queries bench
+         # against N× vectors
+         "embeddings": ["vec_id"],
          # shifting user_id multiplies the user population while keeping
          # each user's history length constant — the realistic growth
          # axis for sessionization/funnel (more entities, not deeper ones)
@@ -75,8 +86,10 @@ def main() -> None:
         # events.parquet is TIMESTAMP(NANOS); read it the way E() does
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         rows = {}
-        for name in ("region", "nation", "customer", "supplier", "part",
-                     "embeddings"):
+        # true dims: their keys are never shifted by any fact replica, so
+        # copying keeps referential integrity (l_partkey/l_suppkey/
+        # c_nationkey all still resolve)
+        for name in ("region", "nation", "supplier", "part"):
             shutil.copy(f"{SRC}/{name}.parquet", f"{out_dir}/{name}.parquet")
         for name, keys in FACTS.items():
             base = spark.read.parquet(f"{SRC}/{name}.parquet")
