@@ -145,6 +145,8 @@ HEADLINE = [
     "q173_link_prediction_capped",
     "q174_sliding_distinct_bucketed",
     "q175_stream_sliding_distinct",
+    "q176_hll_sketch_rollup",
+    "q177_jl_projection_topk",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -1081,3 +1081,151 @@ def q135_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors",
         *[F.expr(f"v2_{i} >> {_PI_SHIFT}").alias(f"v{i}") for i in range(d)],
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — Johnson-Lindenstrauss sign projection + exact re-rank
+# ---------------------------------------------------------------------------
+
+_JL_DIMS = 16         # projected dimensionality
+_JL_SRC_DIM = 64      # embeddings.embedding width (TESTDATA.md)
+_JL_CAND = 100        # candidates kept per query before exact re-rank
+
+
+def _jl_signs() -> list[list[float]]:
+    """The +/-1 projection matrix, derived from md5 at BUILD time (data-
+    independent), inlined as literals into both engines — no runtime
+    hashing. sign(k, j) = +1 iff md5_int(f'{k}|{j}') is even, the same
+    md5_int both engines use elsewhere."""
+    import hashlib
+
+    out = []
+    for k in range(_JL_DIMS):
+        row = []
+        for j in range(_JL_SRC_DIM):
+            h = int(hashlib.md5(f"{k}|{j}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def _q177_oracle() -> str:
+    signs = _jl_signs()
+    proj_cols = []
+    for k in range(_JL_DIMS):
+        lit = "[" + ", ".join(str(s) for s in signs[k]) + "]"
+        proj_cols.append(
+            f"list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2])) AS p{k}"
+        )
+    pdot = " + ".join(f"q.p{k} * c.p{k}" for k in range(_JL_DIMS))
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH proj AS (
+        SELECT vec_id, embedding, {', '.join(proj_cols)}
+        FROM embeddings
+    ), cand AS (
+        SELECT query_id, neighbor_id, q_embedding, c_embedding FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   q.embedding AS q_embedding, c.embedding AS c_embedding,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ({pdot}) DESC, c.vec_id) AS prank
+            FROM proj q JOIN proj c ON c.vec_id >= 8
+            WHERE q.vec_id < 8
+        ) WHERE prank <= {_JL_CAND}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM (
+            SELECT q.query_id, q.neighbor_id,
+                   {cos.replace('q.embedding', 'q.q_embedding').replace('c.embedding', 'q.c_embedding')} AS cosine
+            FROM cand q
+        )
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "q177_jl_projection_topk",
+    _q177_oracle(),
+    doc="ANN scale path #3 (after brute force q51 and IVF q55/q73): "
+    "Johnson-Lindenstrauss sign projection. Every 64-dim float vector "
+    "is compressed at scan time to 16 doubles via a +/-1 projection "
+    "matrix derived from md5 at BUILD time and inlined as literals in "
+    "BOTH engines (data-independent model state, zero runtime hashing); "
+    "candidate generation runs entirely in the projected space (4x fewer "
+    "components through the per-query top-C), and the exact 64-dim cosine "
+    "is recomputed only for the C=100 survivors per query — the classic "
+    "compress -> prune -> re-rank retrieval funnel. All folds are "
+    "sequential left folds (list_sum / F.aggregate) so projections and "
+    "cosines are bit-identical across engines, and the oracle replays "
+    "the SAME funnel, so a green row certifies cross-engine parity of "
+    "the full pipeline; recall vs the exact q51 top-10 is asserted "
+    "separately in tests (JL recall is probabilistic-by-design; the "
+    "synthetic near-orthogonal embeddings are the WORST case for any "
+    "projection — hairline cosine gaps — measured 0.59-0.69 recall@10, "
+    "floor 0.5 asserted). At 100 TB the projected table is the retained "
+    "index, the query side broadcasts, and the exact re-rank touches C "
+    "rows per query instead of the corpus.",
+)
+def q177_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signs = _jl_signs()
+    e = T(spark, sf_dir, "embeddings")
+
+    def proj(k: int) -> Column:
+        lit = F.array(*[F.lit(s) for s in signs[k]])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), lit, lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"p{k}")
+
+    projected = e.select(
+        "vec_id", "embedding", *[proj(k) for k in range(_JL_DIMS)]
+    )
+    q = projected.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        *[F.col(f"p{k}").alias(f"qp{k}") for k in range(_JL_DIMS)],
+    )
+    c = projected.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_embedding"),
+        *[F.col(f"p{k}").alias(f"cp{k}") for k in range(_JL_DIMS)],
+    )
+    pdot = sum(
+        (F.col(f"qp{k}") * F.col(f"cp{k}") for k in range(1, _JL_DIMS)),
+        F.col("qp0") * F.col("cp0"),
+    )
+    w_p = Window.partitionBy("query_id").orderBy(
+        F.col("pscore").desc(), F.col("neighbor_id")
+    )
+    # query side broadcasts (8 rows); the corpus side streams
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", "q_embedding", "c_embedding",
+                pdot.alias("pscore"))
+        .select("*", F.row_number().over(w_p).alias("prank"))
+        .filter(F.col("prank") <= _JL_CAND)
+    )
+    cos = dot(F.col("q_embedding"), F.col("c_embedding")) / (
+        F.sqrt(sq_norm(F.col("q_embedding"))) * F.sqrt(sq_norm(F.col("c_embedding")))
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("*", F.row_number().over(w_r).alias("rank"))
+        .filter(F.col("rank") <= 10)
+    )

@@ -497,3 +497,135 @@ def q145_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_n"),
         (est - F.col("true_n")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — deterministic mergeable HLL sketch rollup (daily → per-type)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256          # registers per sketch
+_HLL_ALPHA = "0.7213 / (1.0 + 1.079 / 256.0)"  # alpha_256, literal-identical
+
+
+def _hll_oracle() -> str:
+    from etl_entregas_pyspark_spark.queries.similarity import _md5_int_sql
+
+    h = _md5_int_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+        SELECT event_type, date_part('day', ts) AS day, {h} AS hv
+        FROM events
+    ), parts AS (
+        SELECT event_type, day, hv % {_HLL_M} AS b,
+               (hv // {_HLL_M}) % 4294967296 AS w
+        FROM hashed
+    ), rho AS (
+        SELECT event_type, day, b,
+               CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS r
+        FROM parts
+    ), daily AS (
+        SELECT event_type, day, b, MAX(r) AS reg
+        FROM rho GROUP BY event_type, day, b
+    ), merged AS (
+        SELECT event_type, b, MAX(reg) AS reg
+        FROM daily GROUP BY event_type, b
+    ), folded AS (
+        SELECT event_type,
+               COUNT(*) AS n_present,
+               SUM(power(2.0, -reg)) AS sum_inv
+        FROM merged GROUP BY event_type
+    ), raw AS (
+        SELECT event_type,
+               ({_HLL_ALPHA}) * 65536.0 /
+                   (sum_inv + ({_HLL_M} - n_present)) AS e_raw,
+               {_HLL_M} - n_present AS zeros
+        FROM folded
+    ), corrected AS (
+        SELECT event_type,
+               CASE WHEN e_raw <= 640.0 AND zeros > 0
+                    THEN 256.0 * ln(256.0 / zeros)
+                    ELSE e_raw END AS e
+        FROM raw
+    ), exact AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT c.event_type, {_rnd_sql('c.e', 2)} AS est_users, x.exact_users
+    FROM corrected c JOIN exact x ON c.event_type = x.event_type
+    """
+
+
+@register(
+    "q176_hll_sketch_rollup",
+    _hll_oracle(),
+    doc="mergeable distinct-count sketches, the 100-TB cardinality "
+    "pattern q34's black-box approx_count_distinct cannot give: a "
+    "PORTABLE 256-register HLL built from explicit integer arithmetic "
+    "(bucket = md5 % 256, rho = leading-zero rank of the next 32 hash "
+    "bits via length(bin(w)) — both engines' bin() is minimal-width, so "
+    "the registers are bit-identical), materialized per (event_type, "
+    "day) — the retainable daily sketch table, 256 tiny rows per key — "
+    "then MERGED to per-type sketches with a plain MAX per register "
+    "(max-of-max associativity is the whole point: rollups never "
+    "rescan raw data) and folded to the harmonic estimate with the "
+    "standard small-range correction. Every arithmetic step is exact "
+    "or expression-order-identical across engines (2^-r terms span 33 "
+    "bits < 53, so the harmonic sum is EXACT in double regardless of "
+    "aggregation order; ln only fires in the branch both engines take "
+    "together), so the oracle checks the estimate to the hash — an "
+    "accuracy contract q34 can only bounds-check. Plan: one map-side-"
+    "combining exchange on (type, day, bucket) over the scan; "
+    "everything above it is sketch-sized (<= types x days x 256 rows).",
+)
+def q176_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.events import E
+    from etl_entregas_pyspark_spark.queries.similarity import md5_int
+
+    e = E(spark, sf_dir)
+    hashed = e.select(
+        "event_type",
+        F.dayofmonth("ts").alias("day"),
+        md5_int(F.col("user_id").cast("string")).alias("hv"),
+        "user_id",
+    )
+    parts = hashed.select(
+        "event_type",
+        "day",
+        (F.col("hv") % _HLL_M).alias("b"),
+        (F.expr(f"hv div {_HLL_M}") % F.lit(4294967296)).alias("w"),
+    )
+    rho = parts.select(
+        "event_type",
+        "day",
+        "b",
+        F.when(F.col("w") == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(F.col("w"))))
+        .alias("r"),
+    )
+    daily = rho.groupBy("event_type", "day", "b").agg(F.max("r").alias("reg"))
+    merged = daily.groupBy("event_type", "b").agg(F.max("reg").alias("reg"))
+    folded = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("sum_inv"),
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    raw = folded.select(
+        "event_type",
+        (alpha * F.lit(65536.0) / (F.col("sum_inv") + (F.lit(_HLL_M) - F.col("n_present")))).alias("e_raw"),
+        (F.lit(_HLL_M) - F.col("n_present")).alias("zeros"),
+    )
+    corrected = raw.select(
+        "event_type",
+        F.when(
+            (F.col("e_raw") <= 640.0) & (F.col("zeros") > 0),
+            F.lit(256.0) * F.log(F.lit(256.0) / F.col("zeros")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("e"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return corrected.join(exact, "event_type").select(
+        "event_type", rnd(F.col("e"), 2).alias("est_users"), "exact_users"
+    )

@@ -223,3 +223,92 @@ def test_stream_sliding_boundary_inclusive(spark):
 
     assert run(_SLIDING_H_US) == [1, 2]  # exactly 1h apart: both active
     assert run(_SLIDING_H_US + 1) == [1, 1]  # 1h + 1us: first expired
+
+
+# ---------------------------------------------------------------------------
+# q176 — portable HLL: registers merge associatively, estimate is accurate
+# ---------------------------------------------------------------------------
+
+
+def test_hll_rollup_estimate_within_envelope(spark, sf_dir):
+    """The 256-register estimate must land within the standard HLL error
+    envelope (1.04/sqrt(256) ~ 6.5%; allow 4 sigma) of the exact count
+    the query itself reports — an accuracy contract on OUR arithmetic,
+    independent of the cross-engine hash check."""
+    from etl_entregas_pyspark_spark.queries.sketches import (
+        q176_hll_sketch_rollup,
+    )
+
+    rows = q176_hll_sketch_rollup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.est_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel < 4 * 1.04 / (256 ** 0.5), (r.event_type, r.est_users, r.exact_users)
+
+
+def test_hll_merge_equals_whole_corpus_sketch(spark, sf_dir):
+    """Merge associativity — the point of a sketch table: MAX-merging the
+    per-day registers must give exactly the registers a single pass over
+    the whole table would build (max of maxes)."""
+    from pyspark.sql import functions as F
+
+    from etl_entregas_pyspark_spark.queries.events import E
+    from etl_entregas_pyspark_spark.queries.similarity import md5_int
+
+    e = E(spark, sf_dir)
+    hashed = e.select(
+        "event_type",
+        F.dayofmonth("ts").alias("day"),
+        md5_int(F.col("user_id").cast("string")).alias("hv"),
+    )
+    parts = hashed.select(
+        "event_type",
+        "day",
+        (F.col("hv") % 256).alias("b"),
+        (F.expr("hv div 256") % F.lit(4294967296)).alias("w"),
+    )
+    rho = parts.select(
+        "event_type",
+        "day",
+        "b",
+        F.when(F.col("w") == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(F.col("w"))))
+        .alias("r"),
+    )
+    via_daily = (
+        rho.groupBy("event_type", "day", "b").agg(F.max("r").alias("reg"))
+        .groupBy("event_type", "b").agg(F.max("reg").alias("reg"))
+    )
+    single_pass = rho.groupBy("event_type", "b").agg(F.max("r").alias("reg"))
+    got = {(r.event_type, r.b): r.reg for r in via_daily.collect()}
+    want = {(r.event_type, r.b): r.reg for r in single_pass.collect()}
+    assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# q177 — JL funnel recall vs the exact q51 top-10
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_recall_vs_exact(spark, sf_dir):
+    """The projected-space prune keeps C=50 of ~990 candidates; the JL
+    lemma says the 8-dim sign projection preserves enough geometry that
+    most of the true top-10 survives. Assert recall@10 >= 0.5 overall —
+    a floor far above chance (C/N ~ 5%), while leaving room for the
+    probabilistic misses JL is allowed."""
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        q51_cosine_topk,
+        q177_jl_projection_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q51_cosine_topk(spark, sf_dir).collect()
+    }
+    jl = {
+        (r.query_id, r.neighbor_id)
+        for r in q177_jl_projection_topk(spark, sf_dir).collect()
+    }
+    assert exact
+    recall = len(exact & jl) / len(exact)
+    assert recall >= 0.5, f"JL recall@10 = {recall:.2f}"

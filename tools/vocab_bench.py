@@ -40,16 +40,18 @@ def build_high_vocab_docs(spark, out_dir: str, vocab: int) -> int:
     base = spark.read.parquet(f"{SRC}/documents.parquet").select(
         "doc_id", "lang", "source", F.size(F.split("text", " ")).alias("n_words")
     )
-    # near-dup sources: doc_id % 10 == 7 copies the previous doc's words
-    # with every 7th word swapped; % 37 == 0 copies it verbatim. Both are
-    # deterministic functions of (src_id, pos), so the "copy" needs no
-    # self-join — the word generator is just re-invoked with the source id.
+    # near-dup sources: doc_id % 10 == 7 copies doc_id-3's words with
+    # every 7th word swapped; % 37 == 0 copies doc_id-3 verbatim. Both
+    # are deterministic functions of (src_id, pos), so the "copy" needs
+    # no self-join — the word generator is just re-invoked with the
+    # source id. Stride 3 (not 1) so planted pairs survive q152's
+    # doc_id % 3 == 0 oracle subset.
     src_id = (
-        F.when((F.col("doc_id") % 10 == 7) & (F.col("doc_id") > 0), F.col("doc_id") - 1)
-        .when((F.col("doc_id") % 37 == 0) & (F.col("doc_id") > 0), F.col("doc_id") - 1)
+        F.when((F.col("doc_id") % 10 == 7) & (F.col("doc_id") > 2), F.col("doc_id") - 3)
+        .when((F.col("doc_id") % 37 == 0) & (F.col("doc_id") > 2), F.col("doc_id") - 3)
         .otherwise(F.col("doc_id"))
     )
-    mutate = (F.col("doc_id") % 10 == 7) & (F.col("doc_id") > 0)
+    mutate = (F.col("doc_id") % 10 == 7) & (F.col("doc_id") > 2)
 
     def word(id_col, pos):
         # log-uniform rank in [0, vocab): heavy head, long tail — the
