@@ -147,6 +147,8 @@ HEADLINE = [
     "q175_stream_sliding_distinct",
     "q176_hll_sketch_rollup",
     "q177_jl_projection_topk",
+    "q178_group_split",
+    "q179_hard_negative_mining",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -751,3 +751,72 @@ def q163_weighted_sample_noreplace(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rnk") <= _WSN_K)
         .select("source", "doc_id", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — GROUP-aware leakage-free split (all of an entity's rows together)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q178_group_split",
+    f"""
+    WITH assigned AS (
+        SELECT user_id, event_id,
+               CASE WHEN {_md5_int_sql("CAST(user_id AS VARCHAR)")} % {_SPLIT_BUCKETS} < 8 THEN 'train'
+                    WHEN {_md5_int_sql("CAST(user_id AS VARCHAR)")} % {_SPLIT_BUCKETS} = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM events
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assigned
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_rnd_sql('100.0 * COUNT(*) / n_total', 2)} AS pct_events
+    FROM assigned CROSS JOIN totals
+    GROUP BY split, n_total
+    """,
+    doc="GROUP-aware train/val/test split: the split key is the md5 of "
+    "the ENTITY (user_id), not the row, so every event of a user lands "
+    "in one split — the leakage guard q63's content-hash split cannot "
+    "give for behavioral data (a user's later events in train while "
+    "their earlier ones sit in test lets the model memorize the "
+    "entity; group-wise assignment is the standard fix, cf. "
+    "GroupShuffleSplit). Same determinism contract as q63: stable "
+    "under repartitioning, engine changes, and corpus growth because "
+    "membership is a pure hash of the key, no rand(seed) and no "
+    "positional dependence. Output audits the split: users and events "
+    "per split and the event share (hash-uniformity puts it near "
+    "80/10/10 without any global sort). Structural disjointness (no "
+    "user in two splits) is asserted by a test. Plan: one map-side "
+    "projection + one (split, user) aggregate; no joins over the fact.",
+)
+def q178_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.events import E
+
+    e = E(spark, sf_dir)
+    bucket = md5_int(F.col("user_id").cast("string")) % _SPLIT_BUCKETS
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = e.select("user_id", "event_id", split.alias("split"))
+    totals = assigned.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        assigned.crossJoin(F.broadcast(totals))
+        .groupBy("split", "n_total")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            rnd(F.lit(100.0) * F.col("n_events") / F.col("n_total"), 2).alias(
+                "pct_events"
+            ),
+        )
+    )

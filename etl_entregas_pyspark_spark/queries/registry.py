@@ -48,6 +48,8 @@ _PRIORITY = [
     "q175_stream_sliding_distinct",
     "q176_hll_sketch_rollup",
     "q177_jl_projection_topk",
+    "q178_group_split",
+    "q179_hard_negative_mining",
     # (b) the 23 queries whose newest driver row dates to round 3 —
     # the last stale-green cohort (newest-row histogram after r6:
     # r6=50, r5=50, r4=47, r3=23). Retiring these makes every registry

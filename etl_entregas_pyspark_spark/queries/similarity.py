@@ -1229,3 +1229,96 @@ def q177_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("*", F.row_number().over(w_r).alias("rank"))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — hard-negative mining for contrastive training pairs
+# ---------------------------------------------------------------------------
+
+_HN_POOL = 20  # nearest neighbors considered per query
+
+
+def _q179_oracle() -> str:
+    return f"""
+    WITH scored AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ({_COSINE_PAIR_SQL})
+    ), pool AS (
+        SELECT s.query_id, s.neighbor_id, s.cosine,
+               q.label AS q_label, c.label AS c_label
+        FROM scored s
+        JOIN embeddings q ON s.query_id = q.vec_id
+        JOIN embeddings c ON s.neighbor_id = c.vec_id
+        WHERE s.rank <= {_HN_POOL}
+    ), best AS (
+        SELECT query_id, neighbor_id, cosine,
+               CASE WHEN q_label = c_label THEN 'positive' ELSE 'hard_negative' END AS role,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id, q_label = c_label
+                   ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pool
+    )
+    SELECT query_id, role, neighbor_id, {_rnd_sql('cosine', 6)} AS cosine
+    FROM best WHERE rn = 1
+    """
+
+
+@register(
+    "q179_hard_negative_mining",
+    _q179_oracle(),
+    doc="contrastive-pair mining over the embedding corpus: for each of "
+    "the 8 query vectors, the single best POSITIVE (nearest neighbor "
+    "sharing the query's label) and the single best HARD NEGATIVE "
+    "(nearest neighbor with a DIFFERENT label) drawn from the top-20 "
+    "cosine pool — exactly the (anchor, positive, hard-negative) "
+    "triplets a contrastive/embedding fine-tune mines from its corpus; "
+    "random negatives are easy and uninformative, the near-but-wrong "
+    "ones carry the gradient (public triplet-loss / SBERT practice). "
+    "Pool ranking reuses q51's exact-double cosine with unique "
+    "tie-breaks; per-role winners are one row_number over the 160-row "
+    "pool partitioned by (query, same_label). Plan: the corpus side "
+    "streams through the broadcast 8-query crossJoin exactly like q51 "
+    "(TakeOrderedAndProject per query), label lookup joins the 160-row "
+    "pool against the label projection — pool-sized, not corpus-sized.",
+)
+def q179_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    pool = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", "q_label", "c_label", cos.alias("cosine"))
+        .select("*", F.row_number().over(w_pool).alias("rank"))
+        .filter(F.col("rank") <= _HN_POOL)
+    )
+    same = F.col("q_label") == F.col("c_label")
+    w_role = Window.partitionBy("query_id", same).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pool.select(
+            "query_id",
+            F.when(same, F.lit("positive")).otherwise(F.lit("hard_negative")).alias("role"),
+            "neighbor_id",
+            "cosine",
+            F.row_number().over(w_role).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "role", "neighbor_id", rnd(F.col("cosine"), 6).alias("cosine"))
+    )

@@ -312,3 +312,66 @@ def test_jl_projection_recall_vs_exact(spark, sf_dir):
     assert exact
     recall = len(exact & jl) / len(exact)
     assert recall >= 0.5, f"JL recall@10 = {recall:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# q178 — group split: leakage-free by construction
+# ---------------------------------------------------------------------------
+
+
+def test_group_split_no_user_spans_splits(spark, sf_dir):
+    """The whole point vs q63: a user must appear in exactly ONE split,
+    and the per-split user counts must partition the user population."""
+    from etl_entregas_pyspark_spark.queries.datasplit import _SPLIT_BUCKETS
+    from etl_entregas_pyspark_spark.queries.events import E
+    from etl_entregas_pyspark_spark.queries.similarity import md5_int
+
+    e = E(spark, sf_dir)
+    bucket = md5_int(F.col("user_id").cast("string")) % _SPLIT_BUCKETS
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_user = (
+        e.select("user_id", split.alias("split"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_user.filter(F.col("n_splits") > 1).count() == 0
+
+    from etl_entregas_pyspark_spark.queries.datasplit import q178_group_split
+
+    rows = q178_group_split(spark, sf_dir).collect()
+    n_users_total = e.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users_total
+    assert abs(sum(r.pct_events for r in rows) - 100.0) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# q179 — mined roles are label-consistent and pool-optimal
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negative_roles_are_label_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from etl_entregas_pyspark_spark.queries.relational import T
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        q179_hard_negative_mining,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in T(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = q179_hard_negative_mining(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.role == "positive":
+            assert labels[r.neighbor_id] == labels[r.query_id], r
+        else:
+            assert labels[r.neighbor_id] != labels[r.query_id], r
+    # at most one row per (query, role)
+    seen = [(r.query_id, r.role) for r in rows]
+    assert len(seen) == len(set(seen))
