@@ -149,6 +149,8 @@ HEADLINE = [
     "q177_jl_projection_topk",
     "q178_group_split",
     "q179_hard_negative_mining",
+    "q180_contamination_score",
+    "q181_balanced_resample",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

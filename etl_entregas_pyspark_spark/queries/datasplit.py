@@ -53,7 +53,7 @@ _NGRAM = 8
 _BENCH_DOCS = 10  # doc_id < 10 plays the held-out benchmark set
 
 
-def _gram_stream(df: DataFrame) -> DataFrame:
+def _gram_stream(df: DataFrame, n: int = _NGRAM) -> DataFrame:
     """(doc_id, gram) rows: explode the start-index sequence FIRST, then
     build each gram with plain element_at projections — whole-stage
     codegen, no interpreted higher-order-function lambda (2.5x the HOF
@@ -61,12 +61,12 @@ def _gram_stream(df: DataFrame) -> DataFrame:
     it generates DESCENDING sequences when stop < start."""
     base = df.select("doc_id", F.split("text", " ").alias("toks"))
     idx = F.when(
-        F.size("toks") >= _NGRAM,
-        F.sequence(F.lit(1), F.size("toks") - (_NGRAM - 1)),
+        F.size("toks") >= n,
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
     ).otherwise(F.array().cast("array<int>"))
     ex = base.select("doc_id", "toks", F.explode(idx).alias("i"))
     gram = F.concat_ws(
-        " ", *[F.element_at("toks", F.col("i") + k) for k in range(_NGRAM)]
+        " ", *[F.element_at("toks", F.col("i") + k) for k in range(n)]
     )
     return ex.select("doc_id", gram.alias("gram"))
 
@@ -819,4 +819,164 @@ def q178_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pct_events"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — contamination SCORE: n-gram overlap fraction, graded not binary
+# ---------------------------------------------------------------------------
+
+_CONTAM_TAU = 0.2   # report docs with >= 20% of their grams in the benchmark
+_CONTAM_NGRAM = 3   # finer grain than q64's 8: the score needs graded overlap
+
+
+@register(
+    "q180_contamination_score",
+    f"""
+    WITH bench_grams AS (
+        SELECT DISTINCT unnest(CASE WHEN len(string_split(text,' ')) >= {_CONTAM_NGRAM}
+            THEN list_transform(generate_series(1, len(string_split(text,' ')) - {_CONTAM_NGRAM - 1}),
+                 i -> array_to_string(list_slice(string_split(text,' '), i, i + {_CONTAM_NGRAM - 1}), ' '))
+            ELSE [] END) AS gram
+        FROM documents WHERE doc_id < {_BENCH_DOCS}
+    ), corpus_grams AS (
+        SELECT doc_id, unnest(CASE WHEN len(string_split(text,' ')) >= {_CONTAM_NGRAM}
+            THEN list_transform(generate_series(1, len(string_split(text,' ')) - {_CONTAM_NGRAM - 1}),
+                 i -> array_to_string(list_slice(string_split(text,' '), i, i + {_CONTAM_NGRAM - 1}), ' '))
+            ELSE [] END) AS gram
+        FROM documents WHERE doc_id >= {_BENCH_DOCS}
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams,
+               CAST(COUNT(DISTINCT CASE WHEN b.gram IS NOT NULL THEN c.gram END)
+                    AS BIGINT) AS n_hit
+        FROM corpus_grams c LEFT JOIN bench_grams b USING (gram)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           {_rnd_sql('CAST(n_hit AS DOUBLE) / n_grams', 4)} AS contamination
+    FROM per_doc
+    WHERE CAST(n_hit AS DOUBLE) / n_grams >= {_CONTAM_TAU}
+    """,
+    doc=f"graded benchmark contamination: for every corpus document, the "
+    f"FRACTION of its distinct {_CONTAM_NGRAM}-grams that appear in the held-"
+    f"out set, reporting docs >= {int(_CONTAM_TAU*100)}% contaminated — "
+    "the decision-grade extension of q64's binary membership (published "
+    "decontamination practice drops documents above an overlap-ratio "
+    "threshold rather than on any single colliding n-gram, because one "
+    "shared idiom is noise while 20% shared phrasing is a leak). "
+    "Distinct-gram normalization makes the score length-invariant. "
+    "Plan: the benchmark gram set broadcasts (tiny, model-state-like); "
+    "the corpus gram stream LEFT-joins it map-side — the denominator "
+    "and numerator come from ONE aggregate over that stream, so the "
+    "corpus is tokenized and shuffled once on doc_id, never pairwise.",
+)
+def q180_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bench = (
+        _gram_stream(d.filter(F.col("doc_id") < _BENCH_DOCS), _CONTAM_NGRAM)
+        .select(F.col("gram").alias("b_gram"))
+        .distinct()
+    )
+    corpus = _gram_stream(
+        d.filter(F.col("doc_id") >= _BENCH_DOCS)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+        _CONTAM_NGRAM,
+    )
+    per_doc = (
+        corpus.join(F.broadcast(bench), corpus.gram == bench.b_gram, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_grams"),
+            F.count_distinct(
+                F.when(F.col("b_gram").isNotNull(), F.col("gram"))
+            ).alias("n_hit"),
+        )
+    )
+    score = F.col("n_hit").cast("double") / F.col("n_grams")
+    return per_doc.filter(score >= _CONTAM_TAU).select(
+        "doc_id", "n_grams", "n_hit", rnd(score, 4).alias("contamination")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — class-balanced resampling (deterministic oversampling to parity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q181_balanced_resample",
+    """
+    WITH sized AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+    ), target AS (
+        SELECT MAX(n) AS t FROM sized
+    ), plan AS (
+        SELECT e.vec_id, e.label,
+               CAST(t // s.n AS BIGINT)
+                   + CASE WHEN ROW_NUMBER() OVER (
+                              PARTITION BY e.label ORDER BY e.vec_id)
+                          <= t % s.n THEN 1 ELSE 0 END AS n_copies
+        FROM embeddings e
+        JOIN sized s ON e.label = s.label
+        CROSS JOIN target
+    ), expanded AS (
+        SELECT vec_id, label,
+               CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+        FROM plan WHERE n_copies > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_distinct,
+           CAST(SUM(vec_id * copy_id) AS BIGINT) AS probe_sum
+    FROM expanded GROUP BY label
+    """,
+    doc="deterministic class rebalancing: every label is oversampled to "
+    "EXACTLY the majority-class size — each vector gets floor(target/n) "
+    "copies and the first target%n vectors (by vec_id, a stable order) "
+    "one extra, the largest-remainder trick q161 uses for shares "
+    "applied to replication counts, so the output is exactly balanced "
+    "with max/min copy skew of 1 and zero randomness (a rand()-based "
+    "oversampler is neither reproducible nor exactly balanced). The "
+    "expansion is explode(sequence(1, n_copies)) — distributed, no "
+    "driver loop; the audit output proves balance (n_rows equal across "
+    "labels) and the (vec_id x copy_id) probe sum pins the exact "
+    "replication multiset, so the oracle catches off-by-one copy "
+    "assignment, not just totals. Plan: per-label sizes broadcast back "
+    "over the scan (windowless q99 pattern except the rank window, "
+    "which partitions by label); explode is pipelined, no extra "
+    "exchange above the label aggregate.",
+)
+def q181_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    sized = e.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    target = sized.agg(F.max("n").alias("t"))
+    w_rank = Window.partitionBy("label").orderBy("vec_id")
+    plan = (
+        e.join(sized, "label")
+        .crossJoin(F.broadcast(target))
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.expr("t div n")
+                + F.when(
+                    F.row_number().over(w_rank) <= F.col("t") % F.col("n"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_copies"),
+        )
+    )
+    expanded = plan.filter(F.col("n_copies") > 0).select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias(
+            "copy_id"
+        ),
+    )
+    return expanded.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("vec_id").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("vec_id") * F.col("copy_id")).cast("bigint").alias("probe_sum"),
     )

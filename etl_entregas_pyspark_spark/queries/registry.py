@@ -50,6 +50,8 @@ _PRIORITY = [
     "q177_jl_projection_topk",
     "q178_group_split",
     "q179_hard_negative_mining",
+    "q180_contamination_score",
+    "q181_balanced_resample",
     # (b) the 23 queries whose newest driver row dates to round 3 —
     # the last stale-green cohort (newest-row histogram after r6:
     # r6=50, r5=50, r4=47, r3=23). Retiring these makes every registry

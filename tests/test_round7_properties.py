@@ -375,3 +375,32 @@ def test_hard_negative_roles_are_label_consistent(spark, sf_dir):
     # at most one row per (query, role)
     seen = [(r.query_id, r.role) for r in rows]
     assert len(seen) == len(set(seen))
+
+
+# ---------------------------------------------------------------------------
+# q181 — exact balance and copy-skew <= 1
+# ---------------------------------------------------------------------------
+
+
+def test_balanced_resample_exact_parity(spark, sf_dir):
+    """Every label must come out at EXACTLY the majority-class size, and
+    no vector may be replicated more than one copy above its class
+    floor(target/n)."""
+    from etl_entregas_pyspark_spark.queries.datasplit import (
+        q181_balanced_resample,
+    )
+    from etl_entregas_pyspark_spark.queries.relational import T
+
+    sizes = {
+        r.label: r.n
+        for r in T(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    target = max(sizes.values())
+    rows = q181_balanced_resample(spark, sf_dir).collect()
+    assert len(rows) == len(sizes)
+    for r in rows:
+        assert r.n_rows == target, (r.label, r.n_rows, target)
+        assert r.n_distinct == sizes[r.label]
