@@ -151,6 +151,11 @@ HEADLINE = [
     "q179_hard_negative_mining",
     "q180_contamination_score",
     "q181_balanced_resample",
+    "q182_semdedup",
+    "q183_phash_near_dup",
+    "q184_rolling_psi",
+    "q185_compaction_planner",
+    "q186_cohens_kappa",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -227,3 +227,37 @@ def extract_features(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def _phash_stub(payload: bytes) -> int:
+    """Deterministic fake perceptual hash (STUB — swap for a DCT pHash /
+    chromaprint in production): the first 60 bits of sha256 as a
+    non-negative bigint. A real pHash is locality-sensitive in pixel
+    space; the stub is content-sensitive only, so near-dup pairs collapse
+    to exact-payload duplicates — the banded Hamming-join machinery
+    downstream is identical either way, and 60 bits keeps the value
+    signed-positive on every engine."""
+    return int(hashlib.sha256(payload).hexdigest()[:15], 16)
+
+
+def perceptual_hash(
+    df: DataFrame,
+    content_col: str = "content",
+) -> DataFrame:
+    """Append a ``phash bigint`` column via Arrow-batched mapInPandas and
+    DROP the payload — near-dup detection downstream shuffles 8 bytes per
+    item regardless of media size (the decode_media asymmetry applied to
+    fingerprinting)."""
+    import pandas as pd
+
+    passthrough = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = StructType(passthrough + [StructField("phash", LongType())])
+    pass_names = [f.name for f in passthrough]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf[pass_names].copy()
+            out["phash"] = [_phash_stub(bytes(p)) for p in pdf[content_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -980,3 +980,80 @@ def q181_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("vec_id").cast("bigint").alias("n_distinct"),
         F.sum(F.col("vec_id") * F.col("copy_id")).cast("bigint").alias("probe_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — small-file compaction planner (cumulative-offset bin packing)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 65536  # bytes per output file (scaled down with the data)
+_COMPACT_FILES = 16  # simulated files per partition
+
+
+@register(
+    "q185_compaction_planner",
+    f"""
+    WITH files AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS part,
+               l_suppkey % {_COMPACT_FILES} AS file_id,
+               CAST(COUNT(*) * 128 + SUM(l_orderkey % 997) AS BIGINT) AS bytes
+        FROM lineitem GROUP BY 1, 2
+    ), planned AS (
+        SELECT part, file_id, bytes,
+               SUM(bytes) OVER (PARTITION BY part ORDER BY bytes DESC, file_id
+                                ROWS UNBOUNDED PRECEDING) - bytes AS offs
+        FROM files
+    )
+    SELECT part, CAST(offs // {_COMPACT_TARGET} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(bytes) AS BIGINT) AS min_bytes,
+           CAST(MAX(bytes) AS BIGINT) AS max_bytes
+    FROM planned GROUP BY part, bin
+    """,
+    doc="the small-file problem, planned away: simulate a per-partition "
+    "file inventory (ship-month x supplier-bucket, deterministic byte "
+    "sizes from row counts), then assign every file to a compaction "
+    "group by CUMULATIVE-OFFSET binning — files ordered size-desc "
+    "within the partition, bin = floor(running-offset / target). This "
+    "is the shuffle-free window form of first-fit-decreasing: each bin "
+    "lands within one file of the target (a boundary-straddling file "
+    "stays in the bin it started), and unlike true FFD it needs no "
+    "sequential bin state, so the plan IS a window + groupBy — at 100 "
+    "TB the inventory comes from the metastore listing (millions of "
+    "rows, not data bytes) and the planner output drives "
+    "coalesce-rewrite jobs per bin. The window partitions by table "
+    "partition (bounded width); nothing touches data files. Output "
+    "audits bins: file count, packed bytes vs target, size extremes.",
+)
+def q185_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part"),
+        (F.col("l_suppkey") % _COMPACT_FILES).alias("file_id"),
+    ).agg(
+        (
+            F.count(F.lit(1)) * 128 + F.sum(F.col("l_orderkey") % 997)
+        ).cast("bigint").alias("bytes")
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.col("bytes").desc(), "file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.select(
+        "part",
+        "file_id",
+        "bytes",
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("offs"),
+    )
+    return planned.groupBy(
+        "part", F.expr(f"offs div {_COMPACT_TARGET}").cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("bytes").cast("bigint").alias("min_bytes"),
+        F.max("bytes").cast("bigint").alias("max_bytes"),
+    )

@@ -135,3 +135,120 @@ def q129_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "media_id")
         .limit(_EMB_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — perceptual-hash near-dup detection (banded Hamming join)
+# ---------------------------------------------------------------------------
+
+_PH_BANDS = 4
+_PH_BAND_BITS = 15  # 4 x 15 = the 60-bit fingerprint
+_PH_MASK = (1 << _PH_BAND_BITS) - 1
+_PH_MAXDIST = 8
+
+
+@register(
+    "q183_phash_near_dup",
+    f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CAST(concat('0x', substr(sha256(text), 1, 15)) AS BIGINT) AS phash
+        FROM documents
+    ), grp AS (
+        SELECT phash, MIN(media_id) AS rep_id, COUNT(*) AS sz FROM media GROUP BY phash
+    ), bands AS (
+        SELECT phash, g.i AS band,
+               (phash >> ((g.i - 1) * {_PH_BAND_BITS})) & {_PH_MASK} AS band_val
+        FROM grp CROSS JOIN generate_series(1, {_PH_BANDS}) AS g(i)
+    ), cand AS (
+        SELECT DISTINCT a.phash AS pa, b.phash AS pb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val AND a.phash < b.phash
+    ), near AS (
+        SELECT pa, pb FROM cand WHERE bit_count(xor(pa, pb)) <= {_PH_MAXDIST}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM media) AS BIGINT) AS n_media,
+           CAST((SELECT COUNT(*) FROM grp) AS BIGINT) AS n_distinct_payloads,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
+           CAST((SELECT COUNT(*) FROM near) AS BIGINT) AS n_near_pairs,
+           CAST((SELECT COALESCE(SUM(sz * (sz - 1) // 2), 0) FROM grp) AS BIGINT)
+               AS n_identical_pairs,
+           CAST((SELECT COALESCE(SUM(sz - 1), 0) FROM grp) AS BIGINT) AS n_dup_items
+    """,
+    doc="media near-dup detection over perceptual hashes: payloads -> "
+    "60-bit fingerprint via the Arrow-batched perceptual_hash stage "
+    "(blob dropped at the stage boundary, 8 bytes/item shuffle after), "
+    "exact-collapse identical fingerprints FIRST (q93's rule applied to "
+    f"media: N copies never reach the pair join), band the hash into "
+    f"{_PH_BANDS}x{_PH_BAND_BITS}-bit keys, equi-join bands for "
+    f"candidates, verify Hamming distance <= {_PH_MAXDIST} via "
+    "bit_count(xor). The stub hash is content-sensitive, not "
+    "locality-sensitive (no codecs in this container), so true near "
+    "pairs land at distance 0 and collapse into the identical-pair "
+    "count — the banding/verify machinery and its costs are identical "
+    "with a real DCT pHash dropped into multimodal._phash_stub. Scale: "
+    "band join on distinct fingerprints only — cost tracks distinct "
+    "content x band-collision rate (4x2^-15), never corpus pairs; the "
+    "oracle recomputes the fingerprint arithmetic in SQL, pinning the "
+    "Python plumbing (reference has no media surface; north-star per "
+    "BASELINE.json).",
+)
+def q183_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.multimodal import perceptual_hash
+
+    d = T(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    hashed = perceptual_hash(
+        media.repartition(min(8, spark.sparkContext.defaultParallelism))
+    )
+    grp = (
+        hashed.groupBy("phash")
+        .agg(F.min("media_id").alias("rep_id"), F.count(F.lit(1)).alias("sz"))
+        .localCheckpoint()
+    )
+    bands = grp.select(
+        "phash",
+        F.explode(F.sequence(F.lit(1), F.lit(_PH_BANDS))).alias("band"),
+    ).select(
+        "phash",
+        "band",
+        F.expr(
+            f"shiftright(phash, cast((band - 1) * {_PH_BAND_BITS} as int)) & {_PH_MASK}"
+        ).alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.phash") < F.col("b.phash")),
+        )
+        .select(F.col("a.phash").alias("pa"), F.col("b.phash").alias("pb"))
+        .distinct()
+        .localCheckpoint()
+    )
+    near = cand.filter(
+        F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= _PH_MAXDIST
+    )
+    stats = grp.agg(
+        F.sum("sz").cast("bigint").alias("n_media"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_payloads"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint").alias("n_identical_pairs"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("n_dup_items"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"))))
+        .crossJoin(F.broadcast(near.agg(F.count(F.lit(1)).cast("bigint").alias("n_near_pairs"))))
+        .select(
+            "n_media",
+            "n_distinct_payloads",
+            "n_candidate_pairs",
+            "n_near_pairs",
+            "n_identical_pairs",
+            "n_dup_items",
+        )
+    )

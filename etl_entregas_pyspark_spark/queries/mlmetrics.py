@@ -599,3 +599,234 @@ def q165_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.filter(
         (F.col("n_a") > 0) & (F.col("n_b") > 0) & (x > 0) & (x < n)
     ).select("day", "n_a", "x_a", "n_b", "x_b", rnd(z2, 6).alias("z2"))
+
+
+# ---------------------------------------------------------------------------
+# q184 — rolling PSI: the drift TRAJECTORY, one score per day vs a fixed
+#         reference week
+# ---------------------------------------------------------------------------
+
+_RPSI_REF_DAYS = 7
+
+
+@register(
+    "q184_rolling_psi",
+    f"""
+    WITH pts AS (
+        SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS d, value
+        FROM events WHERE value IS NOT NULL
+    ), ext AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM pts WHERE d <= {_RPSI_REF_DAYS}
+    ), binned AS (
+        SELECT p.d,
+               LEAST(GREATEST(CAST(FLOOR((p.value - x.lo) / (x.hi - x.lo)
+                                          * {_PSI_BINS}) AS BIGINT), 0),
+                     {_PSI_BINS - 1}) AS bin
+        FROM pts p CROSS JOIN ext x
+    ), ref AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM binned WHERE d <= {_RPSI_REF_DAYS} GROUP BY bin
+    ), cur AS (
+        SELECT d, bin, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM binned WHERE d > {_RPSI_REF_DAYS} GROUP BY d, bin
+    ), grid AS (
+        SELECT dd.d, b.i AS bin
+        FROM (SELECT DISTINCT d FROM pts WHERE d > {_RPSI_REF_DAYS}) dd
+        CROSS JOIN generate_series(0, {_PSI_BINS - 1}) AS b(i)
+    ), cells AS (
+        SELECT g.d, g.bin, COALESCE(r.c1, 0) AS c1, COALESCE(c.c2, 0) AS c2
+        FROM grid g
+        LEFT JOIN ref r ON g.bin = r.bin
+        LEFT JOIN cur c ON g.d = c.d AND g.bin = c.bin
+    ), tot AS (
+        SELECT d, c1, c2,
+               SUM(c1) OVER (PARTITION BY d) AS n1,
+               SUM(c2) OVER (PARTITION BY d) AS n2
+        FROM cells
+    )
+    SELECT d AS day,
+           CAST(ANY_VALUE(n2) AS BIGINT) AS n_cur,
+           {_rnd_sql("CAST(SUM(CAST(FLOOR((" + _PSI_TERM + ") * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0", 5)} AS psi
+    FROM tot GROUP BY d
+    """,
+    doc="the drift TRAJECTORY beside q155's two-sample snapshot: PSI of "
+    f"the value distribution for every day after day {_RPSI_REF_DAYS}, "
+    f"each against the fixed reference week (days 1–{_RPSI_REF_DAYS}), "
+    "over 10 equal-width bins of the reference extent with 0.5 "
+    "pseudo-count smoothing — the shape a monitoring dashboard plots "
+    "and alerts on (PSI > 0.2 is the conventional page). Every day "
+    "joins the SAME frozen reference histogram, so one scan builds the "
+    "per-(day, bin) cells and the reference is a 10-row broadcast; the "
+    "full day x bin grid (zero-filled both sides) makes bins that "
+    "drain to zero still contribute their smoothed term. Fixed-order "
+    "double terms quantized floor-1e-6 before the integer sum (q155's "
+    "portability contract, same libm ln). Plan: two scans (extent + "
+    "binning), cells bounded by days x bins — nothing scales with row "
+    "count but the scans.",
+)
+def q184_rolling_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    pts = e.filter(F.col("value").isNotNull()).select(
+        F.dayofmonth("ts").cast("bigint").alias("d"), "value"
+    )
+    ext = pts.filter(F.col("d") <= _RPSI_REF_DAYS).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = pts.crossJoin(F.broadcast(ext)).select(
+        "d",
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * _PSI_BINS
+                ).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    ref = (
+        binned.filter(F.col("d") <= _RPSI_REF_DAYS)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    cur = (
+        binned.filter(F.col("d") > _RPSI_REF_DAYS)
+        .groupBy("d", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    grid = (
+        pts.filter(F.col("d") > _RPSI_REF_DAYS)
+        .select("d")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                e.sparkSession.range(_PSI_BINS).select(F.col("id").alias("bin"))
+            )
+        )
+    )
+    cells = (
+        grid.join(F.broadcast(ref), "bin", "left")
+        .join(cur, ["d", "bin"], "left")
+        .select(
+            "d",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+    )
+    w_day = Window.partitionBy("d")
+    tot = cells.select(
+        "d",
+        "c1",
+        "c2",
+        F.sum("c1").over(w_day).alias("n1"),
+        F.sum("c2").over(w_day).alias("n2"),
+    )
+    p = (F.col("c1") + 0.5) / (F.col("n1") + _PSI_BINS * 0.5)
+    q = (F.col("c2") + 0.5) / (F.col("n2") + _PSI_BINS * 0.5)
+    term = (p - q) * F.log(p / q)
+    return tot.groupBy(F.col("d").alias("day")).agg(
+        F.first("n2").cast("bigint").alias("n_cur"),
+        rnd(
+            F.sum(F.floor(term * 1000000.0).cast("bigint")).cast("double")
+            / 1000000.0,
+            5,
+        ).alias("psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186 — Cohen's kappa: inter-annotator agreement over label pairs
+# ---------------------------------------------------------------------------
+
+_KAPPA_CHAR_EDGES = (216, 379)  # tercile-ish char-length cut points
+_KAPPA_WORD_EDGES = (39, 69)  # tercile-ish word-count cut points
+
+
+@register(
+    "q186_cohens_kappa",
+    f"""
+    WITH labeled AS (
+        SELECT CASE WHEN LENGTH(text) < {_KAPPA_CHAR_EDGES[0]} THEN 0
+                    WHEN LENGTH(text) < {_KAPPA_CHAR_EDGES[1]} THEN 1
+                    ELSE 2 END AS a,
+               CASE WHEN LEN(string_split(text, ' ')) < {_KAPPA_WORD_EDGES[0]} THEN 0
+                    WHEN LEN(string_split(text, ' ')) < {_KAPPA_WORD_EDGES[1]} THEN 1
+                    ELSE 2 END AS b
+        FROM documents
+    ), cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM labeled GROUP BY a, b
+    ), n_tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+        FROM cells
+    ), marg AS (
+        SELECT CAST(COALESCE(SUM(ra.ca * rb.cb), 0) AS BIGINT) AS chance
+        FROM (SELECT a AS k, SUM(c) AS ca FROM cells GROUP BY a) ra
+        JOIN (SELECT b AS k, SUM(c) AS cb FROM cells GROUP BY b) rb
+          ON ra.k = rb.k
+    )
+    SELECT n, agree, chance,
+           {_rnd_sql("CAST(agree AS DOUBLE) / n", 6)} AS p_observed,
+           {_rnd_sql("CAST(chance AS DOUBLE) / n / n", 6)} AS p_expected,
+           {_rnd_sql(
+               "(CAST(agree AS DOUBLE) / n - CAST(chance AS DOUBLE) / n / n)"
+               " / (1.0 - CAST(chance AS DOUBLE) / n / n)", 6)} AS kappa
+    FROM n_tot CROSS JOIN marg
+    """,
+    doc="inter-annotator agreement for labeled-data QA: two deterministic "
+    "'annotators' bucket every document into 3 classes (char-length "
+    "terciles vs word-count terciles — correlated but not identical, "
+    "like two real raters sharing a rubric), and Cohen's kappa corrects "
+    "their raw agreement for chance: kappa = (po - pe) / (1 - pe) with "
+    "pe from the marginal products. Everything reduces to a 9-cell "
+    "confusion matrix — one scan, one 9-row aggregate, integer "
+    "sufficient statistics (n, agree, chance) carried exactly and "
+    "divided once at the end (q65's moments contract), so the score is "
+    "engine-identical at any corpus size. The label pair here is the "
+    "audit hook: swap either CASE for a model-vs-human or "
+    "annotator-vs-annotator column and the plan is unchanged.",
+)
+def q186_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    labeled = d.select(
+        F.when(F.length("text") < _KAPPA_CHAR_EDGES[0], 0)
+        .when(F.length("text") < _KAPPA_CHAR_EDGES[1], 1)
+        .otherwise(2)
+        .alias("a"),
+        F.when(n_words < _KAPPA_WORD_EDGES[0], 0)
+        .when(n_words < _KAPPA_WORD_EDGES[1], 1)
+        .otherwise(2)
+        .alias("b"),
+    )
+    cells = labeled.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n_tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    ra = cells.groupBy(F.col("a").alias("k")).agg(F.sum("c").alias("ca"))
+    rb = cells.groupBy(F.col("b").alias("k")).agg(F.sum("c").alias("cb"))
+    marg = (
+        ra.join(rb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("bigint")
+            .alias("chance")
+        )
+    )
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = F.col("chance").cast("double") / F.col("n") / F.col("n")
+    return n_tot.crossJoin(F.broadcast(marg)).select(
+        "n",
+        "agree",
+        "chance",
+        rnd(po, 6).alias("p_observed"),
+        rnd(pe, 6).alias("p_expected"),
+        rnd((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

@@ -52,6 +52,11 @@ _PRIORITY = [
     "q179_hard_negative_mining",
     "q180_contamination_score",
     "q181_balanced_resample",
+    "q182_semdedup",
+    "q183_phash_near_dup",
+    "q184_rolling_psi",
+    "q185_compaction_planner",
+    "q186_cohens_kappa",
     # (b) the 23 queries whose newest driver row dates to round 3 —
     # the last stale-green cohort (newest-row histogram after r6:
     # r6=50, r5=50, r4=47, r3=23). Retiring these makes every registry

@@ -1322,3 +1322,85 @@ def q179_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", "role", "neighbor_id", rnd(F.col("cosine"), 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — SemDeDup-style semantic dedup: cluster, then prune within clusters
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.4  # q56's cosine threshold: non-trivial on N(0,1)-ish vectors
+
+_SEMDEDUP_COS_SQL = """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"""
+
+
+@register(
+    "q182_semdedup",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_IVF_ASSIGN_SQL.replace("{SRC}", "embeddings")}
+        ) WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+        WHERE {_SEMDEDUP_COS_SQL} >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a.vec_id ELSE 0 END) AS BIGINT) AS kept_probe
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    GROUP BY a.centroid_id
+    """,
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster "
+    "every embedding to its nearest of 8 fixed centroids (the shared q55 "
+    "IVF assignment), then WITHIN each cluster drop any vector whose "
+    "cosine to a lower-id cluster-mate reaches τ=0.4 — the "
+    "dominated-by-earlier-neighbor rule, a deterministic one-join variant "
+    "of the paper's greedy sweep (identical whenever near-dups form "
+    "cliques, which exact/near copies do; the greedy form would need a "
+    "sequential per-cluster scan). Output audits the prune per cluster: "
+    "member count, drop count, and the kept-id probe sum that pins the "
+    "exact survivor set. Scale: the candidate join is an equi-join on "
+    "centroid_id, never all-pairs — cost is sum(c_i^2) over cluster "
+    "sizes, and at corpus scale K grows with n (IVF's sqrt(n) rule) so "
+    "clusters stay bounded; centroids broadcast (KxD floats), vectors "
+    "shuffle once on centroid_id. Cosines are exact doubles on both "
+    "engines (float32 products, sequential fold — the module contract), "
+    "so the τ comparison is portable with no rounding guard.",
+)
+def q182_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(e, ivf_centroids(e), keep=1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(sq_norm(F.col("a.embedding"))) * F.sqrt(sq_norm(F.col("b.embedding")))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    flagged = assigned.join(
+        dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left"
+    )
+    return flagged.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).cast("bigint").alias("n_dropped"),
+        F.sum(
+            F.when(F.col("is_dropped").isNull(), F.col("vec_id")).otherwise(F.lit(0))
+        ).cast("bigint").alias("kept_probe"),
+    )

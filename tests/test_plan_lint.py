@@ -23,7 +23,11 @@ from etl_entregas_pyspark_spark import queries as q
 from tests.conftest import SF_DIR
 
 # Arrow-batched Python stages are the POINT of the multimodal queries.
-_ARROW_PYTHON_OK = {"q57_multimodal_decode", "q129_multimodal_embed"}
+_ARROW_PYTHON_OK = {
+    "q57_multimodal_decode",
+    "q129_multimodal_embed",
+    "q183_phash_near_dup",  # Arrow perceptual-hash stage (blob -> 8 bytes)
+}
 
 # Queries allowed a window with empty PARTITION BY: each one windows a
 # frame whose size is MODEL STATE (bucket/bin/centroid/count domains),

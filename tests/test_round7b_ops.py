@@ -1,0 +1,218 @@
+"""Round-7 second-batch operators: SemDeDup (q182), perceptual-hash
+near-dup (q183), rolling PSI (q184), compaction planner (q185), Cohen's
+kappa (q186). The DuckDB oracles pin cross-engine values; these tests pin
+the SEMANTICS against independent in-process recomputations and the
+structural invariants the oracles can't see (column drops, plan shapes,
+mathematical bounds)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# q182 — SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_matches_numpy_reference(spark, sf_dir):
+    """Full recompute in numpy: nearest-centroid assignment (lower-id
+    tie-break) then the dominated-by-earlier-neighbor prune at τ=0.4 —
+    the Spark plan must reproduce member/drop counts and the exact
+    survivor probe sum per cluster."""
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        _SEMDEDUP_TAU,
+        q182_semdedup,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    emb = np.array([r.embedding for r in rows], dtype=np.float64)
+    cents = emb[ids < 8]
+    # nearest centroid, ties to the lower centroid id (argmin is first-hit)
+    d2 = ((emb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    norms = np.sqrt((emb * emb).sum(axis=1))
+    want = {}
+    for c in np.unique(assign):
+        members = ids[assign == c]
+        dropped = set()
+        for i, vid in enumerate(members):
+            for wid in members[:i]:
+                a, b = emb[ids == vid][0], emb[ids == wid][0]
+                cos = (a @ b) / (norms[ids == vid][0] * norms[ids == wid][0])
+                if cos >= _SEMDEDUP_TAU:
+                    dropped.add(int(vid))
+                    break
+        kept = [int(v) for v in members if int(v) not in dropped]
+        want[int(c)] = (len(members), len(dropped), sum(kept))
+
+    got = {
+        r.centroid_id: (r.n_members, r.n_dropped, r.kept_probe)
+        for r in q182_semdedup(spark, sf_dir).collect()
+    }
+    assert got == want and sum(m for m, _, _ in want.values()) == len(ids)
+
+
+# ---------------------------------------------------------------------------
+# q183 — perceptual-hash stage + banded Hamming join
+# ---------------------------------------------------------------------------
+
+
+def test_perceptual_hash_stage_drops_blob_and_matches_kernel(spark):
+    from etl_entregas_pyspark_spark.multimodal import perceptual_hash
+
+    payloads = [b"alpha", b"beta", b"alpha"]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, content binary"
+    )
+    out = perceptual_hash(df)
+    assert out.columns == ["media_id", "phash"]  # blob dropped at the stage
+    got = {r.media_id: r.phash for r in out.collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == int(hashlib.sha256(p).hexdigest()[:15], 16)
+
+
+def test_phash_near_dup_counts_are_consistent(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.media import q183_phash_near_dup
+
+    row = q183_phash_near_dup(spark, sf_dir).collect()[0]
+    assert row.n_media >= row.n_distinct_payloads > 0
+    assert row.n_near_pairs <= row.n_candidate_pairs
+    assert row.n_dup_items == row.n_media - row.n_distinct_payloads
+    # the stub hash is not locality-sensitive: every true duplicate is an
+    # exact-payload duplicate, so it must be collapsed BEFORE banding,
+    # never surface as a near pair
+    assert row.n_identical_pairs >= 0 and row.n_near_pairs == 0
+
+
+# ---------------------------------------------------------------------------
+# q184 — rolling PSI
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_psi_nonnegative_and_covers_every_post_ref_day(spark, sf_dir):
+    """PSI is a sum of (p-q)ln(p/q) terms, each >= 0 — up to the floor-1e-6
+    quantization each term contributes, so a day's score sits within
+    10*1e-6 of nonnegative. Every day after the reference week must
+    appear exactly once."""
+    from etl_entregas_pyspark_spark.queries.mlmetrics import (
+        _RPSI_REF_DAYS,
+        q184_rolling_psi,
+    )
+    from pyspark.sql import functions as F
+
+    rows = q184_rolling_psi(spark, sf_dir).collect()
+    days = sorted(r.day for r in rows)
+    want_days = sorted(
+        r.d
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select(F.dayofmonth("ts").alias("d"))
+        .distinct()
+        .collect()
+        if r.d > _RPSI_REF_DAYS
+    )
+    assert days == want_days
+    assert all(r.psi >= -1e-5 for r in rows)
+    assert all(r.n_cur > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# q185 — compaction planner
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_conserves_inventory_and_packs_bins(spark, sf_dir):
+    """The plan must be a PARTITION of the file inventory (byte/file
+    totals conserved per partition), and its bins must actually pack:
+    within a partition, every bin except the last (by id) spans its
+    65536-byte stride — its files' summed bytes reach past the next
+    bin's start minus where the bin's first file began."""
+    from pyspark.sql import functions as F
+
+    from etl_entregas_pyspark_spark.queries.datasplit import (
+        _COMPACT_FILES,
+        _COMPACT_TARGET,
+        q185_compaction_planner,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    inv = (
+        li.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("part"),
+            (F.col("l_suppkey") % _COMPACT_FILES).alias("file_id"),
+        )
+        .agg(
+            (F.count(F.lit(1)) * 128 + F.sum(F.col("l_orderkey") % 997))
+            .cast("bigint")
+            .alias("bytes")
+        )
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+    )
+    want = {r.part: (r.n_files, r.total_bytes) for r in inv.collect()}
+
+    plan = q185_compaction_planner(spark, sf_dir).collect()
+    got: dict[str, list] = {}
+    for r in plan:
+        got.setdefault(r.part, []).append(r)
+    assert set(got) == set(want)
+    for part, bins in got.items():
+        assert sum(b.n_files for b in bins) == want[part][0]
+        assert sum(b.total_bytes for b in bins) == want[part][1]
+        # every non-final bin ends at or past its stride boundary: the
+        # next bin's first file started at offset >= (bin+1)*target
+        for b in bins:
+            assert b.min_bytes <= b.max_bytes <= b.total_bytes
+        last = max(b.bin for b in bins)
+        for b in bins:
+            if b.bin != last:
+                assert b.total_bytes + b.max_bytes >= _COMPACT_TARGET
+
+
+# ---------------------------------------------------------------------------
+# q186 — Cohen's kappa
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_matches_pandas_reference(spark, sf_dir):
+    import pandas as pd
+
+    from etl_entregas_pyspark_spark.queries.mlmetrics import (
+        _KAPPA_CHAR_EDGES,
+        _KAPPA_WORD_EDGES,
+        q186_cohens_kappa,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def bucket(v, edges):
+        return 0 if v < edges[0] else (1 if v < edges[1] else 2)
+
+    a = docs.text.str.len().map(lambda v: bucket(v, _KAPPA_CHAR_EDGES))
+    b = docs.text.str.split(" ").map(len).map(
+        lambda v: bucket(v, _KAPPA_WORD_EDGES)
+    )
+    n = len(docs)
+    agree = int((a == b).sum())
+    chance = sum(
+        int((a == k).sum()) * int((b == k).sum()) for k in range(3)
+    )
+    po, pe = agree / n, chance / n / n
+    want_kappa = round((po - pe) / (1 - pe), 6)
+
+    row = q186_cohens_kappa(spark, sf_dir).collect()[0]
+    assert (row.n, row.agree, row.chance) == (n, agree, chance)
+    assert row.kappa == pytest.approx(want_kappa, abs=2e-6)
+    assert -1.0 <= row.kappa <= 1.0
