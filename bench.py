@@ -156,6 +156,10 @@ HEADLINE = [
     "q184_rolling_psi",
     "q185_compaction_planner",
     "q186_cohens_kappa",
+    "q187_merkle_partition_diff",
+    "q188_pretrain_funnel",
+    "q189_sketch_calibration",
+    "q190_stratified_kfold",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -447,3 +447,130 @@ def q164_category_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — Merkle-style partition diff: find WHERE two snapshots differ
+#         without a row-level comparison
+# ---------------------------------------------------------------------------
+
+_MDIFF_UPDATE_FROM = "2001-01-01"  # late partitions receive updates...
+_MDIFF_DELETE_FROM = "2001-06-01"  # ...and the latest also lose rows
+
+
+def _mdiff_row_hash_sql(qty: str) -> str:
+    from etl_entregas_pyspark_spark.queries.similarity import _md5_int_sql
+
+    return _md5_int_sql(
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+        f" || '|' || CAST(CAST({qty} AS BIGINT) AS VARCHAR)"
+    )
+
+
+@register(
+    "q187_merkle_partition_diff",
+    f"""
+    WITH a AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS part,
+               {_mdiff_row_hash_sql('l_quantity')} AS rh
+        FROM lineitem
+    ), b_src AS (
+        SELECT l_shipdate, l_orderkey, l_linenumber,
+               CASE WHEN l_shipdate >= TIMESTAMP '{_MDIFF_UPDATE_FROM}'
+                         AND l_orderkey % 97 = 0
+                    THEN l_quantity + 1 ELSE l_quantity END AS q
+        FROM lineitem
+        WHERE NOT (l_shipdate >= TIMESTAMP '{_MDIFF_DELETE_FROM}'
+                   AND l_orderkey % 101 = 0)
+    ), b AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS part,
+               {_mdiff_row_hash_sql('q')} AS rh
+        FROM b_src
+    ), pa AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows_a, bit_xor(rh) AS h_a
+        FROM a GROUP BY part
+    ), pb AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows_b, bit_xor(rh) AS h_b
+        FROM b GROUP BY part
+    )
+    SELECT COALESCE(pa.part, pb.part) AS part,
+           COALESCE(n_rows_a, 0) AS n_rows_a,
+           COALESCE(n_rows_b, 0) AS n_rows_b
+    FROM pa FULL JOIN pb ON pa.part = pb.part
+    WHERE pa.part IS NULL OR pb.part IS NULL
+       OR n_rows_a != n_rows_b OR h_a != h_b
+    """,
+    doc="incremental-sync primitive: compare two snapshots of a 100-TB "
+    "table by PARTITION-LEVEL content fingerprints and emit only the "
+    "partitions that changed — the Merkle idea flattened one level "
+    "(partition digests instead of a tree; at petabyte scale add a "
+    "digest-of-digests layer the same way). Row hash = md5 of the "
+    "business key + payload; partition digest = bit_xor of row hashes, "
+    "which is order- and partition-layout-independent and cannot "
+    "overflow (the sum-based digest would need modular arithmetic to "
+    "stay portable). Snapshot B is snapshot A with deterministic "
+    "late-partition updates (+1 qty on orderkey%97 from "
+    f"{_MDIFF_UPDATE_FROM}) and deletes (orderkey%101 from "
+    f"{_MDIFF_DELETE_FROM}), so early partitions MUST digest equal and "
+    "drop out — the row-level diff a downstream job would run now "
+    "touches only the changed months. Cost: two scans, two "
+    "partial-aggregated exchanges keyed on partition, a "
+    "partition-count-sized join; no row ever crosses the network. The "
+    "deliberate trap q81's reconciliation would miss: equal row COUNTS "
+    "with different content (pure updates) — caught here by the digest, "
+    "which is why the diff predicate checks both.",
+)
+def q187_merkle_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.similarity import md5_int
+
+    li = T(spark, sf_dir, "lineitem")
+
+    def row_hash(qty: F.Column) -> F.Column:
+        return md5_int(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                qty.cast("bigint").cast("string"),
+            )
+        )
+
+    part = F.date_format("l_shipdate", "yyyy-MM").alias("part")
+    a = li.select(part, row_hash(F.col("l_quantity")).alias("rh"))
+    b_src = li.filter(
+        ~(
+            (F.col("l_shipdate") >= F.lit(_MDIFF_DELETE_FROM).cast("timestamp"))
+            & (F.col("l_orderkey") % 101 == 0)
+        )
+    ).select(
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            (F.col("l_shipdate") >= F.lit(_MDIFF_UPDATE_FROM).cast("timestamp"))
+            & (F.col("l_orderkey") % 97 == 0),
+            F.col("l_quantity") + 1,
+        )
+        .otherwise(F.col("l_quantity"))
+        .alias("q"),
+    )
+    b = b_src.select(part, row_hash(F.col("q")).alias("rh"))
+    pa = a.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_a"),
+        F.expr("bit_xor(rh)").alias("h_a"),
+    )
+    pb = b.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_b"),
+        F.expr("bit_xor(rh)").alias("h_b"),
+    )
+    joined = pa.join(pb, "part", "full_outer")
+    return joined.filter(
+        F.col("n_rows_a").isNull()
+        | F.col("n_rows_b").isNull()
+        | (F.col("n_rows_a") != F.col("n_rows_b"))
+        | (F.col("h_a") != F.col("h_b"))
+    ).select(
+        "part",
+        F.coalesce("n_rows_a", F.lit(0)).cast("bigint").alias("n_rows_a"),
+        F.coalesce("n_rows_b", F.lit(0)).cast("bigint").alias("n_rows_b"),
+    )

@@ -1057,3 +1057,175 @@ def q185_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bytes").cast("bigint").alias("min_bytes"),
         F.max("bytes").cast("bigint").alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — pretraining prep funnel: quality filter → exact dedup → packing,
+#         audited per source
+# ---------------------------------------------------------------------------
+
+_FUNNEL_MIN_TOKENS = 40
+_FUNNEL_MAX_TOKENS = 1000
+
+
+@register(
+    "q188_pretrain_funnel",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, source, text,
+               LEN(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), quality AS (
+        SELECT * FROM sized
+        WHERE n_tokens BETWEEN {_FUNNEL_MIN_TOKENS} AND {_FUNNEL_MAX_TOKENS}
+    ), grp AS (
+        SELECT md5(lower(text)) AS fp, MIN(doc_id) AS rep_id
+        FROM quality GROUP BY md5(lower(text))
+    ), deduped AS (
+        SELECT q.doc_id, q.source, q.n_tokens
+        FROM quality q JOIN grp g ON q.doc_id = g.rep_id
+    ), binned AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE)
+                          / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+        FROM deduped
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN s.n_tokens BETWEEN {_FUNNEL_MIN_TOKENS} AND {_FUNNEL_MAX_TOKENS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(COALESCE(ANY_VALUE(d.n_docs), 0) AS BIGINT) AS n_deduped,
+           CAST(COALESCE(ANY_VALUE(d.n_bins), 0) AS BIGINT) AS n_bins,
+           CAST(COALESCE(ANY_VALUE(d.total_tokens), 0) AS BIGINT) AS total_tokens
+    FROM sized s
+    LEFT JOIN (
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT bin_id) AS n_bins,
+               SUM(n_tokens) AS total_tokens
+        FROM binned GROUP BY source
+    ) d ON s.source = d.source
+    GROUP BY s.source
+    """,
+    doc="the pretraining corpus-prep chain as ONE audited operator: "
+    f"quality gate (token count in [{_FUNNEL_MIN_TOKENS}, "
+    f"{_FUNNEL_MAX_TOKENS}]) → exact dedup (md5(lower(text)) keep-min-id, "
+    "q93's collapse stage) → sequence packing into "
+    f"{_PACK_BUDGET}-token bins (q82's cumulative-offset rule, partitioned by "
+    "source) — with the per-source funnel counts a data lead actually "
+    "reviews before a training run: input docs, quality survivors, "
+    "dedup survivors, packed bin count, packed token budget. Each "
+    "stage is the already-proven primitive; the composition pins their "
+    "interaction order (dedup AFTER quality: a spam doc must not "
+    "shadow a clean duplicate; packing AFTER dedup: bins must never "
+    "contain the same content twice). Cost: one scan feeds the funnel, "
+    "the dedup groupBy runs on quality survivors only, the packing "
+    "window is per-source (q82's bounded state) — every stage strictly "
+    "shrinks the data, the 100-TB property a prep pipeline must have.",
+)
+def q188_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sized = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    quality = sized.filter(
+        F.col("n_tokens").between(_FUNNEL_MIN_TOKENS, _FUNNEL_MAX_TOKENS)
+    )
+    grp = quality.groupBy(F.md5(F.lower(F.col("text"))).alias("fp")).agg(
+        F.min("doc_id").alias("rep_id")
+    )
+    deduped = quality.join(
+        grp.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "source", "n_tokens")
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = deduped.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")).cast("double")
+            / _PACK_BUDGET
+        ).cast("bigint").alias("bin_id"),
+    )
+    packed = binned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_deduped"),
+        F.countDistinct("bin_id").cast("bigint").alias("n_bins"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    funnel = sized.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input"),
+        F.sum(
+            F.when(
+                F.col("n_tokens").between(_FUNNEL_MIN_TOKENS, _FUNNEL_MAX_TOKENS),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_quality"),
+    )
+    return funnel.join(packed, "source", "left").select(
+        "source",
+        "n_input",
+        "n_quality",
+        F.coalesce("n_deduped", F.lit(0)).cast("bigint").alias("n_deduped"),
+        F.coalesce("n_bins", F.lit(0)).cast("bigint").alias("n_bins"),
+        F.coalesce("total_tokens", F.lit(0)).cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — stratified k-fold assignment (exact per-stratum balance)
+# ---------------------------------------------------------------------------
+
+_KFOLD = 5
+
+
+@register(
+    "q190_stratified_kfold",
+    f"""
+    WITH ranked AS (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY {_md5_int_sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
+        FROM embeddings
+    )
+    SELECT (rk - 1) % {_KFOLD} AS fold, label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vec_id) AS BIGINT) AS probe
+    FROM ranked GROUP BY fold, label
+    """,
+    doc=f"stratified {_KFOLD}-fold cross-validation assignment: within "
+    "every label stratum, rows are ranked by a deterministic md5 "
+    "scramble of their id (pseudo-random order with zero RNG state) "
+    "and dealt round-robin into folds — so per (label, fold) counts "
+    "are EXACTLY balanced (max spread 1), which hash-mod assignment "
+    "(q63's split) only achieves in expectation. The audit emits the "
+    "(fold, label) grid with an id probe sum pinning the exact deal. "
+    "Scale: the rank window partitions by label — fine while strata "
+    "are node-sized; for web-scale strata the same deal decomposes "
+    "into per-bucket ranks + broadcast bucket-count offsets (the "
+    "q174/q131 prefix-sum rewrite) or falls back to q63's hash split "
+    "when expectation-level balance suffices. Choosing rank-deal vs "
+    "hash-mod IS the operator's documented tradeoff.",
+)
+def q190_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = Window.partitionBy("label").orderBy(
+        md5_int(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = e.select(
+        "vec_id", "label", F.row_number().over(w).alias("rk")
+    )
+    return ranked.groupBy(
+        ((F.col("rk") - 1) % _KFOLD).alias("fold"), "label"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vec_id").cast("bigint").alias("probe"),
+    )

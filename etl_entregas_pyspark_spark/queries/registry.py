@@ -57,6 +57,10 @@ _PRIORITY = [
     "q184_rolling_psi",
     "q185_compaction_planner",
     "q186_cohens_kappa",
+    "q187_merkle_partition_diff",
+    "q188_pretrain_funnel",
+    "q189_sketch_calibration",
+    "q190_stratified_kfold",
     # (b) the 23 queries whose newest driver row dates to round 3 —
     # the last stale-green cohort (newest-row histogram after r6:
     # r6=50, r5=50, r4=47, r3=23). Retiring these makes every registry

@@ -1404,3 +1404,107 @@ def q182_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("is_dropped").isNull(), F.col("vec_id")).otherwise(F.lit(0))
         ).cast("bigint").alias("kept_probe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — MinHash sketch calibration: estimated vs exact Jaccard per pair
+# ---------------------------------------------------------------------------
+
+
+def _q189_oracle() -> str:
+    mh = [
+        f"list_min(list_transform(hs, h -> ({_A[j]} * h + {_B[j]}) % {_P})) AS mh{j}"
+        for j in range(N_HASHES)
+    ]
+    bands = [
+        "md5(" + " || ',' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ) + f") AS band_{b}"
+        for b in range(N_BANDS)
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band_{b} AS band_hash FROM sigs" for b in range(N_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN x.mh{j} = y.mh{j} THEN 1 ELSE 0 END)" for j in range(N_HASHES)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_sh_sql(3)} AS sh FROM documents
+    ), hashed AS (
+        SELECT doc_id, sh, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs
+        FROM sh WHERE len(sh) > 0
+    ), mh AS (
+        SELECT doc_id, sh, {', '.join(mh)} FROM hashed
+    ), sigs AS (
+        SELECT doc_id, sh, {', '.join(bands)} FROM mh
+    ), band_long AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_long a JOIN band_long b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({agree} AS BIGINT) AS n_hash_agree,
+           CAST({agree} AS DOUBLE) / {N_HASHES} AS est_jaccard,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+    FROM cand c JOIN mh x ON c.doc_a = x.doc_id JOIN mh y ON c.doc_b = y.doc_id
+    """
+
+
+@register(
+    "q189_sketch_calibration",
+    _q189_oracle(),
+    doc="sketch-quality audit for the q53 MinHash pipeline: for every "
+    "LSH candidate pair, the ESTIMATED Jaccard (fraction of the 12 "
+    "minhash rows agreeing — the unbiased sketch estimator) next to the "
+    "EXACT shingle-set Jaccard, so drift between sketch and truth is a "
+    "queryable table instead of a leap of faith. This is how a "
+    "production dedup pipeline tunes bands x rows: if est systematically "
+    "overshoots near the threshold, candidates flood the verify stage; "
+    "if it undershoots, recall silently drops. Same machinery and cost "
+    "as q53 (shared lsh_candidates; the signature table is reused for "
+    "both the estimate and the band keys); only candidate pairs' "
+    "shingle payloads move to the verify join. Both Jaccards are exact "
+    "integer ratios in double (portable without rounding); candidates "
+    "are a biased sample by construction (>= 1 band agrees) — that bias "
+    "is the thing being audited.",
+)
+def q189_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
+        .withColumn("h", md5_int(F.col("item")) % _P)
+    )
+    per_doc, cand = lsh_candidates(ex)
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("items").alias("sh_a"),
+        *[F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(N_HASHES)],
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("items").alias("sh_b"),
+        *[F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(N_HASHES)],
+    )
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    agree = sum(
+        F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (
+        F.size("sh_a")
+        + F.size("sh_b")
+        - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        agree.cast("bigint").alias("n_hash_agree"),
+        (agree.cast("double") / N_HASHES).alias("est_jaccard"),
+        (inter / union).alias("jaccard"),
+    )

@@ -216,3 +216,125 @@ def test_cohens_kappa_matches_pandas_reference(spark, sf_dir):
     assert (row.n, row.agree, row.chance) == (n, agree, chance)
     assert row.kappa == pytest.approx(want_kappa, abs=2e-6)
     assert -1.0 <= row.kappa <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q187 — merkle partition diff
+# ---------------------------------------------------------------------------
+
+
+def test_merkle_diff_flags_exactly_the_touched_partitions(spark, sf_dir):
+    """Partitions before the first update month must digest equal (and not
+    appear); update-only months must appear DESPITE equal row counts —
+    the pure-update trap a count-based reconciliation misses; months in
+    the delete range must show n_rows_a > n_rows_b."""
+    from etl_entregas_pyspark_spark.queries.audit import (
+        _MDIFF_DELETE_FROM,
+        _MDIFF_UPDATE_FROM,
+        q187_merkle_partition_diff,
+    )
+
+    rows = q187_merkle_partition_diff(spark, sf_dir).collect()
+    assert rows, "diff must be non-empty"
+    update_month = _MDIFF_UPDATE_FROM[:7]
+    delete_month = _MDIFF_DELETE_FROM[:7]
+    for r in rows:
+        assert r.part >= update_month  # untouched history never surfaces
+        if r.part < delete_month:
+            # update-only window: same cardinality, different content
+            assert r.n_rows_a == r.n_rows_b
+        else:
+            # delete window: never gains rows (a given month may lose
+            # none at tiny SF — the digest still flags its updates)
+            assert r.n_rows_a >= r.n_rows_b
+    assert sum(r.n_rows_a for r in rows) >= sum(r.n_rows_b for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# q188 — pretraining funnel
+# ---------------------------------------------------------------------------
+
+
+def test_pretrain_funnel_stages_strictly_shrink(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.datasplit import (
+        _PACK_BUDGET,
+        q188_pretrain_funnel,
+    )
+
+    rows = q188_pretrain_funnel(spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_quality < r.n_input for r in rows)  # gate actually cuts
+    for r in rows:
+        assert r.n_input >= r.n_quality >= r.n_deduped >= 0
+        if r.n_deduped:
+            assert 1 <= r.n_bins <= r.n_deduped
+            # cumulative-offset packing wastes less than one budget per bin
+            assert r.total_tokens > (r.n_bins - 1) * _PACK_BUDGET
+        else:
+            assert r.n_bins == 0 and r.total_tokens == 0
+
+
+# ---------------------------------------------------------------------------
+# q189 — sketch calibration
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_calibration_bounds_and_q53_consistency(spark, sf_dir):
+    """Every candidate pair shares >= 1 full band (3 consecutive minhash
+    rows), so n_hash_agree >= 3; both Jaccards live in [0, 1]; and the
+    q53 near-dup output must be exactly this table filtered at the
+    verify threshold."""
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        JACCARD_THRESHOLD,
+        N_HASHES,
+        ROWS_PER_BAND,
+        q53_minhash_near_dup,
+        q189_sketch_calibration,
+    )
+
+    cal = q189_sketch_calibration(spark, sf_dir).collect()
+    assert cal
+    for r in cal:
+        assert ROWS_PER_BAND <= r.n_hash_agree <= N_HASHES
+        assert r.est_jaccard == r.n_hash_agree / N_HASHES
+        assert 0.0 <= r.jaccard <= 1.0
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in cal
+        if r.jaccard >= JACCARD_THRESHOLD
+    }
+    got = {(r.doc_a, r.doc_b) for r in q53_minhash_near_dup(spark, sf_dir).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q190 — stratified k-fold
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_kfold_is_exactly_balanced_partition(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_entregas_pyspark_spark.queries.datasplit import (
+        _KFOLD,
+        q190_stratified_kfold,
+    )
+
+    rows = q190_stratified_kfold(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = {
+        r.label: (r.n, r.s)
+        for r in emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s"))
+        .collect()
+    }
+    by_label: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.fold < _KFOLD
+        by_label.setdefault(r.label, []).append(r)
+    assert set(by_label) == set(want)
+    for label, cells in by_label.items():
+        ns = [c.n for c in cells]
+        assert max(ns) - min(ns) <= 1  # exact stratified balance
+        assert sum(ns) == want[label][0]  # complete partition
+        assert sum(c.probe for c in cells) == want[label][1]
