@@ -160,6 +160,9 @@ HEADLINE = [
     "q188_pretrain_funnel",
     "q189_sketch_calibration",
     "q190_stratified_kfold",
+    "q191_label_noise",
+    "q192_lsh_recall_audit",
+    "q193_epoch_shuffle",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -1229,3 +1229,58 @@ def q190_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("vec_id").cast("bigint").alias("probe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — deterministic per-epoch training order (seeded reshuffle)
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 3
+_ORDER_MOD = 100003  # probe modulus: keeps the order-probe sum in int64
+
+
+@register(
+    "q193_epoch_shuffle",
+    f"""
+    WITH keyed AS (
+        SELECT g.i AS epoch, d.doc_id,
+               {_md5_int_sql("CAST(g.i AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)")} AS hk
+        FROM documents d CROSS JOIN generate_series(0, {_EPOCHS - 1}) AS g(i)
+    )
+    SELECT epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM((hk % {_ORDER_MOD}) * doc_id) AS BIGINT) AS order_probe,
+           CAST(ARG_MIN(doc_id, hk) AS BIGINT) AS first_doc_id
+    FROM keyed GROUP BY epoch
+    """,
+    doc="reproducible training-data shuffling: epoch e orders the corpus "
+    "by md5(e || doc_id) — a different, deterministic permutation every "
+    "epoch with zero RNG state, the property that makes a training run "
+    "resumable mid-epoch and bit-identical across reruns (rand(seed) "
+    "depends on partitioning; zipWithIndex on scan order). No global "
+    "sort materializes here: the audit pins each epoch's permutation "
+    "through its hash-key sum probe (the keys ARE the order) plus the "
+    "first-scheduled doc via arg_min, so any drift in the hash or its "
+    "mixing shows. At scale the shuffle is a SORT BY the key at write "
+    "time (range partitioner, no single-task sort) or simply reading "
+    "bucket files in key order; distinct-key count documents collision "
+    "absence at this corpus size. One scan x epochs, one aggregate.",
+)
+def q193_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    hk = md5_int(
+        F.concat_ws("|", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+    )
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", hk.alias("hk")
+    )
+    return keyed.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("hk").cast("bigint").alias("n_distinct_keys"),
+        F.sum((F.col("hk") % _ORDER_MOD) * F.col("doc_id"))
+        .cast("bigint")
+        .alias("order_probe"),
+        F.min_by("doc_id", "hk").cast("bigint").alias("first_doc_id"),
+    )

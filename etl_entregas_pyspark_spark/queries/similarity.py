@@ -1508,3 +1508,257 @@ def q189_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (agree.cast("double") / N_HASHES).alias("est_jaccard"),
         (inter / union).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — label-noise detection: kNN-vote disagreement inside IVF buckets
+# ---------------------------------------------------------------------------
+
+_NOISE_K = 10
+
+
+@register(
+    "q191_label_noise",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+    ), assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_IVF_ASSIGN_SQL.replace("{SRC}", "embeddings")}
+        ) WHERE rn = 1
+    ), labeled AS (
+        SELECT a.vec_id, a.embedding, a.centroid_id, e.label
+        FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+    ), knn AS (
+        SELECT vec_id, label, neighbor_label FROM (
+            SELECT a.vec_id, a.label, b.label AS neighbor_label,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC,
+                       b.vec_id) AS rnk
+            FROM labeled a JOIN labeled b
+              ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+        ) WHERE rnk <= {_NOISE_K}
+    ), votes AS (
+        SELECT vec_id, label, neighbor_label, COUNT(*) AS n_votes
+        FROM knn GROUP BY vec_id, label, neighbor_label
+    ), winner AS (
+        SELECT vec_id, label, neighbor_label AS predicted_label, n_votes FROM (
+            SELECT vec_id, label, neighbor_label, n_votes,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY n_votes DESC, neighbor_label) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, label, predicted_label, CAST(n_votes AS BIGINT) AS n_votes
+    FROM winner WHERE label != predicted_label
+    """,
+    doc="confident-learning-style label QA: every vector is voted on by "
+    f"its {_NOISE_K} nearest neighbors WITHIN its IVF bucket (the q55 "
+    "assignment — blocking makes the neighbor join an equi-join on "
+    "centroid_id, never an all-pairs product), and rows whose own label "
+    "loses the majority vote are flagged as suspected annotation noise "
+    "— the triage list a labeling team actually reviews. Deterministic "
+    "throughout: exact cosines (portable doubles), neighbor ties by id, "
+    "vote ties by label (q52's rule). Scale: cost is sum(bucket²) like "
+    "q182 — K grows with n under IVF's sqrt(n) rule; the vote/winner "
+    "windows partition by vec_id (bounded by k). The within-bucket "
+    "restriction is the standard ANN approximation and exactly what "
+    "production noise-sweeps (Cleanlab-style over FAISS neighbors) do.",
+)
+def q191_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    labeled = ivf_assign(e, ivf_centroids(e), keep=1).join(
+        e.select("vec_id", "label"), "vec_id"
+    ).select("vec_id", "embedding", "centroid_id", "label")
+    a = labeled.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("a_emb"),
+        "centroid_id",
+        F.col("label").alias("label"),
+    )
+    b = labeled.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("centroid_id").alias("n_cid"),
+        F.col("label").alias("neighbor_label"),
+    )
+    cos = dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.sqrt(sq_norm(F.col("a_emb"))) * F.sqrt(sq_norm(F.col("b_emb")))
+    )
+    w_knn = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id")
+    )
+    knn = (
+        a.join(
+            b,
+            (F.col("centroid_id") == F.col("n_cid"))
+            & (F.col("vec_id") != F.col("n_id")),
+        )
+        .select("vec_id", "label", "neighbor_label", "n_id", cos.alias("cosine"))
+        .select("*", F.row_number().over(w_knn).alias("rnk"))
+        .filter(F.col("rnk") <= _NOISE_K)
+    )
+    votes = knn.groupBy("vec_id", "label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_win = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    return (
+        votes.select("*", F.row_number().over(w_win).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("label") != F.col("neighbor_label"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("neighbor_label").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — LSH recall audit: banding vs the exhaustive shingle-blocked truth
+# ---------------------------------------------------------------------------
+
+
+def _q192_oracle() -> str:
+    lsh = _q53_oracle()
+    prob = f"(1.0 - POW(1.0 - POW(t.jaccard, {ROWS_PER_BAND}), {N_BANDS}))"
+    return f"""
+    WITH shf AS (
+        SELECT doc_id, {_sh_sql(3)} AS sh FROM documents
+    ), shd AS (
+        SELECT doc_id, sh FROM shf WHERE len(sh) > 0
+    ), ex AS (
+        SELECT doc_id, unnest(sh) AS s FROM shd
+    ), sizes AS (
+        SELECT doc_id, len(sh) AS n FROM shd
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+        FROM cand c JOIN sizes x ON c.doc_a = x.doc_id
+                    JOIN sizes y ON c.doc_b = y.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common)
+              >= {JACCARD_THRESHOLD}
+    ), lsh AS (
+        SELECT doc_a, doc_b FROM ({lsh})
+    ), joined AS (
+        SELECT t.doc_a, t.doc_b, t.jaccard,
+               CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM truth t LEFT JOIN lsh l
+          ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_missed,
+           {_rnd_sql('CAST(SUM(hit) AS DOUBLE) / COUNT(*)', 6)} AS recall,
+           {_rnd_sql(f'CAST(SUM(CAST(FLOOR({prob} * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*)', 6)} AS expected_recall
+    FROM joined t
+    """
+
+
+@register(
+    "q192_lsh_recall_audit",
+    _q192_oracle(),
+    doc="the question every LSH deployment must answer: what did banding "
+    "MISS? Ground truth = all pairs with shingle-Jaccard >= 0.5, found "
+    "EXHAUSTIVELY but lint-clean — a J>0 pair must share a shingle, so "
+    "the shingle equi-join (q45's blocking, here on the discriminative "
+    "3-gram universe) enumerates a superset of the truth with zero "
+    "false dismissals and no cartesian product. Against it, q53's "
+    "banded pipeline (shared machinery) is scored: observed recall "
+    "next to the theoretical E[recall] = mean of 1-(1-J^r)^b over true "
+    "pairs — if observed undershoots theory, the implementation (not "
+    "the parameters) is broken; if theory itself is too low, add bands. "
+    "Quantized floor-1e-6 terms keep the expectation engine-identical. "
+    "Scale: truth-side cost tracks shingle co-occurrence (measured "
+    "11.5k candidate pairs on 500 docs); at 100 TB the audit runs on a "
+    "sampled stratum — the banding math being audited is "
+    "scale-invariant. Post-verify precision is 1.0 by construction "
+    "(q53 verifies exact J), which the n_lsh_pairs == n_hit columns "
+    "pin.",
+)
+def q192_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE shingle+minhash stage feeds both arms: per_doc is checkpointed
+    # by lsh_candidates, so the truth side re-explodes the already-
+    # materialized shingle lists instead of re-running the tokenizer
+    ex = (
+        T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
+        .withColumn("h", md5_int(F.col("item")) % _P)
+    )
+    per_doc, cand_lsh = lsh_candidates(ex)
+
+    # LSH arm — q53's exact verify over band candidates
+    pairs = jaccard_verify(cand_lsh, per_doc)
+    l_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    l_union = (
+        F.size("sh_a")
+        + F.size("sh_b")
+        - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    )
+    lsh = (
+        pairs.filter(l_inter / l_union >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    )
+
+    # truth arm — exhaustive shingle-blocked: shingles are distinct per
+    # doc, so the equi-join match count IS the intersection size; the
+    # verify join moves int sizes, never array payloads
+    ex2 = per_doc.select("doc_id", F.explode("items").alias("s"))
+    a, b = ex2.alias("a"), ex2.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sizes = per_doc.select("doc_id", F.size("items").alias("n"))
+    xa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    xb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    truth = (
+        cand.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    joined = truth.join(lsh, ["doc_a", "doc_b"], "left").select(
+        "jaccard", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    prob = 1.0 - F.pow(1.0 - F.pow(F.col("jaccard"), ROWS_PER_BAND), N_BANDS)
+    stats = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum("hit").cast("bigint").alias("n_hit"),
+        (F.count(F.lit(1)) - F.sum("hit")).cast("bigint").alias("n_missed"),
+        rnd(F.sum("hit").cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+        rnd(
+            F.sum(F.floor(prob * 1000000.0).cast("bigint")).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("expected_recall"),
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"))
+    return stats.crossJoin(F.broadcast(n_lsh)).select(
+        "n_true_pairs",
+        "n_lsh_pairs",
+        "n_hit",
+        "n_missed",
+        "recall",
+        "expected_recall",
+    )

@@ -338,3 +338,99 @@ def test_stratified_kfold_is_exactly_balanced_partition(spark, sf_dir):
         assert max(ns) - min(ns) <= 1  # exact stratified balance
         assert sum(ns) == want[label][0]  # complete partition
         assert sum(c.probe for c in cells) == want[label][1]
+
+
+# ---------------------------------------------------------------------------
+# q191 — label-noise detection
+# ---------------------------------------------------------------------------
+
+
+def test_label_noise_matches_numpy_reference(spark, sf_dir):
+    """Independent recompute: within each IVF bucket, 10-NN by exact
+    cosine (ties to lower id), majority vote (ties to lower label) —
+    the flagged set must match exactly."""
+    from collections import Counter
+
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        _NOISE_K,
+        q191_label_noise,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    emb = np.array([r.embedding for r in rows], dtype=np.float64)
+    labels = {r.vec_id: r.label for r in rows}
+    cents = emb[ids < 8]
+    d2 = ((emb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    norms = np.sqrt((emb * emb).sum(axis=1))
+
+    want = {}
+    for c in np.unique(assign):
+        members = [int(v) for v in ids[assign == c]]
+        for vid in members:
+            vi = np.where(ids == vid)[0][0]
+            scored = []
+            for nid in members:
+                if nid == vid:
+                    continue
+                ni = np.where(ids == nid)[0][0]
+                cos = (emb[vi] @ emb[ni]) / (norms[vi] * norms[ni])
+                scored.append((-cos, nid))
+            scored.sort()
+            votes = Counter(labels[nid] for _, nid in scored[:_NOISE_K])
+            pred = min(votes, key=lambda l: (-votes[l], l))
+            if pred != labels[vid]:
+                want[vid] = (labels[vid], pred, votes[pred])
+
+    got = {
+        r.vec_id: (r.label, r.predicted_label, r.n_votes)
+        for r in q191_label_noise(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# q192 — LSH recall audit
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_recall_audit_invariants(spark, sf_dir):
+    """Post-verify LSH has precision 1 by construction (n_lsh == n_hit),
+    the truth superset bounds everything, and both recall numbers live
+    in (0, 1]."""
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        q192_lsh_recall_audit,
+    )
+
+    r = q192_lsh_recall_audit(spark, sf_dir).collect()[0]
+    assert r.n_true_pairs > 0
+    assert r.n_lsh_pairs == r.n_hit  # every verified LSH pair is true
+    assert r.n_hit + r.n_missed == r.n_true_pairs
+    assert 0.0 < r.recall <= 1.0
+    assert 0.0 < r.expected_recall <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q193 — epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_distinct_permutations(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.datasplit import (
+        _EPOCHS,
+        q193_epoch_shuffle,
+    )
+
+    rows = q193_epoch_shuffle(spark, sf_dir).collect()
+    assert sorted(r.epoch for r in rows) == list(range(_EPOCHS))
+    n_docs = {r.n_docs for r in rows}
+    assert len(n_docs) == 1  # every epoch schedules the full corpus
+    for r in rows:
+        assert r.n_distinct_keys == r.n_docs  # collision-free order keys
+    # different epochs must produce different permutations
+    assert len({r.order_probe for r in rows}) == _EPOCHS
