@@ -163,6 +163,8 @@ HEADLINE = [
     "q191_label_noise",
     "q192_lsh_recall_audit",
     "q193_epoch_shuffle",
+    "q194_link_prediction_adaptive",
+    "q195_source_overlap_matrix",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

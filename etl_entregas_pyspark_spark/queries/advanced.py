@@ -1149,3 +1149,118 @@ _LP_CAP = 40  # > p95 part degree at every tested SF (39 at sf0.01/sf0.1)
 )
 def q173_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction_pairs(spark, sf_dir, part_degree_cap=_LP_CAP)
+
+
+# ---------------------------------------------------------------------------
+# q194 — adaptive-cap link prediction: derive the hub cap from the observed
+#         degree distribution (the production form SCALE.md argues for)
+# ---------------------------------------------------------------------------
+
+_LP_CAP_PCT = 0.95
+
+
+@register(
+    "q194_link_prediction_adaptive",
+    f"""
+    WITH inter AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), pdeg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS pd FROM inter GROUP BY p
+    ), hist AS (
+        SELECT pd AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM pdeg GROUP BY pd
+    ), m AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS m FROM hist
+    ), cum AS (
+        SELECT a.v, CAST(SUM(b.cnt) AS BIGINT) AS cle
+        FROM hist a JOIN hist b ON b.v <= a.v GROUP BY a.v
+    ), cap AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS derived_cap
+        FROM cum CROSS JOIN m
+        WHERE cle >= CAST(CEIL({_LP_CAP_PCT} * m) AS BIGINT)
+    ), capped AS (
+        SELECT i.c, i.p
+        FROM inter i JOIN pdeg g ON i.p = g.p CROSS JOIN cap
+        WHERE g.pd <= derived_cap
+    ), deg AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM capped GROUP BY c
+    ), common AS (
+        SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM capped a JOIN capped b ON a.p = b.p AND a.c < b.c
+        GROUP BY a.c, b.c
+        HAVING COUNT(*) >= {_LP_MIN_COMMON}
+    )
+    SELECT m.c1, m.c2, m.cn AS n_common,
+           {_rnd_sql("CAST(m.cn AS DOUBLE) / (d1.d + d2.d - m.cn)", 4)}
+               AS jaccard,
+           (SELECT derived_cap FROM cap) AS derived_cap
+    FROM common m
+    JOIN deg d1 ON m.c1 = d1.c
+    JOIN deg d2 ON m.c2 = d2.c
+    """,
+    doc="the production form of q173: instead of a FIXED hub cap (which "
+    "SCALE.md measured going degenerate when the whole degree "
+    "distribution shifts — every part exceeded 40 at sf1 and the graph "
+    "zeroed), the cap is DERIVED per corpus snapshot as the exact p95 "
+    "of the part-degree distribution: rank-free, computed from the "
+    "degree HISTOGRAM (distinct degree values — model-state-sized) via "
+    "a histogram self-join cumulative count, so no global window and "
+    "no sort touches data-scale rows. The 1-row cap broadcasts into "
+    "the hub filter; everything downstream is q171's shared plan with "
+    "per-part fan-out bounded by cap². Degrees recomputed over the "
+    "capped set (drop-then-score, q173's semantics). Emitting "
+    "derived_cap makes the guard auditable — at sf1's 10x density the "
+    "cap self-adjusts to ~390 and the job stays bounded (SCALE.md "
+    "round-7 table) where the fixed cap returned an empty graph.",
+)
+def q194_link_prediction_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"), "o_orderkey"
+    )
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("p")
+    )
+    inter = o.join(l, "o_orderkey").select("c", "p").distinct().localCheckpoint()
+    pdeg = inter.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("pd"))
+    hist = pdeg.groupBy(F.col("pd").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    m = hist.agg(F.sum("cnt").cast("bigint").alias("m"))
+    ha, hb = hist.alias("ha"), hist.alias("hb")
+    cum = (
+        ha.join(F.broadcast(hb), F.col("hb.v") <= F.col("ha.v"))
+        .groupBy(F.col("ha.v").alias("v"))
+        .agg(F.sum("hb.cnt").cast("bigint").alias("cle"))
+    )
+    cap = (
+        cum.crossJoin(F.broadcast(m))
+        .filter(
+            F.col("cle") >= F.ceil(_LP_CAP_PCT * F.col("m")).cast("bigint")
+        )
+        .agg(F.min("v").cast("bigint").alias("derived_cap"))
+    )
+    capped = (
+        inter.join(pdeg, "p")
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("pd") <= F.col("derived_cap"))
+        .select("c", "p")
+    )
+    deg = capped.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = capped.select(F.col("c").alias("c1"), "p")
+    b = capped.select(F.col("c").alias("c2"), "p")
+    common = (
+        a.join(b, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= _LP_MIN_COMMON)
+    )
+    d1 = deg.select(F.col("c").alias("c1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("c").alias("c2"), F.col("d").alias("d2"))
+    out = common.join(d1, "c1").join(d2, "c2")
+    jac = F.col("n_common").cast("double") / (
+        F.col("d1") + F.col("d2") - F.col("n_common")
+    )
+    return out.select(
+        "c1", "c2", "n_common", rnd(jac, 4).alias("jaccard")
+    ).crossJoin(F.broadcast(cap))

@@ -1762,3 +1762,48 @@ def q192_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall",
         "expected_recall",
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — cross-source contamination matrix: where near-dups come FROM
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q195_source_overlap_matrix",
+    f"""
+    WITH pairs AS (
+        SELECT doc_a, doc_b FROM ({_q53_oracle()})
+    ), tagged AS (
+        SELECT LEAST(x.source, y.source) AS source_a,
+               GREATEST(x.source, y.source) AS source_b
+        FROM pairs p
+        JOIN documents x ON p.doc_a = x.doc_id
+        JOIN documents y ON p.doc_b = y.doc_id
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs
+    FROM tagged GROUP BY source_a, source_b
+    """,
+    doc="corpus governance: the near-dup PAIR COUNT per (source, source) "
+    "cell — which feeds deduped-mixture decisions (two crawls that are "
+    "80% mutual near-dups should not both keep full mixture weight, "
+    "q86) and licensing triage (your curated set leaking into a crawl "
+    "source shows up as an off-diagonal cell). Pairs are q53's banded "
+    "LSH output (shared machinery, O(candidates)); the source tags "
+    "join on doc_id against the corpus scan, and least/greatest "
+    "canonicalizes the cell so the matrix is upper-triangular "
+    "regardless of pair orientation. Output is bounded by "
+    "sources² — model-state-sized however big the corpus.",
+)
+def q195_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q53_minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    x = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("s_a"))
+    y = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("s_b"))
+    tagged = pairs.join(x, "doc_a").join(y, "doc_b").select(
+        F.least("s_a", "s_b").alias("source_a"),
+        F.greatest("s_a", "s_b").alias("source_b"),
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near_dup_pairs")
+    )

@@ -434,3 +434,70 @@ def test_epoch_shuffle_distinct_permutations(spark, sf_dir):
         assert r.n_distinct_keys == r.n_docs  # collision-free order keys
     # different epochs must produce different permutations
     assert len({r.order_probe for r in rows}) == _EPOCHS
+
+
+# ---------------------------------------------------------------------------
+# q194 — adaptive-cap link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_cap_matches_p95_and_fixed_cap_plan(spark, sf_dir):
+    """The derived cap must equal the exact histogram-rank p95 of part
+    degrees, and the pair output must equal the fixed-cap plan invoked
+    at exactly that cap."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_entregas_pyspark_spark.queries.advanced import (
+        _LP_CAP_PCT,
+        link_prediction_pairs,
+        q194_link_prediction_adaptive,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c"), "o_orderkey"
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("p")
+    )
+    degs = sorted(
+        r.pd
+        for r in o.join(l, "o_orderkey")
+        .select("c", "p")
+        .distinct()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("pd"))
+        .collect()
+    )
+    want_cap = degs[math.ceil(_LP_CAP_PCT * len(degs)) - 1]
+
+    rows = q194_link_prediction_adaptive(spark, sf_dir).collect()
+    assert rows and all(r.derived_cap == want_cap for r in rows)
+
+    fixed = {
+        (r.c1, r.c2): (r.n_common, r.jaccard)
+        for r in link_prediction_pairs(
+            spark, sf_dir, part_degree_cap=int(want_cap)
+        ).collect()
+    }
+    got = {(r.c1, r.c2): (r.n_common, r.jaccard) for r in rows}
+    assert got == fixed
+
+
+# ---------------------------------------------------------------------------
+# q195 — source overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_matrix_partitions_q53_pairs(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        q53_minhash_near_dup,
+        q195_source_overlap_matrix,
+    )
+
+    cells = q195_source_overlap_matrix(spark, sf_dir).collect()
+    assert cells
+    assert all(c.source_a <= c.source_b for c in cells)
+    n_pairs = q53_minhash_near_dup(spark, sf_dir).count()
+    assert sum(c.n_near_dup_pairs for c in cells) == n_pairs
