@@ -1377,12 +1377,19 @@ _SEMDEDUP_COS_SQL = """list_sum(list_transform(list_zip(a.embedding, b.embedding
 )
 def q182_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
+    # norms precomputed ONCE per vector (scalar column) instead of per
+    # pair: sqrt(sq_norm(a)) * sqrt(sq_norm(b)) is arithmetic-identical
+    # whether the factors are computed inline or joined, but inline costs
+    # two 64-element folds per PAIR — 2/3 of the pair-stage work
     assigned = ivf_assign(e, ivf_centroids(e), keep=1).select(
-        "vec_id", "embedding", "centroid_id"
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.sqrt(sq_norm(F.col("embedding"))).alias("nrm"),
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.sqrt(sq_norm(F.col("a.embedding"))) * F.sqrt(sq_norm(F.col("b.embedding")))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     dropped = (
         a.join(
@@ -1570,23 +1577,33 @@ _NOISE_K = 10
 )
 def q191_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
+    # per-vector norm precomputed once (q182's rule): identical
+    # arithmetic, 2/3 fewer array folds in the pair stage
     labeled = ivf_assign(e, ivf_centroids(e), keep=1).join(
         e.select("vec_id", "label"), "vec_id"
-    ).select("vec_id", "embedding", "centroid_id", "label")
+    ).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        "label",
+        F.sqrt(sq_norm(F.col("embedding"))).alias("nrm"),
+    )
     a = labeled.select(
         F.col("vec_id").alias("vec_id"),
         F.col("embedding").alias("a_emb"),
         "centroid_id",
         F.col("label").alias("label"),
+        F.col("nrm").alias("a_nrm"),
     )
     b = labeled.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("b_emb"),
         F.col("centroid_id").alias("n_cid"),
         F.col("label").alias("neighbor_label"),
+        F.col("nrm").alias("b_nrm"),
     )
     cos = dot(F.col("a_emb"), F.col("b_emb")) / (
-        F.sqrt(sq_norm(F.col("a_emb"))) * F.sqrt(sq_norm(F.col("b_emb")))
+        F.col("a_nrm") * F.col("b_nrm")
     )
     w_knn = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("n_id")
