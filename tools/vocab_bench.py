@@ -33,6 +33,7 @@ QUERIES = [
     "q128_bm25_scoring",
     "q141_bigram_perplexity",
     "q152_setjoin_prefix_filter",
+    "q192_lsh_recall_audit",
 ]
 
 
@@ -95,6 +96,16 @@ def time_queries(spark, sf_dir: str) -> dict:
             rows = n
             spark.catalog.clearCache()
         out[name] = {"sec": round(best, 2), "rows": rows}
+        if name == "q192_lsh_recall_audit":
+            # the single audit row's VALUES are the point: recall of the
+            # banded LSH against the exhaustive truth on this corpus
+            r = spec.spark(spark, sf_dir).collect()[0]
+            out[name]["audit"] = {
+                "n_true_pairs": r.n_true_pairs,
+                "n_missed": r.n_missed,
+                "recall": r.recall,
+                "expected_recall": r.expected_recall,
+            }
     return out
 
 
