@@ -165,6 +165,7 @@ HEADLINE = [
     "q193_epoch_shuffle",
     "q194_link_prediction_adaptive",
     "q195_source_overlap_matrix",
+    "q196_semdedup_scaled",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -66,6 +66,7 @@ _PRIORITY = [
     "q193_epoch_shuffle",
     "q194_link_prediction_adaptive",
     "q195_source_overlap_matrix",
+    "q196_semdedup_scaled",
     # (b) the 23 queries whose newest driver row dates to round 3 —
     # the last stale-green cohort (newest-row histogram after r6:
     # r6=50, r5=50, r4=47, r3=23). Retiring these makes every registry

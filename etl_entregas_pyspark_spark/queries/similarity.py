@@ -1376,12 +1376,25 @@ _SEMDEDUP_COS_SQL = """list_sum(list_transform(list_zip(a.embedding, b.embedding
     "so the τ comparison is portable with no rounding guard.",
 )
 def q182_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_prune(spark, sf_dir, n_centroids=8)
+
+
+def semdedup_prune(
+    spark: SparkSession, sf_dir: str, n_centroids: int
+) -> DataFrame:
+    """Shared q182/q196 plan with a parametric centroid count: the
+    within-cluster pair stage costs ~n²/K, so K is THE scale knob
+    (SCALE.md round-7 table: 74 s → 18 s → 5 s for K=8/32/128 at 20 k
+    vectors, drop set stable to ~0.5%)."""
     e = T(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
     # norms precomputed ONCE per vector (scalar column) instead of per
     # pair: sqrt(sq_norm(a)) * sqrt(sq_norm(b)) is arithmetic-identical
     # whether the factors are computed inline or joined, but inline costs
     # two 64-element folds per PAIR — 2/3 of the pair-stage work
-    assigned = ivf_assign(e, ivf_centroids(e), keep=1).select(
+    assigned = ivf_assign(e, cents, keep=1).select(
         "vec_id",
         "embedding",
         "centroid_id",
@@ -1824,3 +1837,49 @@ def q195_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_near_dup_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — SemDeDup at the production centroid count (the n²/K knob, turned)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_K = 32
+
+
+@register(
+    "q196_semdedup_scaled",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < {_SEMDEDUP_K}
+    ), assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_IVF_ASSIGN_SQL.replace("{SRC}", "embeddings")}
+        ) WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+        WHERE {_SEMDEDUP_COS_SQL} >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a.vec_id ELSE 0 END) AS BIGINT) AS kept_probe
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    GROUP BY a.centroid_id
+    """,
+    doc=f"q182's semantic dedup with the scale knob TURNED: "
+    f"{_SEMDEDUP_K} centroids instead of 8, quartering the "
+    "within-cluster pair work (cost ~n²/K — SCALE.md's round-7 table "
+    "measured 74 s → 18 s → 5 s at K=8/32/128 on 20 k vectors with the "
+    "drop set stable to ~0.5%). Registering the scaled form makes the "
+    "production knob itself oracle-checked rather than a docstring "
+    "promise — the q173→q194 pattern applied to clustering "
+    "granularity. Same plan shape as q182 (shared semdedup_prune): "
+    "centroids broadcast, pair join equi-keyed on centroid_id, "
+    "per-cluster audit output; only K differs, so diffing q182's and "
+    "q196's outputs IS the boundary-approximation measurement.",
+)
+def q196_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_prune(spark, sf_dir, n_centroids=_SEMDEDUP_K)

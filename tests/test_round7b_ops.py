@@ -501,3 +501,87 @@ def test_source_overlap_matrix_partitions_q53_pairs(spark, sf_dir):
     assert all(c.source_a <= c.source_b for c in cells)
     n_pairs = q53_minhash_near_dup(spark, sf_dir).count()
     assert sum(c.n_near_dup_pairs for c in cells) == n_pairs
+
+
+# ---------------------------------------------------------------------------
+# q196 — scaled semdedup
+# ---------------------------------------------------------------------------
+
+
+def test_scaled_semdedup_conserves_members_and_tracks_k8_drops(spark, sf_dir):
+    """K=32 must still partition the corpus (member counts conserve),
+    and its drop count can differ from K=8's only by cluster-boundary
+    pairs — a small fraction of the K=8 drop set."""
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        q182_semdedup,
+        q196_semdedup_scaled,
+    )
+
+    k8 = q182_semdedup(spark, sf_dir).collect()
+    k32 = q196_semdedup_scaled(spark, sf_dir).collect()
+    n_vec = sum(r.n_members for r in k8)
+    assert sum(r.n_members for r in k32) == n_vec
+    d8 = sum(r.n_dropped for r in k8)
+    d32 = sum(r.n_dropped for r in k32)
+    # finer clusters can only LOSE cross-boundary pairs, never invent
+    # similarity. At this fixture's tiny scale (~50 vectors over 32
+    # clusters) the boundary fraction is large by construction; the
+    # measured retention at real scale is ~99.5% (SCALE.md round-7
+    # table), so here we pin direction + non-degeneracy only.
+    assert d32 <= d8
+    assert d8 <= 5 or d32 > 0
+
+
+# ---------------------------------------------------------------------------
+# property test: cumulative-offset binning invariants on arbitrary
+# inventories (the q185 packing rule, isolated)
+# ---------------------------------------------------------------------------
+
+
+def test_offset_binning_properties_on_random_inventories(spark):
+    """On hypothesis-generated file inventories, the q185 binning rule
+    must (1) partition the inventory, (2) assign monotone non-decreasing
+    bins in size-desc order, (3) keep every bin except possibly the last
+    from ending before its stride boundary."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    target = 1000
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=3000), min_size=1, max_size=40)
+    )
+    def run(sizes):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sizes)], "file_id int, bytes long"
+        )
+        w = (
+            Window.orderBy(F.col("bytes").desc(), "file_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        planned = df.select(
+            "file_id",
+            "bytes",
+            F.expr(f"(sum(bytes) over (order by bytes desc, file_id"
+                   f" rows between unbounded preceding and current row)"
+                   f" - bytes) div {target}").alias("bin"),
+        ).collect()
+        assert sorted(r.file_id for r in planned) == list(range(len(sizes)))
+        by_order = sorted(planned, key=lambda r: (-r.bytes, r.file_id))
+        bins = [r.bin for r in by_order]
+        assert bins == sorted(bins)  # monotone in pack order
+        # every bin but the last must reach its stride boundary: the
+        # next bin's first file starts at cumsum >= (bin+1)*target
+        cum = 0
+        bin_end = {}
+        for r in by_order:
+            cum += r.bytes
+            bin_end[r.bin] = cum
+        last = max(bins)
+        for b, end in bin_end.items():
+            if b != last:
+                assert end >= (b + 1) * target
+
+    run()
