@@ -166,6 +166,8 @@ HEADLINE = [
     "q194_link_prediction_adaptive",
     "q195_source_overlap_matrix",
     "q196_semdedup_scaled",
+    "q197_label_noise_scaled",
+    "q198_triangles_adaptive_support",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -600,6 +600,115 @@ def q126_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q198 — triangles with the support threshold DERIVED from pair density
+# ---------------------------------------------------------------------------
+
+_TRI_SUPPORT_MULT = 2  # support = max(2, MULT × median pair count)
+
+
+@register(
+    "q198_triangles_adaptive_support",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS n_baskets
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb
+    ), hist AS (
+        SELECT n_baskets AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pc GROUP BY n_baskets
+    ), m AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS m FROM hist
+    ), cum AS (
+        SELECT a.v, CAST(SUM(b.cnt) AS BIGINT) AS cle
+        FROM hist a JOIN hist b ON b.v <= a.v GROUP BY a.v
+    ), med AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS median_v
+        FROM cum CROSS JOIN m
+        WHERE cle >= CAST(CEIL(0.5 * m) AS BIGINT)
+    ), sup AS (
+        SELECT GREATEST(CAST({_TRI_SUPPORT} AS BIGINT),
+                        {_TRI_SUPPORT_MULT} * median_v) AS derived_support
+        FROM med
+    ), e AS (
+        SELECT pa, pb FROM pc CROSS JOIN sup
+        WHERE n_baskets >= derived_support
+    ), tri AS (
+        SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), nodes AS (
+        SELECT a AS part FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT derived_support FROM sup) AS derived_support
+    FROM nodes GROUP BY part
+    ORDER BY n_triangles DESC, part LIMIT {_TRI_TOPK}
+    """,
+    doc="the production form of q126: the support threshold is DERIVED "
+    "per corpus snapshot instead of fixed — q194's adaptive-valve "
+    "pattern applied to the other measured fixed-threshold law. "
+    "SCALE.md's round-7 table proved support is a per-pair basket "
+    f"DENSITY (at 10x density, fixed support {_TRI_SUPPORT} prunes "
+    "nothing: 1.2M edges, 15.6 s; support 20 restores the exact sf0.1 "
+    "graph at 2.9 s). Here support = max("
+    f"{_TRI_SUPPORT}, {_TRI_SUPPORT_MULT} x median pair count), with "
+    "the exact lower median computed from the pair-count HISTOGRAM "
+    "(distinct count values — model-state-sized) via the same "
+    "histogram self-join cumulative rule as q194: no global sort, no "
+    "data-scale window. At baseline density the median is 1, so the "
+    "derived support collapses to q126's fixed 2 and the triangle "
+    "output is IDENTICAL (tests pin this at sf0.01 and sf0.1); as "
+    "density grows the valve scales with the median and the edge list "
+    "stays bounded. The 1-row support broadcasts into the edge filter; "
+    "emitting derived_support makes the guard auditable, exactly like "
+    "q194's derived_cap. Pair counts reuse basket_pair_counts (no "
+    "self-join); the histogram rides the already-shuffled pair "
+    "aggregate, so adaptivity costs one model-state aggregation.",
+)
+def q198_triangles_adaptive_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pc = basket_pair_counts(
+        T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    ).localCheckpoint()
+    hist = pc.groupBy(F.col("n_baskets").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    m = hist.agg(F.sum("cnt").cast("bigint").alias("m"))
+    ha, hb = hist.alias("ha"), hist.alias("hb")
+    cum = (
+        ha.join(F.broadcast(hb), F.col("hb.v") <= F.col("ha.v"))
+        .groupBy(F.col("ha.v").alias("v"))
+        .agg(F.sum("hb.cnt").cast("bigint").alias("cle"))
+    )
+    med = (
+        cum.crossJoin(F.broadcast(m))
+        .filter(F.col("cle") >= F.ceil(0.5 * F.col("m")).cast("bigint"))
+        .agg(F.min("v").cast("bigint").alias("median_v"))
+    )
+    sup = med.select(
+        F.greatest(
+            F.lit(_TRI_SUPPORT).cast("bigint"),
+            (_TRI_SUPPORT_MULT * F.col("median_v")).cast("bigint"),
+        ).alias("derived_support")
+    )
+    e = (
+        pc.crossJoin(F.broadcast(sup))
+        .filter(F.col("n_baskets") >= F.col("derived_support"))
+        .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    )
+    return (
+        triangle_participation(e)
+        .crossJoin(F.broadcast(sup))
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(_TRI_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q137 — association rules (support / confidence / lift) from basket pairs
 # ---------------------------------------------------------------------------
 

@@ -237,7 +237,10 @@ def q183_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = grp.agg(
         F.sum("sz").cast("bigint").alias("n_media"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_payloads"),
-        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint").alias("n_identical_pairs"),
+        # integer `div`, not `/`: float division flushes sz*(sz-1) through a
+        # double, losing exactness past 2^53 (groups > ~1e8 members); the
+        # oracle's // 2 is exact, so the Spark side must stay in bigint too
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("bigint").alias("n_identical_pairs"),
         F.sum(F.col("sz") - 1).cast("bigint").alias("n_dup_items"),
     )
     return (

@@ -41,65 +41,14 @@ def register(name: str, oracle: Optional[str], doc: str = "") -> Callable[[Spark
 # front; everything else follows in registration order, so the window is
 # always "all unproven queries + as many previously-proven as fit".
 _PRIORITY = [
-    # --- round-7 window ------------------------------------------------
+    # --- round-8 window ------------------------------------------------
     # (a) NEW this round (forward-safe: unregistered names are filtered).
-    "q173_link_prediction_capped",
-    "q174_sliding_distinct_bucketed",
-    "q175_stream_sliding_distinct",
-    "q176_hll_sketch_rollup",
-    "q177_jl_projection_topk",
-    "q178_group_split",
-    "q179_hard_negative_mining",
-    "q180_contamination_score",
-    "q181_balanced_resample",
-    "q182_semdedup",
-    "q183_phash_near_dup",
-    "q184_rolling_psi",
-    "q185_compaction_planner",
-    "q186_cohens_kappa",
-    "q187_merkle_partition_diff",
-    "q188_pretrain_funnel",
-    "q189_sketch_calibration",
-    "q190_stratified_kfold",
-    "q191_label_noise",
-    "q192_lsh_recall_audit",
-    "q193_epoch_shuffle",
-    "q194_link_prediction_adaptive",
-    "q195_source_overlap_matrix",
-    "q196_semdedup_scaled",
-    # (b) the 23 queries whose newest driver row dates to round 3 —
-    # the last stale-green cohort (newest-row histogram after r6:
-    # r6=50, r5=50, r4=47, r3=23). Retiring these makes every registry
-    # query's newest driver row ≤3 rounds old.
-    "q72_dedup_materialize",
-    "q73_ivf_search",
-    "q74_unpivot",
-    "q75_kmeans_step",
-    "q76_grouping_sets",
-    "q77_edit_distance_pairs",
-    "q78_tfidf_top_terms",
-    "q79_salted_aggregate",
-    "q80_latest_per_key",
-    "q81_reconciliation",
-    "q82_sequence_packing",
-    "q84_funnel",
-    "q85_repetition_profile",
-    "q86_mixture_weights",
-    "q87_expectation_audit",
-    "q88_corpus_filter",
-    "q89_heavy_hitters",
-    "q90_denylist_scrub",
-    "q91_exists_decorrelated",
-    "q92_length_histogram",
-    "q94_scd2_intervals",
-    "q95_partial_merge",
-    "q100_incremental_dedup",
-    # (c) fill the remaining window slots with the stalest round-4 rows
-    # (47 total; the rest roll to the round-8 rotation). Flagships q60/
-    # q61 lead, then registration order.
-    "q60_entregas_pipeline",
-    "q61_entregas_quality_metrics",
-    "q34_approx_distinct",
+    "q197_label_noise_scaled",
+    "q198_triangles_adaptive_support",
+    # (b) the 44 queries whose newest driver row dates to round 4 — the
+    # whole remaining stale cohort (newest-row histogram after r7:
+    # r7=50, r6=50, r5=50, r4=44). Retiring these makes every registry
+    # query's newest driver row ≤3 rounds old again (r5 floor).
     "q35_approx_quantiles",
     "q38_array_funcs",
     "q58_asof_join",
@@ -121,6 +70,35 @@ _PRIORITY = [
     "q109_minmax_scale",
     "q110_boilerplate_score",
     "q111_cluster_canonical",
+    "q112_winsorize",
+    "q113_debounce_dedup",
+    "q114_user_paths",
+    "q115_pagerank",
+    "q116_pii_redaction",
+    "q117_vocab_coverage",
+    "q118_basket_pairs",
+    "q119_benford_audit",
+    "q120_transition_matrix",
+    "q121_mad_outliers",
+    "q122_group_ols",
+    "q123_weighted_sample",
+    "q124_hourly_churn",
+    "q125_inverted_index",
+    "q126_copurchase_triangles",
+    "q127_quantile_bucketize",
+    "q128_bm25_scoring",
+    "q129_multimodal_embed",
+    "q130_zorder_layout",
+    "q132_bloom_semi_join",
+    "q134_pareto_skyline",
+    "q135_power_iteration",
+    "q137_association_rules",
+    # (c) fill the remaining window slots with the now-stalest round-5
+    # rows (relational flagships first).
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q06_global_agg",
+    "q12_rollup",
 ]
 
 

@@ -1537,11 +1537,12 @@ def q189_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NOISE_K = 10
 
 
-@register(
-    "q191_label_noise",
-    f"""
+def _label_noise_oracle(n_centroids: int) -> str:
+    """q191/q197 oracle with a parametric centroid count — the SQL twin
+    of ``label_noise_flags``; only the cent CTE's cutoff differs."""
+    return f"""
     WITH cent AS (
-        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < {n_centroids}
     ), assigned AS (
         SELECT vec_id, embedding, centroid_id FROM (
             {_IVF_ASSIGN_SQL.replace("{SRC}", "embeddings")}
@@ -1574,7 +1575,12 @@ _NOISE_K = 10
     )
     SELECT vec_id, label, predicted_label, CAST(n_votes AS BIGINT) AS n_votes
     FROM winner WHERE label != predicted_label
-    """,
+    """
+
+
+@register(
+    "q191_label_noise",
+    _label_noise_oracle(8),
     doc="confident-learning-style label QA: every vector is voted on by "
     f"its {_NOISE_K} nearest neighbors WITHIN its IVF bucket (the q55 "
     "assignment — blocking makes the neighbor join an equi-join on "
@@ -1586,13 +1592,28 @@ _NOISE_K = 10
     "q182 — K grows with n under IVF's sqrt(n) rule; the vote/winner "
     "windows partition by vec_id (bounded by k). The within-bucket "
     "restriction is the standard ANN approximation and exactly what "
-    "production noise-sweeps (Cleanlab-style over FAISS neighbors) do.",
+    "production noise-sweeps (Cleanlab-style over FAISS neighbors) do. "
+    "This K=8 form is the DEMONSTRATION BASELINE kept for measured "
+    "contrast; q197 registers the same operator at the production "
+    "centroid count (the q182→q196 pattern).",
 )
 def q191_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_noise_flags(spark, sf_dir, n_centroids=8)
+
+
+def label_noise_flags(
+    spark: SparkSession, sf_dir: str, n_centroids: int
+) -> DataFrame:
+    """Shared q191/q197 plan with a parametric centroid count: the
+    within-bucket kNN pair stage costs ~n²/K like SemDeDup's prune, so
+    K is THE scale knob (SCALE.md's measured n²/K table)."""
     e = T(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
     # per-vector norm precomputed once (q182's rule): identical
     # arithmetic, 2/3 fewer array folds in the pair stage
-    labeled = ivf_assign(e, ivf_centroids(e), keep=1).join(
+    labeled = ivf_assign(e, cents, keep=1).join(
         e.select("vec_id", "label"), "vec_id"
     ).select(
         "vec_id",
@@ -1883,3 +1904,33 @@ _SEMDEDUP_K = 32
 )
 def q196_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune(spark, sf_dir, n_centroids=_SEMDEDUP_K)
+
+
+# ---------------------------------------------------------------------------
+# q197 — label-noise detection at the production centroid count
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q197_label_noise_scaled",
+    _label_noise_oracle(_SEMDEDUP_K),
+    doc=f"q191's kNN-vote label QA with the scale knob TURNED: "
+    f"{_SEMDEDUP_K} IVF centroids instead of 8 — the SAME centroid "
+    "assignment q196 uses, so one clustering pass feeds both the "
+    "semantic-dedup prune and the noise sweep in a shared pipeline. "
+    "The within-bucket neighbor join costs ~n²/K (the measured SCALE.md "
+    "law: its K=8 sibling was the sf1 battery's heaviest row at 141 s, "
+    "the exact quadratic the q182→q196 precedent retired for SemDeDup); "
+    "at K=32 bucket sizes quarter and the pair stage drops ~4x with the "
+    "flag set stable up to bucket-boundary reassignments — vectors "
+    "whose 10-NN list is unchanged by the finer clustering keep their "
+    "verdict bit-for-bit (tests/test_round8_ops.py pins this "
+    "invariance). Vote/winner windows partition by vec_id (bounded by "
+    "k) and need no change; only the cent cutoff differs, so diffing "
+    "q191's and q197's flag sets IS the boundary-approximation "
+    "measurement. Production derives K from corpus size (sqrt(n) IVF "
+    "rule) — this registered form makes the knob oracle-checked rather "
+    "than a docstring promise.",
+)
+def q197_label_noise_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_noise_flags(spark, sf_dir, n_centroids=_SEMDEDUP_K)

@@ -404,8 +404,14 @@ def streaming_sliding_distinct(events: DataFrame) -> DataFrame:
     instant — pruned as the stream advances, so state size tracks ACTIVE
     users, not stream length. Same ordered-arrival contract as
     streaming_debounce/streaming_transitions: per-key time-ordered
-    micro-batches (range-partitioned replay); an out-of-order source
-    needs a watermark buffer in front."""
+    micro-batches (range-partitioned replay), rows WITHIN a micro-batch
+    in any order (sorted here). An out-of-order source needs a watermark
+    guard in front, and Spark does NOT late-filter rows for arbitrary
+    stateful ops — the concrete guard is an upstream watermarked
+    stateful stage such as ``dedup_stream`` (dropDuplicatesWithin-
+    Watermark drops beyond-watermark stragglers AND re-deliveries
+    before they can touch this state; proven under a disordered replay
+    in tests/test_disordered_replay.py)."""
     return events.groupBy("event_type").applyInPandasWithState(
         _sliding_distinct_update,
         outputStructType=SLIDING_OUTPUT_SCHEMA,

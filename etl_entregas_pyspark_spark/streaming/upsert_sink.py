@@ -151,11 +151,20 @@ def read_snapshot_store(spark: SparkSession, snapshot_dir: str) -> DataFrame | N
     return spark.read.parquet(os.path.join(snapshot_dir, f"v{ptr['version']}"))
 
 
-def upsert_batch(batch_df: DataFrame, epoch_id: int, snapshot_dir: str) -> bool:
+def upsert_batch(
+    batch_df: DataFrame, epoch_id: int, snapshot_dir: str, keep_last: int = 2
+) -> bool:
     """Apply one micro-batch to the snapshot store; returns False when the
     epoch was already committed (re-delivery after recovery — skipped, so
     n_ops never double-counts). Write order is crash-safe: new version
-    directory first, pointer swing (atomic rename) last."""
+    directory first, pointer swing (atomic rename) last.
+
+    ``keep_last`` is the retention depth handed to ``_prune_versions``:
+    the committed version plus ``keep_last - 1`` predecessors survive
+    each commit. The default (2) assumes a single writer and readers
+    that resolve the pointer and finish within one commit epoch; deploys
+    with slower out-of-process readers raise it to cover their longest
+    read window."""
     os.makedirs(snapshot_dir, exist_ok=True)
     ptr = _read_pointer(snapshot_dir)
     if epoch_id <= ptr["epoch"]:
@@ -168,17 +177,21 @@ def upsert_batch(batch_df: DataFrame, epoch_id: int, snapshot_dir: str) -> bool:
         os.path.join(snapshot_dir, f"v{new_version}")
     )
     _commit_pointer(snapshot_dir, epoch_id, new_version)
-    _prune_versions(snapshot_dir, keep_from=new_version - 1)
+    _prune_versions(snapshot_dir, keep_from=new_version - (keep_last - 1))
     return True
 
 
 def _prune_versions(snapshot_dir: str, keep_from: int) -> None:
     """Delete snapshot versions older than ``keep_from`` (the committed
-    version's predecessor stays for crash recovery; everything earlier is
-    superseded). Without this, a long-running sink writes one full
-    snapshot copy per micro-batch and grows disk unboundedly. Pruning
-    runs AFTER the pointer swing, so a crash mid-prune only leaves extra
-    stale versions — never a dangling pointer."""
+    version's ``keep_last - 1`` predecessors stay — by default one, for
+    crash recovery; everything earlier is superseded). Without this, a
+    long-running sink writes one full snapshot copy per micro-batch and
+    grows disk unboundedly. Pruning runs AFTER the pointer swing, so a
+    crash mid-prune only leaves extra stale versions — never a dangling
+    pointer. Retention is a liveness contract, not just disk hygiene: an
+    out-of-process reader that resolved the pointer more than
+    ``keep_last - 1`` epochs ago can have its snapshot deleted mid-read,
+    so the depth must cover the slowest reader (single-writer assumed)."""
     import shutil
 
     for entry in os.listdir(snapshot_dir):
@@ -193,13 +206,15 @@ def _prune_versions(snapshot_dir: str, keep_from: int) -> None:
 
 
 def start_upsert_sink(
-    change_log: DataFrame, snapshot_dir: str, checkpoint_dir: str
+    change_log: DataFrame, snapshot_dir: str, checkpoint_dir: str,
+    keep_last: int = 2,
 ):
     """Run the streaming change log into the snapshot store. The source
-    must carry (user_id, event_id, ts, value, op)."""
+    must carry (user_id, event_id, ts, value, op). ``keep_last`` sets the
+    version retention depth (see ``upsert_batch``)."""
     return (
         change_log.writeStream.foreachBatch(
-            lambda df, epoch: upsert_batch(df, epoch, snapshot_dir)
+            lambda df, epoch: upsert_batch(df, epoch, snapshot_dir, keep_last)
         )
         .option("checkpointLocation", checkpoint_dir)
         .start()

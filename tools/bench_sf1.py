@@ -74,7 +74,11 @@ def main() -> None:
         out_dir = prebuilt
         try:
             with open(os.path.join(prebuilt, "_manifest.json")) as f:
-                rows = json.load(f)["rows"]
+                manifest = json.load(f)
+            rows = manifest["rows"]
+            # the record must describe the layout actually benchmarked,
+            # not the CLI default — a prebuilt dir carries its own count
+            replicas = manifest.get("replicas", replicas)
         except OSError:
             rows = {}
     else:

@@ -4,9 +4,12 @@ similarity measure degenerate (~72% of all pairs Jaccard-similar) and
 BM25/perplexity/LSH timings unrepresentatively easy. This tool
 synthesizes a DETERMINISTIC high-vocabulary twin of the sf0.1 corpus —
 same document count and length profile, ~20k-word zipf-ish vocabulary,
-planted verbatim duplicates (doc_id % 37 == 0 copies doc_id-1) and
-near-duplicates (doc_id % 10 == 7 copies doc_id-1 with every 7th word
-mutated) — entirely from Spark built-ins (xxhash64 arithmetic, no RNG),
+planted verbatim duplicates (doc_id % 37 == 0 copies doc_id-3, at the
+SOURCE doc's length so the copy is exact, not a prefix/extension) and
+near-duplicates (doc_id % 10 == 7 copies doc_id-3 with every 7th word
+mutated); plants only copy non-plant sources and verbatim wins the %370
+overlap, so every %37 plant is a true exact copy — entirely from Spark
+built-ins (xxhash64 arithmetic, no RNG),
 then times q53 / q128 / q141 / q152 on BOTH corpora and prints one JSON
 line for SCALE.md's measured-scaling section.
 
@@ -42,17 +45,40 @@ def build_high_vocab_docs(spark, out_dir: str, vocab: int) -> int:
         "doc_id", "lang", "source", F.size(F.split("text", " ")).alias("n_words")
     )
     # near-dup sources: doc_id % 10 == 7 copies doc_id-3's words with
-    # every 7th word swapped; % 37 == 0 copies doc_id-3 verbatim. Both
-    # are deterministic functions of (src_id, pos), so the "copy" needs
-    # no self-join — the word generator is just re-invoked with the
-    # source id. Stride 3 (not 1) so planted pairs survive q152's
-    # doc_id % 3 == 0 oracle subset.
+    # every 7th word swapped; % 37 == 0 copies doc_id-3 verbatim. The
+    # word stream is a deterministic function of (src_id, pos), so the
+    # "copy" regenerates the source's words — but a true verbatim dup
+    # also needs the SOURCE's length (a copy truncated/extended to its
+    # own n_words is only a prefix-duplicate), so planted rows take
+    # n_words from the source via a broadcastable id self-join. Stride 3
+    # (not 1) so planted pairs survive q152's doc_id % 3 == 0 oracle
+    # subset.
+    # ... and plants only copy NON-plant sources: a source that is itself
+    # a plant has text regenerated from ITS source's id, so re-invoking
+    # the generator with the source's id would not reproduce it
+    src_is_plant = ((F.col("doc_id") - 3) % 10 == 7) | (
+        (F.col("doc_id") - 3) % 37 == 0
+    )
+    plantable = (F.col("doc_id") > 2) & ~src_is_plant
     src_id = (
-        F.when((F.col("doc_id") % 10 == 7) & (F.col("doc_id") > 2), F.col("doc_id") - 3)
-        .when((F.col("doc_id") % 37 == 0) & (F.col("doc_id") > 2), F.col("doc_id") - 3)
+        F.when((F.col("doc_id") % 10 == 7) & plantable, F.col("doc_id") - 3)
+        .when((F.col("doc_id") % 37 == 0) & plantable, F.col("doc_id") - 3)
         .otherwise(F.col("doc_id"))
     )
-    mutate = (F.col("doc_id") % 10 == 7) & (F.col("doc_id") > 2)
+    # verbatim wins on the %370 overlap (37, 407, ...): "%37==0 ⇒ exact
+    # copy" must hold unconditionally for the dedup-recall accounting
+    mutate = (
+        (F.col("doc_id") % 10 == 7) & (F.col("doc_id") % 37 != 0) & plantable
+    )
+    src_len = base.select(
+        F.col("doc_id").alias("src_id"), F.col("n_words").alias("src_n_words")
+    )
+    base = (
+        base.withColumn("src_id", src_id)
+        .join(F.broadcast(src_len), "src_id")
+        .withColumn("n_words", F.col("src_n_words"))
+        .drop("src_n_words")
+    )
 
     def word(id_col, pos):
         # log-uniform rank in [0, vocab): heavy head, long tail — the
@@ -65,7 +91,7 @@ def build_high_vocab_docs(spark, out_dir: str, vocab: int) -> int:
         F.sequence(F.lit(1), F.col("n_words")),
         lambda pos: F.when(
             mutate & (pos % 7 == 0), word(F.col("doc_id") + 500_000, pos)
-        ).otherwise(word(src_id, pos)),
+        ).otherwise(word(F.col("src_id"), pos)),
     )
     docs = base.select(
         "doc_id",
