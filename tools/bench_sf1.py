@@ -120,9 +120,13 @@ def main() -> None:
         }
         with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as f:
             json.dump(record, f, indent=1)
-        print(json.dumps({"sf1_total_sec": summary and summary["value"],
-                          "n_errors": summary and summary["queries"]["n_errors"],
-                          "rc": proc.returncode}))
+        print(json.dumps({
+            "sf1_total_sec": summary and summary["value"],
+            "sf1_production_total_sec": detail and detail.get("production_total"),
+            "demo_baselines": detail and detail.get("demo_baselines"),
+            "n_errors": summary and summary["queries"]["n_errors"],
+            "rc": proc.returncode,
+        }))
     finally:
         if not keep:
             shutil.rmtree(out_dir, ignore_errors=True)
