@@ -1380,16 +1380,22 @@ def q182_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup_prune(
-    spark: SparkSession, sf_dir: str, n_centroids: int
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared q182/q196 plan with a parametric centroid count: the
+    """Shared q182/q196/q199 plan with a parametric centroid set: the
     within-cluster pair stage costs ~n²/K, so K is THE scale knob
     (SCALE.md round-7 table: 74 s → 18 s → 5 s for K=8/32/128 at 20 k
-    vectors, drop set stable to ~0.5%)."""
+    vectors, drop set stable to ~0.5%). Pass either a fixed
+    ``n_centroids`` (q182/q196) or a prebuilt ``cents`` frame — q199's
+    derived-K path hands in centroids filtered by a model-state K."""
     e = T(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
+    if cents is None:
+        cents = e.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
     # norms precomputed ONCE per vector (scalar column) instead of per
     # pair: sqrt(sq_norm(a)) * sqrt(sq_norm(b)) is arithmetic-identical
     # whether the factors are computed inline or joined, but inline costs
@@ -1536,13 +1542,25 @@ def q189_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NOISE_K = 10
 
+# q199/q200's derived centroid count: the IVF sqrt(n) rule as SQL model
+# state. CEIL(SQRT(n)) is portable — sqrt of an exactly-representable
+# bigint is correctly rounded on both engines, so the ceil agrees.
+_K_AUTO_SQL = (
+    "SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k_auto FROM embeddings"
+)
 
-def _label_noise_oracle(n_centroids: int) -> str:
-    """q191/q197 oracle with a parametric centroid count — the SQL twin
-    of ``label_noise_flags``; only the cent CTE's cutoff differs."""
+
+def _label_noise_oracle(n_centroids: int | str, derived_k: bool = False) -> str:
+    """q191/q197/q200 oracle with a parametric centroid cutoff — the SQL
+    twin of ``label_noise_flags``. ``n_centroids`` is a literal (q191/
+    q197) or a SQL expression over the ``kval`` CTE (q200's derived K);
+    ``derived_k=True`` additionally emits the K every row was computed
+    under (the q198 ``derived_support`` audit pattern)."""
+    kval_cte = f"kval AS ({_K_AUTO_SQL}), " if derived_k else ""
+    k_col = ", (SELECT k_auto FROM kval) AS derived_k" if derived_k else ""
     return f"""
-    WITH cent AS (
-        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < {n_centroids}
+    WITH {kval_cte}cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings{', kval' if derived_k else ''} WHERE vec_id < {n_centroids}
     ), assigned AS (
         SELECT vec_id, embedding, centroid_id FROM (
             {_IVF_ASSIGN_SQL.replace("{SRC}", "embeddings")}
@@ -1573,7 +1591,7 @@ def _label_noise_oracle(n_centroids: int) -> str:
             FROM votes
         ) WHERE rn = 1
     )
-    SELECT vec_id, label, predicted_label, CAST(n_votes AS BIGINT) AS n_votes
+    SELECT vec_id, label, predicted_label, CAST(n_votes AS BIGINT) AS n_votes{k_col}
     FROM winner WHERE label != predicted_label
     """
 
@@ -1602,15 +1620,20 @@ def q191_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def label_noise_flags(
-    spark: SparkSession, sf_dir: str, n_centroids: int
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared q191/q197 plan with a parametric centroid count: the
+    """Shared q191/q197/q200 plan with a parametric centroid set: the
     within-bucket kNN pair stage costs ~n²/K like SemDeDup's prune, so
-    K is THE scale knob (SCALE.md's measured n²/K table)."""
+    K is THE scale knob (SCALE.md's measured n²/K table). ``cents``
+    overrides ``n_centroids`` for the derived-K path (q200)."""
     e = T(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
+    if cents is None:
+        cents = e.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        )
     # per-vector norm precomputed once (q182's rule): identical
     # arithmetic, 2/3 fewer array folds in the pair stage
     labeled = ivf_assign(e, cents, keep=1).join(
@@ -1934,3 +1957,110 @@ def q196_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q197_label_noise_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_noise_flags(spark, sf_dir, n_centroids=_SEMDEDUP_K)
+
+
+# ---------------------------------------------------------------------------
+# q199/q200 — the sqrt(n) IVF rule as MODEL STATE: K derives itself
+# ---------------------------------------------------------------------------
+
+
+def _derived_k(e: DataFrame) -> DataFrame:
+    """1-row frame holding K = ceil(sqrt(n)) over the embedding corpus —
+    the IVF clustering-granularity rule computed inside the plan (count →
+    ceil∘sqrt), never on the driver. Broadcast into the centroid filter
+    exactly like q198 broadcasts its derived support and q194 its derived
+    degree cap: the last fixed scale-knob in the similarity family turned
+    into data-driven model state."""
+    return e.agg(
+        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("bigint").alias("k_auto")
+    )
+
+
+def _derived_k_centroids(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(k_df, cents): centroids are the vectors whose id falls under the
+    derived K — the 1-row k_df broadcasts into the filter, so no driver
+    pull and no fixed constant anywhere in the plan."""
+    k_df = _derived_k(e)
+    cents = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(k_df))
+        .filter(F.col("vec_id") < F.col("k_auto"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    return k_df, cents
+
+
+@register(
+    "q199_semdedup_auto",
+    f"""
+    WITH kval AS ({_K_AUTO_SQL}),
+    cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings, kval
+        WHERE vec_id < k_auto
+    ), assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_IVF_ASSIGN_SQL.replace("{SRC}", "embeddings")}
+        ) WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+        WHERE {_SEMDEDUP_COS_SQL} >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a.vec_id ELSE 0 END) AS BIGINT) AS kept_probe,
+           (SELECT k_auto FROM kval) AS derived_k
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    GROUP BY a.centroid_id
+    """,
+    doc="q196's SemDeDup with the LAST fixed scale-knob removed: K is no "
+    "longer a constant but ceil(sqrt(n)) computed from the corpus inside "
+    "the plan (one count aggregation, broadcast into the centroid "
+    "filter) — the IVF sqrt(n) granularity rule the q182/q196 docstrings "
+    "promised 'production derives'. Same derived-valve pattern as q194's "
+    "p95 degree cap and q198's median support: count → ceil∘sqrt is "
+    "model state, the 1-row K frame broadcasts, nothing touches the "
+    "driver. With K=ceil(sqrt(n)) the within-cluster pair stage costs "
+    "~n²/K = n^1.5 — the knob now TRACKS corpus growth instead of "
+    "needing retuning per scale (sf0.01: K=23; sf0.1: K=45; 10x sf1 "
+    "replica: K=142). Emits derived_k on every row so the derivation "
+    "itself is oracle-checked (q198's derived_support audit pattern).",
+)
+def q199_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    k_df, cents = _derived_k_centroids(e)
+    out = semdedup_prune(spark, sf_dir, cents=cents)
+    return out.crossJoin(
+        F.broadcast(k_df.select(F.col("k_auto").alias("derived_k")))
+    )
+
+
+@register(
+    "q200_label_noise_auto",
+    _label_noise_oracle("k_auto", derived_k=True),
+    doc="q197's kNN-vote label QA with K derived from corpus size: the "
+    "same ceil(sqrt(n)) model-state rule as q199 — and the SAME derived "
+    "centroid assignment, so at scale one self-tuning clustering pass "
+    "feeds both the semantic-dedup prune and the noise sweep with zero "
+    "fixed constants. The within-bucket neighbor join therefore costs "
+    "~n^1.5 at every scale without retuning (the q191 K=8 demo needed "
+    "manual K bumps to survive sf1; this form sizes itself: sf0.1 "
+    "derives K=45, the 10x replica K=142). Vote/winner windows "
+    "partition by vec_id (bounded by k=10) and are scale-invariant. "
+    "Emits derived_k per flagged row for the audit trail; "
+    "tests/test_round9_ops.py pins derived_k == ceil(sqrt(n)) at two "
+    "scale points and flag-set equality with the fixed-K plan run at "
+    "the same K.",
+)
+def q200_label_noise_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    k_df, cents = _derived_k_centroids(e)
+    out = label_noise_flags(spark, sf_dir, cents=cents)
+    return out.crossJoin(
+        F.broadcast(k_df.select(F.col("k_auto").alias("derived_k")))
+    )

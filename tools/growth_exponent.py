@@ -47,21 +47,43 @@ def build(spark, replicas: int) -> str:
     return out_dir
 
 
-def fit_alpha(points: dict[int, float]) -> float:
+def fit_alpha(points: dict[int, float]) -> float | None:
+    """Least-squares log-log slope; None when fewer than two distinct
+    scale points were measured (a single point has no slope)."""
+    if len(set(points)) < 2:
+        return None
+    # clamp sub-ms timings away from log(0): full-precision floats are
+    # stored, but a degenerate 0.0 must not blow up the whole run
     xs = [math.log(n) for n in points]
-    ys = [math.log(t) for t in points.values()]
+    ys = [math.log(max(t, 1e-6)) for t in points.values()]
     mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
     denom = sum((x - mx) ** 2 for x in xs)
     return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both `--replicas=1,2,4` and `--replicas 1,2,4` (the documented
+    # space-separated form consumes the next argv token)
+    argv = sys.argv[1:]
+    names: list[str] = []
     replicas = [1, 2, 4]
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--replicas"):
-            replicas = [int(x) for x in a.split("=", 1)[1].split(",")] \
-                if "=" in a else replicas
+            if "=" in a:
+                val = a.split("=", 1)[1]
+            else:
+                i += 1
+                if i >= len(argv):
+                    sys.exit("--replicas needs a value, e.g. --replicas 1,2,4")
+                val = argv[i]
+            replicas = [int(x) for x in val.split(",")]
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a!r}")
+        else:
+            names.append(a)
+        i += 1
     if not names:
         names = ["q158_containment_join", "q192_lsh_recall_audit"]
 
@@ -80,6 +102,11 @@ def main() -> None:
 
     from etl_entregas_pyspark_spark import queries as q
 
+    unknown = [n for n in names if n not in q.REGISTRY]
+    if unknown:
+        spark.stop()
+        sys.exit(f"not in REGISTRY: {unknown}")
+
     results: dict[str, dict[int, float]] = {n: {} for n in names}
     try:
         for n_rep in replicas:
@@ -96,12 +123,16 @@ def main() -> None:
                         if timed:
                             best = dt if best is None else min(best, dt)
                         spark.catalog.clearCache()
-                    results[name][n_rep] = round(best, 2)
+                    # full precision for the log-log fit; round at print
+                    results[name][n_rep] = best
             finally:
                 shutil.rmtree(out_dir, ignore_errors=True)
         for name in names:
-            print(json.dumps({"query": name, "points": results[name],
-                              "alpha": fit_alpha(results[name])}))
+            print(json.dumps({
+                "query": name,
+                "points": {n: round(t, 2) for n, t in results[name].items()},
+                "alpha": fit_alpha(results[name]),
+            }))
     finally:
         spark.stop()
 
