@@ -163,3 +163,140 @@ def q175_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(sink).localCheckpoint()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q201 — disorder correctness, oracle-checked: out-of-order live replay
+# ---------------------------------------------------------------------------
+
+from etl_entregas_pyspark_spark.queries.relational import _dsum_sql  # noqa: E402
+
+# the disordered delivery schedule (tests/test_disordered_replay.py's
+# shape, promoted to a driver-checked query): A then the bulk B1/B2, then
+# C — data OLDER than the watermark, delivered two triggers late so the
+# lagging late-filter watermark (SPARK-42376 split semantics: batch N
+# filters with the end-of-batch-(N-2) watermark) has passed it — then D,
+# genuinely NEW late rows still inside the horizon, then two far-future
+# sentinels that advance the watermark so append mode flushes every
+# window deterministically (sentinel1's window emits, sentinel2's stays
+# open and never does).
+_Q201_ORACLE = f"""
+    WITH b2 AS (
+        SELECT event_id, event_type, ts, value FROM events WHERE day(ts) > 25
+    ), maxr AS (
+        SELECT event_type, ts, value FROM b2
+        ORDER BY ts DESC, event_id DESC LIMIT 1
+    ), admitted AS (
+        SELECT event_type, ts, value FROM events
+        WHERE day(ts) <= 10 OR day(ts) > 20
+        UNION ALL
+        SELECT event_type, ts, value FROM b2
+        WHERE ts > (SELECT ts FROM maxr) - INTERVAL '30 minutes'
+        UNION ALL
+        SELECT event_type, ts + INTERVAL '10 days' AS ts, value FROM maxr
+    )
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_dsum_sql('value', 6)} AS total_value
+    FROM admitted GROUP BY 1, 2
+"""
+
+
+@register(
+    "q201_stream_disordered_tumbling",
+    _Q201_ORACLE,
+    doc="watermark correctness under DISORDER, oracle-checked end to end "
+    "(not just pytest-checked): the events table is replayed through a "
+    "real readStream -> watermarked tumbling aggregation -> append-mode "
+    "memory sink in seven mtime-paced single-file triggers delivered out "
+    "of time order — days 1-10, then days 21-30 (two triggers), then "
+    "days 11-20 arriving AFTER the watermark passed them (must be "
+    "dropped entirely: finalized windows never change), then fresh "
+    "late-but-within-horizon rows (must be ADMITTED into their true, "
+    "still-open windows), then two far-future sentinels that advance "
+    "the watermark so every decided window flushes deterministically. "
+    "The emitted rows must hash-match a batch SQL aggregation over "
+    "EXACTLY the admitted multiset — the split-watermark admit/drop "
+    "rule (SPARK-42376, late filter lags eviction by one trigger) "
+    "expressed as the oracle. The value sum uses the dsum quantization "
+    "inside the stream (exact long arithmetic), so the hash is "
+    "arrival-order-independent. State is bounded: open windows x event "
+    "types; everything older than the watermark is evicted, which is "
+    "precisely what this query proves costs no correctness.",
+)
+def q201_stream_disordered_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql.window import Window as W
+
+    from etl_entregas_pyspark_spark.streaming.streams import (
+        read_event_stream,
+        tumbling_counts_stream,
+    )
+
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    e = E(spark, sf_dir).select(*cols).localCheckpoint()
+    a = e.filter(F.dayofmonth("ts") <= 10)
+    b1 = e.filter((F.dayofmonth("ts") > 20) & (F.dayofmonth("ts") <= 25))
+    b2 = e.filter(F.dayofmonth("ts") > 25)
+    c = e.filter((F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20))
+    # D: new late-but-within-horizon rows — model-state cutoff (the 1-row
+    # max broadcasts into the filter; the harness never collects data)
+    maxb = b2.agg(F.max("ts").alias("max_ts"))
+    d = (
+        b2.crossJoin(F.broadcast(maxb))
+        .filter(F.col("ts") > F.col("max_ts") - F.expr("INTERVAL 30 MINUTES"))
+        .drop("max_ts")
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    )
+    # far-future sentinels from the unique newest B2 row (ties broken by
+    # event_id, mirroring the oracle's ORDER BY ts DESC, event_id DESC)
+    newest = (
+        b2.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    def sentinel(days: int) -> DataFrame:
+        return newest.select(
+            (F.col("event_id") + F.lit(20_000_000 + days)).alias("event_id"),
+            "user_id",
+            "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            "value",
+        )
+
+    src = tempfile.mkdtemp(prefix="q201_disorder_")
+    sink = "q201_disordered_tumbling"
+    try:
+        base_mtime = time.time()
+        for i, chunk in enumerate([a, b1, b2, c, d, sentinel(10), sentinel(20)]):
+            stage = os.path.join(src, f"_stage{i}")
+            chunk.select(*cols).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"slice{i}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+            shutil.rmtree(stage, ignore_errors=True)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            tumbling_counts_stream(stream, watermark="1 hour", exact_scale=6)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.table(sink).localCheckpoint()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -41,64 +41,64 @@ def register(name: str, oracle: Optional[str], doc: str = "") -> Callable[[Spark
 # front; everything else follows in registration order, so the window is
 # always "all unproven queries + as many previously-proven as fit".
 _PRIORITY = [
-    # --- round-8 window ------------------------------------------------
+    # --- round-9 window ------------------------------------------------
     # (a) NEW this round (forward-safe: unregistered names are filtered).
-    "q197_label_noise_scaled",
-    "q198_triangles_adaptive_support",
-    # (b) the 44 queries whose newest driver row dates to round 4 — the
-    # whole remaining stale cohort (newest-row histogram after r7:
-    # r7=50, r6=50, r5=50, r4=44). Retiring these makes every registry
-    # query's newest driver row ≤3 rounds old again (r5 floor).
-    "q35_approx_quantiles",
-    "q38_array_funcs",
-    "q58_asof_join",
-    "q59_range_join",
-    "q83_sessionization",
-    "q93_dedup_pipeline",
-    "q96_map_funcs",
-    "q97_explode_outer",
-    "q98_cohort_retention",
-    "q99_rfm_segments",
-    "q101_ohlc_bars",
-    "q102_rolling_zscore",
-    "q103_bigram_counts",
-    "q104_cdc_apply",
-    "q105_per_key_sample",
-    "q106_kmeans_loop",
-    "q107_skew_split_join",
-    "q108_twap",
-    "q109_minmax_scale",
-    "q110_boilerplate_score",
-    "q111_cluster_canonical",
-    "q112_winsorize",
-    "q113_debounce_dedup",
-    "q114_user_paths",
-    "q115_pagerank",
-    "q116_pii_redaction",
-    "q117_vocab_coverage",
-    "q118_basket_pairs",
-    "q119_benford_audit",
-    "q120_transition_matrix",
-    "q121_mad_outliers",
-    "q122_group_ols",
-    "q123_weighted_sample",
-    "q124_hourly_churn",
-    "q125_inverted_index",
-    "q126_copurchase_triangles",
-    "q127_quantile_bucketize",
-    "q128_bm25_scoring",
-    "q129_multimodal_embed",
-    "q130_zorder_layout",
-    "q132_bloom_semi_join",
-    "q134_pareto_skyline",
-    "q135_power_iteration",
-    "q137_association_rules",
-    # (c) fill the remaining window slots with the now-stalest round-5
-    # rows (relational flagships first).
-    "q01_pricing_summary",
-    "q03_top_orders",
-    "q06_global_agg",
-    "q12_rollup",
+    "q199_semdedup_auto",
+    "q200_label_noise_auto",
+    "q201_stream_disordered_tumbling",
+    # (b) the whole 46-query cohort whose newest green driver row dates
+    # to round 5 (newest-row histogram after r8: r8=50, r7=50, r6=50,
+    # r5=46 — recomputed from CORRECTNESS_r0*.json, not COVERAGE.md).
+    # Retiring these plus (a) makes every query's newest row ≤3 rounds
+    # old again (r6 floor).
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q07_left_join_counts",
+    "q08_anti_join",
+    "q09_semi_join",
+    "q10_full_outer",
+    "q11_broadcast_brand",
+    "q131_global_index",
+    "q133_interval_islands",
+    "q136_chisq_drift",
+    "q138_auc_rank",
+    "q139_ks_drift",
+    "q13_cube",
+    "q140_split_gain",
+    "q141_bigram_perplexity",
+    "q142_country_filter",
+    "q14_window_topn",
+    "q15_window_running",
+    "q16_window_lag",
+    "q17_window_rank_ntile",
+    "q18_topk_orders",
+    "q19_set_ops",
+    "q20_distinct",
+    "q21_string_funcs",
+    "q22_date_funcs",
+    "q23_null_handling",
+    "q24_case_buckets",
+    "q25_map_lookup",
+    "q28_having",
+    "q30_events_tumbling",
+    "q31_events_sliding",
+    "q32_events_session",
+    "q36_exact_percentiles",
+    "q41_lang_profile",
+    "q42_fingerprint_dedup",
+    "q44_quality_score",
+    "q45_word_jaccard_pairs",
+    "q46_regex_tokens",
+    "q47_rolling_fingerprint",
+    "q50_vector_norms",
+    "q51_cosine_topk",
+    "q52_knn_label_vote",
+    "q53_minhash_near_dup",
+    "q54_simhash",
+    "q55_ivf_assign",
+    "q56_cosine_near_dup",
+    # (c) fill the last window slot with the first of the r6 cohort.
+    "q143_fk_integrity",
 ]
 
 

@@ -55,14 +55,32 @@ def read_event_stream(
     )
 
 
-def tumbling_counts_stream(events: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
-    """q30's aggregation as a stream: per-window/event-type counts+sums."""
+def tumbling_counts_stream(
+    events: DataFrame,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+    exact_scale: int | None = None,
+) -> DataFrame:
+    """q30's aggregation as a stream: per-window/event-type counts+sums.
+
+    ``exact_scale`` switches the value sum to the dsum quantization
+    (floor(x·10^k) → exact long sum → double): order-independent, so the
+    emitted rows hash-match a batch/DuckDB recompute regardless of
+    micro-batch arrival order — what q201's oracle check needs."""
+    if exact_scale is not None:
+        q = float(10 ** exact_scale)
+        total = (
+            F.sum(F.floor(F.col("value") * F.lit(q)).cast("long")).cast("double")
+            / F.lit(q)
+        ).alias("total_value")
+    else:
+        total = F.sum("value").alias("total_value")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", size), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            total,
         )
         .select(
             F.col("window.start").alias("window_start"),
