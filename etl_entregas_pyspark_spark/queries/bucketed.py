@@ -125,6 +125,9 @@ def _q150_oracle() -> str:
     "do. Plan-asserted in tests/test_bucketed_join.py.",
 )
 def q150_bucketed_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured growth exponent alpha = 0.18 over 1x/2x/4x replica layouts
+    # (tools/growth_exponent.py, SCALE.md round-9 table) — bucketed write
+    # floor dominates; the chain itself grows sub-linearly at this size
     raw = T(spark, sf_dir, "documents")
     # lay the corpus down bucketed once (at production scale this is the
     # standing ingest layout, not a per-query step; the write is included

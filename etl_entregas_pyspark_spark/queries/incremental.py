@@ -117,6 +117,9 @@ def q151_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct-count-over-frame primitive to express this).",
 )
 def q175_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured growth exponent alpha = 0.21 over 1x/2x/4x replica layouts
+    # (tools/growth_exponent.py, SCALE.md round-9 table): micro-batch
+    # trigger overhead is the floor; state stays pruned as volume grows
     import glob as _glob
     import os
     import shutil

@@ -243,6 +243,9 @@ def _q158_oracle() -> str:
     "ordering keeps those the SHORTEST lists in the index.",
 )
 def q158_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured growth exponent alpha = 0.79 over 1x/2x/4x replica layouts
+    # (tools/growth_exponent.py, SCALE.md round-9 table) — the prefix
+    # filter holds candidate growth linear-ish, nothing pairwise hides here
     toks = (
         T(spark, sf_dir, "documents")
         # single-split testdata: spread tokenization (SCALE.md note)

@@ -1763,6 +1763,9 @@ def _q192_oracle() -> str:
     "pin.",
 )
 def q192_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured growth exponent alpha = 0.21 over 1x/2x/4x replica layouts
+    # (tools/growth_exponent.py, SCALE.md round-9 table): fixed stage cost
+    # dominates at this size; the banded candidate stage adds little
     # ONE shingle+minhash stage feeds both arms: per_doc is checkpointed
     # by lsh_candidates, so the truth side re-explodes the already-
     # materialized shingle lists instead of re-running the tokenizer
