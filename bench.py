@@ -171,6 +171,8 @@ HEADLINE = [
     "q199_semdedup_auto",
     "q200_label_noise_auto",
     "q201_stream_disordered_tumbling",
+    "q202_span_dup_profile",
+    "q203_incremental_lsh_probe",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

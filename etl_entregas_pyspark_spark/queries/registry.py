@@ -46,6 +46,8 @@ _PRIORITY = [
     "q199_semdedup_auto",
     "q200_label_noise_auto",
     "q201_stream_disordered_tumbling",
+    "q202_span_dup_profile",
+    "q203_incremental_lsh_probe",
     # (b) the whole 46-query cohort whose newest green driver row dates
     # to round 5 (newest-row histogram after r8: r8=50, r7=50, r6=50,
     # r5=46 — recomputed from CORRECTNESS_r0*.json, not COVERAGE.md).

@@ -2067,3 +2067,105 @@ def q200_label_noise_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.crossJoin(
         F.broadcast(k_df.select(F.col("k_auto").alias("derived_k")))
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — incremental LSH probe: daily-batch dedup against the standing corpus
+# ---------------------------------------------------------------------------
+
+_BATCH_MOD = 3  # doc_id % 3 == 0 plays the incoming batch (test-scale signal)
+
+
+def _q203_oracle() -> str:
+    # wrap the shared q53 pipeline: same signatures, same candidates, same
+    # Jaccard — restricted to pairs the incremental ingest would surface
+    return f"""
+    SELECT doc_a, doc_b, jaccard,
+           CASE WHEN doc_a % {_BATCH_MOD} = 0 AND doc_b % {_BATCH_MOD} = 0
+                THEN 'batch' ELSE 'corpus' END AS match_side
+    FROM ( {_q53_oracle()} ) q
+    WHERE doc_a % {_BATCH_MOD} = 0 OR doc_b % {_BATCH_MOD} = 0
+    """
+
+
+@register(
+    "q203_incremental_lsh_probe",
+    _q203_oracle(),
+    doc="incremental near-dup ingest — the production shape of q53 for a "
+    "standing 100-TB corpus: an incoming batch (doc_id % "
+    f"{_BATCH_MOD} == 0 here; a date partition in production) is "
+    "shingled and minhashed, and its band signatures PROBE the standing "
+    "band index — the corpus is never re-mined, only the batch hashes. "
+    "Candidates = batch bands (broadcast; a daily batch is orders of "
+    "magnitude smaller than the corpus) equi-joined against the full "
+    "band table, so the corpus side is a map-side broadcast-hash-join "
+    "probe with zero shuffle of corpus signatures; in-batch pairs fall "
+    "out of the same probe (both sides carry the batch tag). Exact "
+    "Jaccard re-verification then touches ONLY matched docs' shingle "
+    "payloads (q53's semi-join contract). Output tags each pair "
+    "'batch' (both new) vs 'corpus' (new-vs-standing), the routing an "
+    "ingest pipeline needs: corpus hits drop the new doc, batch hits "
+    "pick one survivor. Oracle wraps the identical q53 SQL pipeline "
+    "restricted to pairs touching the batch.",
+)
+def q203_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
+        .withColumn("h", md5_int(F.col("item")) % _P)
+    )
+    # per-doc signatures: in production the corpus rows of this frame are
+    # the standing index table (written once at ingest), not recomputed
+    per_doc = (
+        ex.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
+                for j in range(N_HASHES)
+            ],
+            F.collect_list("item").alias("items"),
+        )
+        .localCheckpoint()
+    )
+    band_long = (
+        per_doc.select("doc_id", *_band_hashes())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ])
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
+    probe = band_long.filter(F.col("doc_id") % _BATCH_MOD == 0).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "band_hash"
+    )
+    # broadcast the batch side: the standing band table streams past it
+    # map-side — no shuffle, no corpus re-hash
+    cand = (
+        band_long.join(F.broadcast(probe), ["band_id", "band_hash"])
+        .filter(F.col("doc_id") != F.col("new_doc"))
+        .select(
+            F.least("doc_id", "new_doc").alias("doc_a"),
+            F.greatest("doc_id", "new_doc").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = jaccard_verify(cand, per_doc)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (
+        F.size("sh_a") + F.size("sh_b")
+        - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    )
+    jac = inter / union
+    side = F.when(
+        (F.col("doc_a") % _BATCH_MOD == 0) & (F.col("doc_b") % _BATCH_MOD == 0),
+        "batch",
+    ).otherwise("corpus")
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", jac.alias("jaccard"), side.alias("match_side")
+    )

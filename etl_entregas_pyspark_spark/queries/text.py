@@ -1301,3 +1301,77 @@ def q167_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c12").cast("double") * F.col("n_docs") / (F.col("c1") * F.col("c2"))
     )
     return out.select("w1", "w2", "c12", rnd(pmi, 6).alias("pmi"))
+
+
+# ---------------------------------------------------------------------------
+# q202 — duplicated-span profile: exact substring-level duplication signal
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # tokens per span window (shared with q64's gram width)
+
+
+@register(
+    "q202_span_dup_profile",
+    f"""
+    WITH spans AS (
+        SELECT DISTINCT doc_id, unnest(CASE WHEN len(string_split(text,' ')) >= {_SPAN_W}
+            THEN list_transform(generate_series(1, len(string_split(text,' ')) - {_SPAN_W - 1}),
+                 i -> array_to_string(list_slice(string_split(text,' '), i, i + {_SPAN_W - 1}), ' '))
+            ELSE [] END) AS gram
+        FROM documents
+    ), df AS (
+        SELECT gram, COUNT(*) AS n_docs FROM spans GROUP BY gram
+    ), per AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        FROM spans s JOIN df d USING (gram)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           {{dup_frac}} AS dup_frac
+    FROM per WHERE n_dup_spans > 0
+    ORDER BY dup_frac DESC, doc_id
+    LIMIT 100
+    """.format(dup_frac=_rnd_sql("CAST(n_dup_spans AS DOUBLE) / n_spans", 6)),
+    doc=f"exact duplicated-span profile — substring-level dedup signal in "
+    f"the style of 'Deduplicating Training Data Makes Language Models "
+    f"Better' (Lee et al. 2022, exact-substring arm): a {_SPAN_W}-token "
+    "window is 'duplicated' when it appears verbatim in >= 2 distinct "
+    "documents; each document gets (n_spans, n_dup_spans, dup_frac), top "
+    "100 by dup_frac. Catches partial-overlap duplication that doc-level "
+    "MinHash (q53) misses: a page quoting one paragraph of another "
+    "shares spans without clearing a document Jaccard threshold. Plan: "
+    "the span stream reuses q64's explode-first codegen gram builder "
+    "(no interpreted HOF), duplication is an AGGREGATE on the gram key "
+    "(never a pairwise scan), the doc-frequency join reuses the gram "
+    "exchange, and the final top-100 is TakeOrderedAndProject. At 100 TB "
+    "the span stream is ~n_tokens rows that partial-aggregate inside the "
+    "scan stage; boilerplate hub grams skew the gram key but only its "
+    "count travels, never doc lists.",
+)
+def q202_span_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.datasplit import _gram_stream
+
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    spans = _gram_stream(d, _SPAN_W).distinct()
+    df = spans.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    per = (
+        spans.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+    )
+    frac = rnd(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6)
+    return (
+        per.filter(F.col("n_dup_spans") > 0)
+        .select("doc_id", "n_spans", "n_dup_spans", frac.alias("dup_frac"))
+        .orderBy(F.col("dup_frac").desc(), "doc_id")
+        .limit(100)
+    )

@@ -85,6 +85,8 @@ SUBSET = [
     "q135_power_iteration",
     "q136_chisq_drift",
     "q137_association_rules",
+    "q202_span_dup_profile",
+    "q203_incremental_lsh_probe",
 ]
 
 

@@ -68,6 +68,22 @@ def main() -> None:
     # fresh and clean up after.
     args = [a for a in sys.argv[1:] if a != "--keep"]
     keep = "--keep" in sys.argv or "SPARK_GRAFT_SF1_DIR" in os.environ
+    # forward --passes to bench.py: at sf1 a single timed pass (after the
+    # untimed warm-up pass) keeps the whole battery inside the timeout.
+    # Both --passes=N and --passes N forms are consumed here.
+    passes_args: list[str] = []
+    rest: list[str] = []
+    it = iter(args)
+    for a in it:
+        if a.startswith("--passes="):
+            passes_args.append(a)
+        elif a == "--passes":
+            nxt = next(it, None)
+            if nxt is not None:
+                passes_args.append(f"--passes={nxt}")
+        else:
+            rest.append(a)
+    args = rest
     replicas = int(args[0]) if args else 10
     prebuilt = os.environ.get("SPARK_GRAFT_SF1_DIR")
     if prebuilt:
@@ -86,8 +102,8 @@ def main() -> None:
     try:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=out_dir)
         proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=3600,
+            [sys.executable, os.path.join(REPO, "bench.py"), *passes_args],
+            env=env, capture_output=True, text=True, timeout=7200,
         )
         detail = summary = None
         for line in proc.stdout.replace("\r", "\n").splitlines():
