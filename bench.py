@@ -173,6 +173,10 @@ HEADLINE = [
     "q201_stream_disordered_tumbling",
     "q202_span_dup_profile",
     "q203_incremental_lsh_probe",
+    "q204_source_divergence",
+    "q205_join_skew_plan",
+    "q206_tokenizer_fertility",
+    "q207_centroid_drift",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -1373,3 +1373,93 @@ def q194_link_prediction_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "c1", "c2", "n_common", rnd(jac, 4).alias("jaccard")
     ).crossJoin(F.broadcast(cap))
+
+
+# ---------------------------------------------------------------------------
+# q205 — join-skew plan: per-key output contribution + derived salt factors
+#         for the event-stream self-join (the pre-flight shuffle planner)
+# ---------------------------------------------------------------------------
+
+_SKEW_TARGET_ROWS = 100_000  # pair rows one task should own after salting
+_SKEW_TOPK = 20
+
+
+@register(
+    "q205_join_skew_plan",
+    f"""
+    WITH deg AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ), contrib AS (
+        SELECT user_id, c, c * c AS pair_rows FROM deg
+    ), tot AS (
+        SELECT CAST(SUM(pair_rows) AS BIGINT) AS total_pair_rows,
+               CAST(SUM(c * c * c * c) AS DOUBLE)
+                   / (CAST(SUM(c * c) AS DOUBLE) * SUM(c * c)) AS hhi
+        FROM contrib
+    )
+    SELECT k.user_id, k.c AS n_rows, k.pair_rows,
+           {_rnd_sql("CAST(k.pair_rows AS DOUBLE) / t.total_pair_rows", 6)}
+               AS contrib_share,
+           CAST(CEIL(CAST(k.pair_rows AS DOUBLE) / {_SKEW_TARGET_ROWS}) AS BIGINT)
+               AS salt_factor,
+           t.total_pair_rows,
+           {_rnd_sql("t.hhi", 6)} AS hhi
+    FROM contrib k CROSS JOIN tot t
+    ORDER BY k.pair_rows DESC, k.user_id
+    LIMIT {_SKEW_TOPK}
+    """,
+    doc="pre-flight shuffle planner for a key-skewed self-join: before "
+    "running the user-keyed event self-join (the q114/q84 shape), one "
+    "partial-agg pass over the fact computes each key's join OUTPUT "
+    "contribution (c², the rows that key alone fans out), the corpus "
+    "total, the Herfindahl concentration index of pair-row mass "
+    "(HHI -> 1 means one user owns the join), and a DERIVED per-key "
+    "salt factor ceil(c²/target) — the q107 salted-join replication "
+    "knob computed from the data instead of guessed, the same "
+    "derive-the-valve pattern as q194's cap and q198's support. Output "
+    "is the top-20 contributors plus the global stats every row "
+    "carries. Exactness: contributions are pure integer arithmetic; "
+    "HHI is one double division of two exact integer sums (sum c^4 fits "
+    "bigint for per-key counts < ~55 k). Plan: ONE groupBy(user_id) "
+    "partial agg (map-side combined), a 1-row broadcast for the "
+    "totals, TakeOrderedAndProject for the top-k — the planner costs "
+    "one linear scan regardless of how skewed the join it plans would "
+    "be. At 100 TB this is the cheap pass you ALWAYS run before a "
+    "fact-fact join; its salt map feeds q107's split execution.",
+)
+def q205_join_skew_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    deg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    contrib = deg.select(
+        "user_id", F.col("c").alias("n_rows"), (F.col("c") * F.col("c")).alias("pair_rows")
+    )
+    c2 = F.col("pair_rows").cast("double")
+    tot = contrib.agg(
+        F.sum("pair_rows").cast("bigint").alias("total_pair_rows"),
+        (
+            F.sum(c2 * c2)
+            / (
+                F.sum("pair_rows").cast("double")
+                * F.sum("pair_rows").cast("double")
+            )
+        ).alias("hhi_raw"),
+    )
+    out = contrib.crossJoin(F.broadcast(tot))
+    share = rnd(c2 / F.col("total_pair_rows").cast("double"), 6)
+    salt = F.ceil(c2 / F.lit(float(_SKEW_TARGET_ROWS))).cast("bigint")
+    return (
+        out.select(
+            "user_id",
+            "n_rows",
+            "pair_rows",
+            share.alias("contrib_share"),
+            salt.alias("salt_factor"),
+            "total_pair_rows",
+            rnd(F.col("hhi_raw"), 6).alias("hhi"),
+        )
+        .orderBy(F.col("pair_rows").desc(), "user_id")
+        .limit(_SKEW_TOPK)
+    )

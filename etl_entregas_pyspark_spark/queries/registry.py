@@ -48,6 +48,10 @@ _PRIORITY = [
     "q201_stream_disordered_tumbling",
     "q202_span_dup_profile",
     "q203_incremental_lsh_probe",
+    "q204_source_divergence",
+    "q205_join_skew_plan",
+    "q206_tokenizer_fertility",
+    "q207_centroid_drift",
     # (b) the whole 46-query cohort whose newest green driver row dates
     # to round 5 (newest-row histogram after r8: r8=50, r7=50, r6=50,
     # r5=46 — recomputed from CORRECTNESS_r0*.json, not COVERAGE.md).

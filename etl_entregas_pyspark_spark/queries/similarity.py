@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, _rnd_sql, rnd
 
 # MinHash parameters: 12 hash functions in 4 bands of 3 rows.
 # P(candidate | J) = 1 - (1 - J^3)^4  →  0.63 at J=0.6, 0.995 at J=0.9.
@@ -2169,3 +2169,119 @@ def q203_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", jac.alias("jaccard"), side.alias("match_side")
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — embedding centroid drift between snapshots (the embedding-space
+#         regression monitor)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ELEM_Q = 7   # fixed-point scale for raw float32 elements
+_DRIFT_SQ_Q = 12    # fixed-point scale for squared-diff accumulation
+
+
+@register(
+    "q207_centroid_drift",
+    f"""
+    WITH el AS (
+        SELECT label, vec_id % 2 AS snap,
+               unnest(range(len(embedding))) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    ), q AS (
+        SELECT label, snap, pos,
+               CAST(FLOOR(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT) AS qv
+        FROM el
+    ), cen AS (
+        SELECT label, snap, pos,
+               CAST(SUM(qv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM q GROUP BY label, snap, pos
+    ), dd AS (
+        SELECT a.label, a.pos,
+               (CAST(a.s AS DOUBLE)/a.c - CAST(b.s AS DOUBLE)/b.c)
+                   / 10000000.0 AS diff,
+               a.c AS n_a, b.c AS n_b
+        FROM cen a JOIN cen b
+          ON a.label = b.label AND a.pos = b.pos
+         AND a.snap = 0 AND b.snap = 1
+    )
+    SELECT label,
+           CAST(MAX(n_a) AS BIGINT) AS n_snap_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_snap_b,
+           {_rnd_sql(f"SQRT({{ds}})", 6).format(ds=_dsum_sql("diff * diff", _DRIFT_SQ_Q))} AS drift_l2,
+           {_rnd_sql("MAX(ABS(diff))", 6)} AS max_dim_shift
+    FROM dd GROUP BY label ORDER BY label
+    """,
+    doc="per-label centroid drift between two embedding snapshots (vec_id "
+    "parity splits the table into 'yesterday's model' vs 'today's' — in "
+    "production the two sides are two physical snapshot partitions): "
+    "the L2 distance between per-label centroids plus the worst single "
+    "dimension's shift. This is the embedding-space REGRESSION monitor "
+    "an ANN/retrieval pipeline runs after every encoder update — IVF "
+    "centroids (q55/q199), SemDeDup drop sets (q196), and kNN label "
+    "votes (q197) all silently degrade when the space moves. Exactness "
+    "discipline: float32 elements are fixed-point quantized (1e-7) "
+    "BEFORE any sum, so per-(label,snap,dim) centroid numerators are "
+    "exact integer sums (order/partitioning/engine-independent); the "
+    "64 per-dimension squared diffs accumulate through the same dsum "
+    "idiom at 1e-12. Plan: posexplode streams (n_vectors x dim) skinny "
+    "rows into ONE partial-agg shuffle keyed (label, snap, dim) — "
+    "|labels| x 2 x dim model-state rows out; the snapshot join and "
+    "final rollup are model-state-sized. No pairwise stage anywhere: "
+    "at 100 TB the cost is the one exploded scan, and the explode "
+    "stays inside whole-stage codegen.",
+)
+def q207_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.relational import dsum
+
+    e = T(spark, sf_dir, "embeddings")
+    scale = float(10 ** _DRIFT_ELEM_Q)
+    el = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    q = el.select(
+        "label",
+        "snap",
+        "pos",
+        F.floor(F.col("v").cast("double") * F.lit(scale))
+        .cast("long")
+        .alias("qv"),
+    )
+    cen = q.groupBy("label", "snap", "pos").agg(
+        F.sum("qv").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    a = (
+        cen.filter(F.col("snap") == 0)
+        .select("label", "pos", F.col("s").alias("sa"), F.col("c").alias("ca"))
+    )
+    b = (
+        cen.filter(F.col("snap") == 1)
+        .select("label", "pos", F.col("s").alias("sb"), F.col("c").alias("cb"))
+    )
+    diff = (
+        F.col("sa").cast("double") / F.col("ca")
+        - F.col("sb").cast("double") / F.col("cb")
+    ) / F.lit(scale)
+    dd = a.join(b, ["label", "pos"]).select(
+        "label",
+        "pos",
+        diff.alias("diff"),
+        F.col("ca").alias("n_a"),
+        F.col("cb").alias("n_b"),
+    )
+    agg = dd.groupBy("label").agg(
+        F.max("n_a").cast("bigint").alias("n_snap_a"),
+        F.max("n_b").cast("bigint").alias("n_snap_b"),
+        dsum(F.col("diff") * F.col("diff"), _DRIFT_SQ_Q).alias("d2"),
+        F.max(F.abs(F.col("diff"))).alias("mx"),
+    )
+    return agg.select(
+        "label",
+        "n_snap_a",
+        "n_snap_b",
+        rnd(F.sqrt(F.col("d2")), 6).alias("drift_l2"),
+        rnd(F.col("mx"), 6).alias("max_dim_shift"),
+    ).orderBy("label")

@@ -1375,3 +1375,219 @@ def q202_span_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dup_frac").desc(), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — pairwise source divergence: Jensen-Shannon over unigram
+#         distributions (the corpus-mixing diagnostic)
+# ---------------------------------------------------------------------------
+
+# JS(A,B) over the unigram distributions with only the INNER token join:
+# tokens present in one source only contribute p·log2(2p/p) = p, so
+#   JS = 1 - (Pc + Qc)/2 + Σ_common [p·log2(2p/(p+q)) + q·log2(2q/(p+q))]/2
+# where Pc = Σ_common p (an EXACT integer count ratio). Only the log-term
+# sum is fp — fixed-point-quantized at 1e-12 so the accumulation is an
+# order-independent integer sum on both engines.
+_JS_Q = 12
+
+
+@register(
+    "q204_source_divergence",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), cnt AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, w
+    ), tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM cnt GROUP BY source
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.c AS ca, b.c AS cb, ta.t AS tota, tb.t AS totb
+        FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
+        JOIN tot ta ON a.source = ta.source
+        JOIN tot tb ON b.source = tb.source
+    ), agg AS (
+        SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(ca) AS BIGINT) AS sca, CAST(SUM(cb) AS BIGINT) AS scb,
+               MAX(tota) AS tota, MAX(totb) AS totb,
+               {{lg}} AS logterm
+        FROM pairs GROUP BY source_a, source_b
+    )
+    SELECT a.source_a, a.source_b, a.n_common,
+           ta.vocab AS vocab_a, tb.vocab AS vocab_b,
+           {{js}} AS js_divergence
+    FROM agg a
+    JOIN tot ta ON a.source_a = ta.source
+    JOIN tot tb ON a.source_b = tb.source
+    ORDER BY source_a, source_b
+    """.format(
+        lg=_dsum_sql(
+            "(CAST(ca AS DOUBLE)/tota) * LOG2(2.0*(CAST(ca AS DOUBLE)/tota) / (CAST(ca AS DOUBLE)/tota + CAST(cb AS DOUBLE)/totb))"
+            " + (CAST(cb AS DOUBLE)/totb) * LOG2(2.0*(CAST(cb AS DOUBLE)/totb) / (CAST(ca AS DOUBLE)/tota + CAST(cb AS DOUBLE)/totb))",
+            _JS_Q,
+        ),
+        js=_rnd_sql(
+            "1.0 - 0.5*CAST(sca AS DOUBLE)/a.tota - 0.5*CAST(scb AS DOUBLE)/a.totb + 0.5*logterm",
+            6,
+        ),
+    ),
+    doc="pairwise Jensen-Shannon divergence between per-source unigram "
+    "distributions — the corpus-MIXING diagnostic (what changed between "
+    "two crawl sources / snapshots, and how much re-weighting they can "
+    "tolerate), complementing q195's containment overlap (which asks "
+    "'is B's content inside A', not 'how differently do A and B talk') "
+    "and q184/q155's numeric-feature PSI. Identity: one-source-only "
+    "tokens contribute exactly p/2, so JS reduces to the INNER join on "
+    "the token key plus exact common-mass sums — no outer join, no "
+    "per-source vocab materialization on the pair path. Per-token log "
+    "terms are fixed-point quantized (1e-12) so the sum is an exact "
+    "integer accumulation, order-independent across engines and "
+    "partitionings. Plan: one (source, token) partial-agg shuffle "
+    "(linear in corpus tokens), a token-keyed self-join whose per-token "
+    "fan-out is bounded by sources²/2 rows, and a sources²-sized final "
+    "aggregate; the per-source totals broadcast. At 100 TB the token "
+    "shuffle dominates and combines map-side under Zipf; nothing is "
+    "document-pairwise.",
+)
+def q204_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    cnt = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    a = cnt.select(
+        F.col("source").alias("source_a"), "w", F.col("c").alias("ca")
+    )
+    b = cnt.select(
+        F.col("source").alias("source_b"), "w", F.col("c").alias("cb")
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"),
+        F.col("t").alias("tota"),
+        F.col("vocab").alias("vocab_a"),
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"),
+        F.col("t").alias("totb"),
+        F.col("vocab").alias("vocab_b"),
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+    )
+    p = F.col("ca").cast("double") / F.col("tota")
+    q = F.col("cb").cast("double") / F.col("totb")
+    term = p * F.log2(F.lit(2.0) * p / (p + q)) + q * F.log2(
+        F.lit(2.0) * q / (p + q)
+    )
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("ca").cast("bigint").alias("sca"),
+        F.sum("cb").cast("bigint").alias("scb"),
+        F.max("tota").alias("tota"),
+        F.max("totb").alias("totb"),
+        F.max("vocab_a").alias("vocab_a"),
+        F.max("vocab_b").alias("vocab_b"),
+        dsum(term, _JS_Q).alias("logterm"),
+    )
+    js = rnd(
+        F.lit(1.0)
+        - F.lit(0.5) * F.col("sca").cast("double") / F.col("tota")
+        - F.lit(0.5) * F.col("scb").cast("double") / F.col("totb")
+        + F.lit(0.5) * F.col("logterm"),
+        6,
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        "vocab_a",
+        "vocab_b",
+        js.alias("js_divergence"),
+    ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# q206 — tokenizer fertility profile: whitespace vs subword-ish token
+#         economics per language (the pretraining cost planner)
+# ---------------------------------------------------------------------------
+
+_FERT_PAT = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@register(
+    "q206_tokenizer_fertility",
+    f"""
+    WITH per AS (
+        SELECT lang,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_toks,
+               CAST(len(regexp_extract_all(text, '{_FERT_PAT}')) AS BIGINT) AS sub_toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(ws_toks) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(sub_toks) AS BIGINT) AS total_sub_tokens,
+           {_rnd_sql("CAST(SUM(n_chars) AS DOUBLE) / SUM(sub_toks)", 4)} AS chars_per_token,
+           {_rnd_sql("CAST(SUM(sub_toks) AS DOUBLE) / SUM(ws_toks)", 4)} AS fertility
+    FROM per GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="tokenizer fertility / token-economics profile per language: "
+    "whitespace token count vs a BPE-ish pre-tokenization (letter runs, "
+    "single digits, single punctuation — the GPT-2 pre-tokenizer shape) "
+    "via one regexp pass, rolled up per language into chars-per-token "
+    "and fertility (subword per whitespace word). This is the "
+    "pretraining COST planner: token totals price a training run, and "
+    "per-language fertility says which languages a whitespace budget "
+    "under-counts. All aggregations are exact integer sums (counts and "
+    "lengths), so no fp-ordering hazard exists; the two ratios are "
+    "single final divisions. Plan: embarrassingly parallel single scan "
+    "— per-document token counting inside whole-stage codegen (regexp "
+    "count, no explode: the token STREAM never materializes), then a "
+    "lang-keyed partial agg. At 100 TB this is the cheapest full-corpus "
+    "pass in the registry: zero joins, zero data-scale shuffles, "
+    "|langs| result rows.",
+)
+def q206_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_toks"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_FERT_PAT), 0))
+        .cast("bigint")
+        .alias("sub_toks"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("ws_toks").cast("bigint").alias("total_ws_tokens"),
+        F.sum("sub_toks").cast("bigint").alias("total_sub_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_ws_tokens",
+        "total_sub_tokens",
+        rnd(
+            F.col("total_chars").cast("double") / F.col("total_sub_tokens"), 4
+        ).alias("chars_per_token"),
+        rnd(
+            F.col("total_sub_tokens").cast("double") / F.col("total_ws_tokens"),
+            4,
+        ).alias("fertility"),
+    ).orderBy("lang")

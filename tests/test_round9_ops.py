@@ -1,180 +1,243 @@
-"""Round-9 operators: the sqrt(n) IVF rule as model state (q199/q200).
-The DuckDB oracles pin cross-engine values; these tests pin the
-derivation itself — derived_k == ceil(sqrt(n)) at two scale points —
-and that the auto plans are EXACTLY the fixed-K plans run at that K
-(the derived valve changes where K comes from, not what it computes)."""
+"""Round-9 operators: source JS divergence (q204), join-skew plan (q205),
+tokenizer fertility (q206), centroid drift (q207). The DuckDB oracles pin
+cross-engine values; these tests pin SEMANTICS against independent
+python/numpy recomputes — in particular q204's inner-join-only JS identity
+and q207's quantized-centroid arithmetic, which the oracle (being the same
+formula) cannot falsify."""
 
 from __future__ import annotations
 
 import math
+import re
+from collections import Counter
 
-import pytest
-from pyspark.sql import functions as F
-
-
-def _rows_set(df, cols):
-    return {tuple(r[c] for c in cols) for r in df.collect()}
+import numpy as np
 
 
-@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
-def test_derived_k_equals_ceil_sqrt_n(spark, sf):
-    """derived_k must equal ceil(sqrt(n)) at both scale points — the
-    knob tracks corpus size with no constant anywhere in the plan."""
+# ---------------------------------------------------------------------------
+# q204 — Jensen-Shannon divergence between per-source unigram distributions
+# ---------------------------------------------------------------------------
+
+
+def _naive_js(docs):
+    """Textbook JS over the FULL union vocabulary (log2, one-side terms
+    included explicitly) — deliberately NOT the inner-join identity the
+    operator uses, so it independently validates that identity."""
+    dist: dict[str, Counter] = {}
+    for source, text in docs:
+        dist.setdefault(source, Counter()).update(text.split(" "))
+    out = {}
+    sources = sorted(dist)
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            ta, tb = sum(dist[a].values()), sum(dist[b].values())
+            js = 0.0
+            for w in set(dist[a]) | set(dist[b]):
+                p = dist[a][w] / ta
+                q = dist[b][w] / tb
+                m = (p + q) / 2.0
+                if p:
+                    js += 0.5 * p * math.log2(p / m)
+                if q:
+                    js += 0.5 * q * math.log2(q / m)
+            out[(a, b)] = js
+    return out
+
+
+def test_source_divergence_matches_naive_js(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.text import q204_source_divergence
+
+    docs = [
+        (r.source, r.text)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    want = _naive_js(docs)
+    got = {
+        (r.source_a, r.source_b): r.js_divergence
+        for r in q204_source_divergence(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for pair, js in want.items():
+        # operator quantizes per-token log terms at 1e-12 then rounds to 6:
+        # the naive float sum must agree well inside the rounding step
+        assert abs(got[pair] - js) < 5e-6, pair
+        assert 0.0 <= got[pair] <= 1.0
+
+
+def test_source_divergence_zero_for_identical_distribution(spark, tmp_path):
+    from etl_entregas_pyspark_spark.queries.text import q204_source_divergence
+
+    d = spark.createDataFrame(
+        [(i, "the cat sat on the mat", "en", src, 22)
+         for i in range(4) for src in ("a", "b")],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = q204_source_divergence(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0].js_divergence == 0.0
+
+
+# ---------------------------------------------------------------------------
+# q205 — join-skew plan
+# ---------------------------------------------------------------------------
+
+
+def test_join_skew_plan_matches_pandas(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.advanced import (
+        _SKEW_TARGET_ROWS,
+        _SKEW_TOPK,
+        q205_join_skew_plan,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    cnt = ev.groupby("user_id").size()
+    contrib = (cnt * cnt).sort_index()
+    total = int(contrib.sum())
+    hhi = float((contrib.astype(float) ** 2).sum()) / (total * total)
+    want = sorted(
+        ((int(c2), int(uid)) for uid, c2 in contrib.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:_SKEW_TOPK]
+
+    got = q205_join_skew_plan(spark, sf_dir).collect()
+    assert [(r.pair_rows, r.user_id) for r in got] == want
+    for r in got:
+        assert r.total_pair_rows == total
+        assert r.salt_factor == math.ceil(r.pair_rows / _SKEW_TARGET_ROWS)
+        assert abs(r.hhi - hhi) < 2e-6
+        assert r.n_rows * r.n_rows == r.pair_rows
+
+
+# ---------------------------------------------------------------------------
+# q206 — tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_matches_re(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.text import (
+        _FERT_PAT,
+        q206_tokenizer_fertility,
+    )
+
+    pat = re.compile(_FERT_PAT)
+    agg: dict[str, list[int]] = {}
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        a = agg.setdefault(r.lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(r.text)
+        a[2] += len(r.text.split(" "))
+        a[3] += len(pat.findall(r.text))
+    got = {r.lang: r for r in q206_tokenizer_fertility(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for lang, (n, chars, ws, sub) in agg.items():
+        r = got[lang]
+        assert (r.n_docs, r.total_chars, r.total_ws_tokens, r.total_sub_tokens) == (
+            n, chars, ws, sub,
+        )
+        assert abs(r.chars_per_token - chars / sub) < 1e-4
+        assert abs(r.fertility - sub / ws) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# q207 — centroid drift
+# ---------------------------------------------------------------------------
+
+
+def _quantized_centroid(vectors: np.ndarray) -> np.ndarray:
+    q = np.floor(vectors.astype(np.float64) * 1e7)
+    return q.sum(axis=0) / len(q) / 1e7
+
+
+def test_centroid_drift_matches_numpy(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.similarity import q207_centroid_drift
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_key: dict[tuple[int, int], list] = {}
+    for r in rows:
+        by_key.setdefault((r.label, r.vec_id % 2), []).append(r.embedding)
+    got = {r.label: r for r in q207_centroid_drift(spark, sf_dir).collect()}
+    labels = sorted({l for l, _ in by_key} & {l for l, s in by_key if s == 1})
+    for label in labels:
+        if (label, 0) not in by_key or (label, 1) not in by_key:
+            continue
+        a = np.array(by_key[(label, 0)])
+        b = np.array(by_key[(label, 1)])
+        diff = _quantized_centroid(a) - _quantized_centroid(b)
+        # mirror the operator's 1e-12 quantized accumulation of diff²
+        d2 = float(np.sum(np.floor(diff * diff * 1e12))) / 1e12
+        r = got[label]
+        assert (r.n_snap_a, r.n_snap_b) == (len(a), len(b))
+        assert abs(r.drift_l2 - math.sqrt(d2)) < 2e-6
+        assert abs(r.max_dim_shift - np.abs(diff).max()) < 2e-6
+        # L∞ ≤ L2 always — a cheap structural invariant of the output
+        assert r.max_dim_shift <= r.drift_l2 + 1e-9
+
+
+def test_centroid_drift_zero_for_identical_snapshots(spark, tmp_path):
+    from etl_entregas_pyspark_spark.queries.similarity import q207_centroid_drift
+
+    vec = [0.25, -1.5, 3.0]
+    df = spark.createDataFrame(
+        [(i, vec, 7) for i in range(6)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = q207_centroid_drift(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].drift_l2 == 0.0 and rows[0].max_dim_shift == 0.0
+
+
+# ---------------------------------------------------------------------------
+# q199/q200 — the derived-K rule (r8 verdict #4's done-criterion: pin
+# derived_k == ceil(sqrt(n)) at TWO scale points + fixed-K equality)
+# ---------------------------------------------------------------------------
+
+
+def test_derived_k_equals_ceil_sqrt_n_at_two_scale_points(spark):
     from etl_entregas_pyspark_spark.queries.similarity import (
         q199_semdedup_auto,
         q200_label_noise_auto,
     )
 
-    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
-    want_k = math.ceil(math.sqrt(n))
-    ks = {r.derived_k for r in q199_semdedup_auto(spark, sf).select("derived_k").distinct().collect()}
-    assert ks == {want_k}
-    ks200 = {r.derived_k for r in q200_label_noise_auto(spark, sf).select("derived_k").distinct().collect()}
-    assert ks200 <= {want_k}  # == when any row is flagged; empty flag set allowed
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+        want_k = math.ceil(math.sqrt(n))
+        rows = q199_semdedup_auto(spark, sf).collect()
+        assert rows, sf
+        assert {r.derived_k for r in rows} == {want_k}, sf
+        noise = q200_label_noise_auto(spark, sf).collect()
+        # flagged set may legitimately be empty at tiny scale; when rows
+        # exist, every one must carry the same derived K
+        assert {r.derived_k for r in noise} <= {want_k}, sf
 
 
-def test_auto_semdedup_is_fixed_k_at_derived_k(spark, sf_dir):
-    """q199 == semdedup_prune(n_centroids=ceil(sqrt(n))): the derived
-    valve only moves where K comes from."""
+def test_auto_forms_equal_fixed_k_kernels_at_derived_k(spark, sf_dir):
+    """q199/q200 must be EXACTLY the fixed-K kernels evaluated at
+    K = ceil(sqrt(n)) — the derivation changes where K comes from,
+    never the arithmetic downstream of it."""
     from etl_entregas_pyspark_spark.queries.similarity import (
+        label_noise_flags,
         q199_semdedup_auto,
+        q200_label_noise_auto,
         semdedup_prune,
     )
 
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     k = math.ceil(math.sqrt(n))
-    cols = ["centroid_id", "n_members", "n_dropped", "kept_probe"]
-    auto = _rows_set(q199_semdedup_auto(spark, sf_dir).select(*cols), cols)
-    fixed = _rows_set(semdedup_prune(spark, sf_dir, n_centroids=k).select(*cols), cols)
-    assert auto == fixed and len(auto) == k
 
-
-def test_auto_label_noise_is_fixed_k_at_derived_k(spark, sf_dir):
-    """q200's flag set == label_noise_flags(n_centroids=ceil(sqrt(n)))."""
-    from etl_entregas_pyspark_spark.queries.similarity import (
-        label_noise_flags,
-        q200_label_noise_auto,
-    )
-
-    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    k = math.ceil(math.sqrt(n))
-    cols = ["vec_id", "label", "predicted_label", "n_votes"]
-    auto = _rows_set(q200_label_noise_auto(spark, sf_dir).select(*cols), cols)
-    fixed = _rows_set(label_noise_flags(spark, sf_dir, n_centroids=k).select(*cols), cols)
-    assert auto == fixed
-
-
-def test_derived_k_is_model_state_not_driver_state(spark, sf_dir):
-    """The K derivation must live in the plan: no collect() anywhere —
-    the 1-row K frame appears as a broadcast join input, and the physical
-    plan carries the count->ceil(sqrt) aggregation itself."""
-    from etl_entregas_pyspark_spark.queries.similarity import q199_semdedup_auto
-
-    import re
-
-    plan = q199_semdedup_auto(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    # the centroid cutoff compares against the broadcast k_auto COLUMN,
-    # not a folded literal — proof the K never touched the driver
-    assert re.search(r"vec_id#\d+L? < k_auto#\d+L?", plan)
-    assert "BroadcastExchange" in plan
-    # and the K frame is the 1-row global aggregate, built in-plan
-    assert re.search(r"HashAggregate\(keys=\[\], functions=\[count\(1\)\], output=\[k_auto#\d+", plan)
-
-
-# ---------------------------------------------------------------------------
-# q202 — duplicated-span profile (exact substring dedup signal)
-# ---------------------------------------------------------------------------
-
-
-def test_span_dup_profile_planted_corpus(spark, tmp_path):
-    """Plant a partial-overlap duplication the doc-level dedup family
-    cannot see: doc 1 copies a 12-token paragraph out of doc 0's 20
-    tokens. With W=8, exactly the 5 windows fully inside the copied
-    region are shared; doc 2 (all-unique) must be absent entirely."""
-    from etl_entregas_pyspark_spark.queries.text import q202_span_dup_profile
-
-    a = [f"a{i}" for i in range(20)]          # doc 0: a0..a19
-    d1 = ["b0", "b1"] + a[4:16] + ["c0", "c1"]  # doc 1: 16 toks, copies a4..a15
-    d2 = [f"z{i}" for i in range(15)]         # doc 2: unique
-    rows = [
-        (0, " ".join(a), len(" ".join(a)), "s0"),
-        (1, " ".join(d1), len(" ".join(d1)), "s1"),
-        (2, " ".join(d2), len(" ".join(d2)), "s2"),
-    ]
-    spark.createDataFrame(
-        rows, "doc_id bigint, text string, n_chars bigint, source string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
-
-    out = {r.doc_id: r for r in q202_span_dup_profile(spark, str(tmp_path)).collect()}
-    assert set(out) == {0, 1}
-    # doc 0: 13 windows, dup = starts 5..9 (1-based) inside a4..a15 -> 5
-    assert (out[0].n_spans, out[0].n_dup_spans) == (13, 5)
-    # doc 1: 9 windows, dup = the same 5 copied windows
-    assert (out[1].n_spans, out[1].n_dup_spans) == (9, 5)
-    assert out[1].dup_frac > out[0].dup_frac  # ordering key is the frac
-
-
-def test_span_dup_profile_consistent_with_lsh_on_doc_level_dups(spark, sf_dir):
-    """Consistency invariant: the synthetic corpus duplicates whole
-    documents (near-verbatim), so span-level and doc-level signals must
-    agree EXACTLY — every LSH-paired doc shares 8-token spans and vice
-    versa. (The capability q53 lacks — partial-overlap duplication — is
-    pinned by the planted-corpus test above, where the two diverge.)"""
-    from etl_entregas_pyspark_spark.queries.similarity import q53_minhash_near_dup
-    from etl_entregas_pyspark_spark.queries.text import q202_span_dup_profile
-
-    span_docs = {r.doc_id for r in q202_span_dup_profile(spark, sf_dir).collect()}
-    assert span_docs, "synthetic corpus must contain duplicated spans"
-    paired = set()
-    for r in q53_minhash_near_dup(spark, sf_dir).collect():
-        paired.add(r.doc_a)
-        paired.add(r.doc_b)
-    assert span_docs == paired
-
-
-# ---------------------------------------------------------------------------
-# q203 — incremental LSH probe (batch vs standing corpus)
-# ---------------------------------------------------------------------------
-
-
-def test_incremental_probe_is_q53_restricted(spark, sf_dir):
-    """The probe must surface EXACTLY the q53 pairs that touch the batch
-    — same signatures, same candidates, same Jaccard — plus the routing
-    tag. Anything extra or missing means the probe plan changed the
-    near-dup semantics, not just the access path."""
-    from etl_entregas_pyspark_spark.queries.similarity import (
-        _BATCH_MOD,
-        q53_minhash_near_dup,
-        q203_incremental_lsh_probe,
-    )
-
-    full = {
-        (r.doc_a, r.doc_b): r.jaccard
-        for r in q53_minhash_near_dup(spark, sf_dir).collect()
-    }
     want = {
-        k: v for k, v in full.items() if k[0] % _BATCH_MOD == 0 or k[1] % _BATCH_MOD == 0
+        tuple(r) for r in semdedup_prune(spark, sf_dir, n_centroids=k).collect()
     }
-    got = {}
-    for r in q203_incremental_lsh_probe(spark, sf_dir).collect():
-        got[(r.doc_a, r.doc_b)] = r.jaccard
-        both = r.doc_a % _BATCH_MOD == 0 and r.doc_b % _BATCH_MOD == 0
-        assert r.match_side == ("batch" if both else "corpus")
-    assert got == want and want, "probe != q53 restricted to batch-touching pairs"
+    got = {
+        tuple(r)[:-1]  # strip derived_k
+        for r in q199_semdedup_auto(spark, sf_dir).collect()
+    }
+    assert got == want
 
-
-def test_incremental_probe_broadcasts_the_batch(spark, sf_dir):
-    """Plan contract: the batch band signatures are the BROADCAST side of
-    the candidate join — the standing corpus index streams past them
-    map-side, which is the whole point of the incremental path."""
-    from etl_entregas_pyspark_spark.queries.similarity import (
-        q203_incremental_lsh_probe,
-    )
-
-    plan = (
-        q203_incremental_lsh_probe(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BroadcastHashJoin" in plan and "BroadcastExchange" in plan
+    want_noise = {
+        tuple(r) for r in label_noise_flags(spark, sf_dir, n_centroids=k).collect()
+    }
+    got_noise = {
+        tuple(r)[:-1] for r in q200_label_noise_auto(spark, sf_dir).collect()
+    }
+    assert got_noise == want_noise
