@@ -1324,7 +1324,10 @@ _LP_CAP_PCT = 0.95
     "capped set (drop-then-score, q173's semantics). Emitting "
     "derived_cap makes the guard auditable — at sf1's 10x density the "
     "cap self-adjusts to ~390 and the job stays bounded (SCALE.md "
-    "round-7 table) where the fixed cap returned an empty graph.",
+    "round-7 table) where the fixed cap returned an empty graph. "
+    "Measured growth (r9 ladder, SCALE.md): under density growth where "
+    "raw pair volume is exactly quadratic (16x at 4 replicas), the "
+    "derived cap holds measured wall time to alpha=1.24.",
 )
 def q194_link_prediction_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").select(
@@ -1434,7 +1437,9 @@ _SKEW_TOPK = 20
     "totals, TakeOrderedAndProject for the top-k — the planner costs "
     "one linear scan regardless of how skewed the join it plans would "
     "be. At 100 TB this is the cheap pass you ALWAYS run before a "
-    "fact-fact join; its salt map feeds q107's split execution.",
+    "fact-fact join; its salt map feeds q107's split execution. "
+    "Measured r9 growth ladder: flat (alpha -0.05) at 1-4 replicas "
+    "(SCALE.md).",
 )
 def q205_join_skew_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")

@@ -2229,7 +2229,8 @@ _DRIFT_SQ_Q = 12    # fixed-point scale for squared-diff accumulation
     "|labels| x 2 x dim model-state rows out; the snapshot join and "
     "final rollup are model-state-sized. No pairwise stage anywhere: "
     "at 100 TB the cost is the one exploded scan, and the explode "
-    "stays inside whole-stage codegen.",
+    "stays inside whole-stage codegen. Measured r9 growth ladder: flat "
+    "(alpha -0.23) at 1-4 replicas (SCALE.md).",
 )
 def q207_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_entregas_pyspark_spark.queries.relational import dsum

@@ -1451,7 +1451,9 @@ _JS_Q = 12
     "fan-out is bounded by sources²/2 rows, and a sources²-sized final "
     "aggregate; the per-source totals broadcast. At 100 TB the token "
     "shuffle dominates and combines map-side under Zipf; nothing is "
-    "document-pairwise.",
+    "document-pairwise. Measured r9 growth ladder: flat (alpha -0.28) "
+    "at 1-4 replicas - the stage floor dominates; the pair join is "
+    "vocab-bounded (SCALE.md).",
 )
 def q204_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
