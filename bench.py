@@ -177,6 +177,8 @@ HEADLINE = [
     "q205_join_skew_plan",
     "q206_tokenizer_fertility",
     "q207_centroid_drift",
+    "q208_pps_sample_audit",
+    "q209_zipf_slope",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -1284,3 +1284,101 @@ def q193_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("order_probe"),
         F.min_by("doc_id", "hk").cast("bigint").alias("first_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — PPS sample + Horvitz-Thompson estimator audit (the sampling
+#         validity certificate)
+# ---------------------------------------------------------------------------
+
+_PPS_FRAC = 0.2          # expected sample fraction of the corpus
+_PPS_U_DEN = float(1 << 60)  # md5_int yields 60 bits → uniform in [0, 1)
+_HT_Q = 4                # fixed-point scale for the HT weighted sum
+
+
+@register(
+    "q208_pps_sample_audit",
+    f"""
+    WITH stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+    ), scored AS (
+        SELECT d.doc_id, d.source,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+               LEAST(1.0, CEIL({_PPS_FRAC} * s.n_corpus)
+                          * CAST(d.n_chars AS DOUBLE) / s.total_chars) AS pi,
+               {_md5_int_sql("CAST(d.doc_id AS VARCHAR)")} / {_PPS_U_DEN} AS u
+        FROM documents d CROSS JOIN stats s
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u < pi THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(toks) AS BIGINT) AS exact_tokens,
+           {_rnd_sql(f"SUM(CAST(FLOOR(CASE WHEN u < pi THEN toks / pi ELSE 0.0 END * 10000.0) AS BIGINT)) / 10000.0", 2)} AS ht_estimate,
+           {_rnd_sql(f"100.0 * ((SUM(CAST(FLOOR(CASE WHEN u < pi THEN toks / pi ELSE 0.0 END * 10000.0) AS BIGINT)) / 10000.0) - SUM(toks)) / SUM(toks)", 4)} AS rel_err_pct
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc="probability-proportional-to-size corpus sampling with its "
+    "validity certificate: each document enters the sample with "
+    "inclusion probability pi = min(1, m*size/total) (m = expected "
+    "sample count, size = n_chars) decided by a DETERMINISTIC md5 "
+    "uniform — reproducible across engines, partitionings and reruns, "
+    "the q63/q193 hash-randomness discipline. The audit estimates a "
+    "DIFFERENT quantity than the size measure (whitespace tokens) via "
+    "the Horvitz-Thompson weighted sum sum(tokens/pi) over sampled "
+    "docs and reports the per-source relative error against the exact "
+    "total — the unbiasedness check you run on a validation window "
+    "before trusting any subsampled statistic at 100 TB. HT terms are "
+    "fixed-point-quantized (1e-4) so the weighted sum is an exact "
+    "integer accumulation. Plan: the 2-value corpus stats broadcast; "
+    "ONE documents scan computes pi, u, and the token count per row "
+    "(all codegen — no explode, no join on data-scale rows); one "
+    "source-keyed partial agg emits |sources| audit rows. The exact "
+    "totals ride the same scan, so the certificate costs one pass.",
+)
+def q208_pps_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    pi = F.least(
+        F.lit(1.0),
+        F.ceil(F.lit(_PPS_FRAC) * F.col("n_corpus"))
+        * F.col("n_chars").cast("double")
+        / F.col("total_chars"),
+    )
+    u = md5_int(F.col("doc_id").cast("string")) / F.lit(_PPS_U_DEN)
+    scored = d.crossJoin(F.broadcast(stats)).select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+        pi.alias("pi"),
+        u.alias("u"),
+    )
+    ht_term = F.when(
+        F.col("u") < F.col("pi"), F.col("toks") / F.col("pi")
+    ).otherwise(F.lit(0.0))
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("u") < F.col("pi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.sum("toks").cast("bigint").alias("exact_tokens"),
+        (
+            F.sum(F.floor(ht_term * F.lit(10000.0)).cast("long")) / F.lit(10000.0)
+        ).alias("ht_raw"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_sampled",
+        "exact_tokens",
+        rnd(F.col("ht_raw"), 2).alias("ht_estimate"),
+        rnd(
+            F.lit(100.0)
+            * (F.col("ht_raw") - F.col("exact_tokens"))
+            / F.col("exact_tokens"),
+            4,
+        ).alias("rel_err_pct"),
+    ).orderBy("source")

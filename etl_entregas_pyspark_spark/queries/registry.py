@@ -98,6 +98,12 @@ _PRIORITY = [
     "q47_rolling_fingerprint",
     "q50_vector_norms",
     "q51_cosine_topk",
+    # (c) r10-window head: the two operators registered after the 50-slot
+    # r9 window filled (locally hash-proven at sf0.01 AND sf0.1 in r9),
+    # then the five r5-stale rows the 9 in-window r9 registrations
+    # displaced.
+    "q208_pps_sample_audit",
+    "q209_zipf_slope",
     "q52_knn_label_vote",
     "q53_minhash_near_dup",
     "q54_simhash",

@@ -1593,3 +1593,110 @@ def q206_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fertility"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q209 — Zipf-slope corpus naturalness profile (per-source log-log OLS)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 500   # fit over the top-500 ranks (the regime where Zipf holds)
+_ZIPF_Q = 6       # fixed-point scale for the OLS sufficient statistics
+
+
+def _zipf_q(expr: str) -> str:
+    return f"CAST(FLOOR(({expr}) * 1000000.0) AS BIGINT)"
+
+
+@register(
+    "q209_zipf_slope",
+    f"""
+    WITH cnt AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY source, w
+    ), ranked AS (
+        SELECT source, c,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS r
+        FROM cnt
+    ), pts AS (
+        SELECT source,
+               {_zipf_q("LN(CAST(r AS DOUBLE))")} AS qx,
+               {_zipf_q("LN(CAST(c AS DOUBLE))")} AS qy,
+               {_zipf_q("LN(CAST(r AS DOUBLE)) * LN(CAST(c AS DOUBLE))")} AS qxy,
+               {_zipf_q("LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE))")} AS qxx
+        FROM ranked WHERE r <= {_ZIPF_TOP}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           {_rnd_sql(
+               "(COUNT(*) * (CAST(SUM(qxy) AS DOUBLE)/1000000.0) - (CAST(SUM(qx) AS DOUBLE)/1000000.0) * (CAST(SUM(qy) AS DOUBLE)/1000000.0))"
+               " / (COUNT(*) * (CAST(SUM(qxx) AS DOUBLE)/1000000.0) - (CAST(SUM(qx) AS DOUBLE)/1000000.0) * (CAST(SUM(qx) AS DOUBLE)/1000000.0))",
+               4,
+           )} AS zipf_slope
+    FROM pts GROUP BY source ORDER BY source
+    """,
+    doc="per-source Zipf-slope fit — the corpus NATURALNESS diagnostic: "
+    "natural language sits near slope -1 on the log-rank/log-frequency "
+    "line; heavily templated or boilerplate-duplicated sources flatten "
+    "(hub tokens over-represented) and synthetic/keyword-stuffed "
+    "sources steepen. Complements q204 (which compares sources to each "
+    "other; this scores each against the Zipf law itself) and q85's "
+    "repetition profile (doc-level). Fit = closed-form OLS over the "
+    "top-500 ranks; rank = row_number over the per-source vocabulary "
+    "(model-state-sized — the window never touches corpus-scale rows), "
+    "deterministic tie-break (count desc, token asc). The four OLS "
+    "sufficient statistics are fixed-point-quantized (1e-6) per point "
+    "before summing — exact integer accumulation, engine- and "
+    "partitioning-independent; fp appears only in the two LNs and the "
+    "final slope division. Plan: one (source, token) partial-agg "
+    "shuffle (linear in corpus tokens, combines map-side under Zipf "
+    "itself), a vocab-sized window, a sources-sized aggregate.",
+)
+def q209_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    ranked = cnt.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= _ZIPF_TOP
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    scale = F.lit(float(10 ** _ZIPF_Q))
+
+    def q(e):  # noqa: ANN001 - local fixed-point helper
+        return F.floor(e * scale).cast("long")
+
+    pts = ranked.select(
+        "source",
+        q(lx).alias("qx"),
+        q(ly).alias("qy"),
+        q(lx * ly).alias("qxy"),
+        q(lx * lx).alias("qxx"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    agg = pts.groupBy("source").agg(
+        n.alias("n_ranks"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum("qxy").alias("sxy"),
+        F.sum("qxx").alias("sxx"),
+    )
+    dn = F.lit(float(10 ** _ZIPF_Q))
+    slope = (
+        F.col("n_ranks") * (F.col("sxy").cast("double") / dn)
+        - (F.col("sx").cast("double") / dn) * (F.col("sy").cast("double") / dn)
+    ) / (
+        F.col("n_ranks") * (F.col("sxx").cast("double") / dn)
+        - (F.col("sx").cast("double") / dn) * (F.col("sx").cast("double") / dn)
+    )
+    return agg.select(
+        "source", "n_ranks", rnd(slope, 4).alias("zipf_slope")
+    ).orderBy("source")

@@ -241,3 +241,116 @@ def test_auto_forms_equal_fixed_k_kernels_at_derived_k(spark, sf_dir):
         tuple(r)[:-1] for r in q200_label_noise_auto(spark, sf_dir).collect()
     }
     assert got_noise == want_noise
+
+
+# ---------------------------------------------------------------------------
+# q208 — PPS sample + Horvitz-Thompson audit
+# ---------------------------------------------------------------------------
+
+
+def test_pps_sample_audit_matches_hashlib_recompute(spark, sf_dir):
+    import hashlib
+
+    from etl_entregas_pyspark_spark.queries.datasplit import (
+        _PPS_FRAC,
+        q208_pps_sample_audit,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n_corpus = len(rows)
+    total_chars = sum(r.n_chars for r in rows)
+    m = math.ceil(_PPS_FRAC * n_corpus)
+    agg: dict[str, list] = {}
+    for r in rows:
+        pi = min(1.0, m * float(r.n_chars) / total_chars)
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) / float(1 << 60)
+        toks = len(r.text.split(" "))
+        a = agg.setdefault(r.source, [0, 0, 0, 0])  # docs, sampled, exact, ht_q
+        a[0] += 1
+        a[2] += toks
+        if u < pi:
+            a[1] += 1
+            a[3] += math.floor(toks / pi * 10000.0)
+    got = {r.source: r for r in q208_pps_sample_audit(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for src, (n, ns, exact, htq) in agg.items():
+        r = got[src]
+        ht = htq / 10000.0
+        assert (r.n_docs, r.n_sampled, r.exact_tokens) == (n, ns, exact)
+        assert abs(r.ht_estimate - ht) < 0.02
+        assert abs(r.rel_err_pct - 100.0 * (ht - exact) / exact) < 1e-3
+        assert 0 <= ns <= n
+    # the sampler must neither degenerate to empty nor take everything
+    total_sampled = sum(a[1] for a in agg.values())
+    total_docs = sum(a[0] for a in agg.values())
+    assert 0 < total_sampled < total_docs
+
+
+def test_pps_always_includes_certain_docs(spark, tmp_path):
+    """A document so large that pi=1 is sampled with weight 1: its tokens
+    enter the HT sum exactly."""
+    from etl_entregas_pyspark_spark.queries.datasplit import q208_pps_sample_audit
+
+    rows = [(1, "a b c d e f g h", "big", 100000)] + [
+        (i, "x y", "small", 1) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", s, c) for (d, t, s, c) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.source: r for r in q208_pps_sample_audit(spark, str(tmp_path)).collect()}
+    big = got["big"]
+    assert big.n_sampled == 1 and big.ht_estimate == float(big.exact_tokens)
+    assert big.rel_err_pct == 0.0
+
+
+# ---------------------------------------------------------------------------
+# q209 — Zipf slope
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_slope_matches_numpy_ols(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.text import _ZIPF_TOP, q209_zipf_slope
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cnt: dict[str, Counter] = {}
+    for r in docs:
+        cnt.setdefault(r.source, Counter()).update(r.text.split(" "))
+    got = {r.source: r for r in q209_zipf_slope(spark, sf_dir).collect()}
+    assert set(got) == set(cnt)
+    for src, c in cnt.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOP]
+        qx = [math.floor(math.log(i + 1) * 1e6) for i in range(len(ranked))]
+        qy = [math.floor(math.log(v) * 1e6) for _, v in ranked]
+        qxy = [
+            math.floor(math.log(i + 1) * math.log(v) * 1e6)
+            for i, (_, v) in enumerate(ranked)
+        ]
+        qxx = [math.floor(math.log(i + 1) ** 2 * 1e6) for i in range(len(ranked))]
+        n = len(ranked)
+        sx, sy, sxy, sxx = (sum(q) / 1e6 for q in (qx, qy, qxy, qxx))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        r = got[src]
+        assert r.n_ranks == n
+        assert abs(r.zipf_slope - slope) < 2e-4, src
+
+
+def test_zipf_slope_recovers_planted_power_law(spark, tmp_path):
+    """A corpus whose token frequencies follow c(r) = floor(3000/r) must
+    fit a slope close to -1 (the floor bends the tail slightly)."""
+    from etl_entregas_pyspark_spark.queries.text import q209_zipf_slope
+
+    words = []
+    for r in range(1, 51):
+        words.extend([f"w{r:04d}"] * (3000 // r))
+    docs = []
+    chunk = 200
+    for i in range(0, len(words), chunk):
+        docs.append((i, " ".join(words[i : i + chunk]), "en", "planted", 1))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = q209_zipf_slope(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert abs(rows[0].zipf_slope - (-1.0)) < 0.05

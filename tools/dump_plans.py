@@ -153,6 +153,8 @@ HEADLINE = [
     "q205_join_skew_plan",
     "q206_tokenizer_fertility",
     "q207_centroid_drift",
+    "q208_pps_sample_audit",
+    "q209_zipf_slope",
 ]
 
 
