@@ -1326,8 +1326,11 @@ _LP_CAP_PCT = 0.95
     "cap self-adjusts to ~390 and the job stays bounded (SCALE.md "
     "round-7 table) where the fixed cap returned an empty graph. "
     "Measured growth (r9 ladder, SCALE.md): under density growth where "
-    "raw pair volume is exactly quadratic (16x at 4 replicas), the "
-    "derived cap holds measured wall time to alpha=1.24.",
+    "raw pair volume is exactly quadratic (16x at 4 replicas), wall "
+    "time fits alpha=1.24 for BOTH the capped and uncapped forms - "
+    "map-side combine absorbs most of the pair growth at this scale; "
+    "the cap's role is the hub-tail bound on power-law corpora and a "
+    "measured ~15% edge at the sf1 coherent layout.",
 )
 def q194_link_prediction_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").select(
