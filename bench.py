@@ -196,32 +196,55 @@ DEMO_BASELINES = {
     "q191_label_noise",
 }
 
+# Declared contrast pairs (scaled-twin / demo-baseline): the sandbox swings
+# 2-3x on absolute wall clocks between sessions, so regressions are judged
+# on WITHIN-SESSION ratios of two queries from the same battery. Each pair
+# is (numerator, denominator); the expected ratio is < 1 (the scaled twin
+# beats its fixed/demo baseline). Emitted into the detail JSON so the
+# driver's BENCH_rN.json carries the instrument, not just the wall clocks.
+CONTRAST_PAIRS = [
+    ("q197_label_noise_scaled", "q191_label_noise"),
+    ("q198_triangles_adaptive_support", "q126_copurchase_triangles"),
+    ("q194_link_prediction_adaptive", "q171_link_prediction"),
+    ("q196_semdedup_scaled", "q182_semdedup"),
+]
 
-def _prev_round_times() -> tuple[str | None, dict[str, float]]:
+
+def _prev_round_times() -> tuple[str | None, dict[str, float], object]:
     """Harvest per-query times from the newest BENCH_r{N}.json at the repo
     root (the driver's record of last round's battery) so this run can
     flag round-over-round regressions in-round instead of leaving them
     for the judge. The tail may hold a truncated detail line — harvest
-    every q<N>: <sec> pair visible (tools/compare_bench.py's rule)."""
+    every q<N>: <sec> pair visible (tools/compare_bench.py's rule).
+    Newest = highest round NUMBER (an unpadded BENCH_r9.json or a future
+    r100 would defeat a lexicographic sort). Also returns the record's
+    "sf" field (or None) so the caller can refuse cross-scale ratios."""
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     records = sorted(
-        f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
+        (f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),
     )
     if not records:
-        return None, {}
+        return None, {}, None
     path = records[-1]
     try:
         with open(os.path.join(here, path)) as f:
             rec = json.load(f)
-        blob = json.dumps(rec.get("parsed") or {}) + (rec.get("tail") or "")
+        parsed = rec.get("parsed") or {}
+        blob = json.dumps(parsed) + (rec.get("tail") or "")
+        sf_vals = {
+            m.group(1)
+            for m in re.finditer(r'"sf":\s*([0-9.]+)', blob)
+        }
+        rec_sf = float(sf_vals.pop()) if len(sf_vals) == 1 else None
         return path, {
             m.group(1): float(m.group(2))
             for m in re.finditer(r'"(q\d+[a-z0-9_]*)":\s*([0-9.]+)', blob)
-        }
+        }, rec_sf
     except (OSError, json.JSONDecodeError, ValueError):
-        return path, {}
+        return path, {}, None
 
 
 def main() -> None:
@@ -309,11 +332,24 @@ def main() -> None:
     # only caught by the judge; this surfaces it inside the round).
     # Only meaningful when both runs are at the same sf — the sf1 path
     # (SPARK_GRAFT_SF_DIR override) skips it.
-    prev_name, prev = (None, {}) if os.environ.get("SPARK_GRAFT_SF_DIR") else _prev_round_times()
+    prev_name, prev, prev_sf = (
+        (None, {}, None)
+        if os.environ.get("SPARK_GRAFT_SF_DIR")
+        else _prev_round_times()
+    )
+    if prev_sf is not None and prev_sf != sf_val:
+        # last recorded battery ran at a different scale — ratios would be
+        # cross-scale nonsense, so skip the guard (same as the sf1 path).
+        prev_name, prev = None, {}
     regressions = {
         n: {"prev": prev[n], "now": t, "ratio": round(t / prev[n], 2)}
         for n, t in times.items()
         if n in prev and prev[n] > 0 and t > 1.3 * prev[n] and t - prev[n] > 0.2
+    }
+    contrasts = {
+        f"{a}/{b}": round(times[a] / times[b], 3)
+        for a, b in CONTRAST_PAIRS
+        if times.get(a) and times.get(b)
     }
     # detailed per-query record first (humans / round-over-round diffing) ...
     print(
@@ -328,6 +364,7 @@ def main() -> None:
                 "production_total": prod_total,
                 "regressions_vs": prev_name,
                 "regressions": regressions,
+                "contrasts": contrasts,
                 "sf": sf_val,
             }
         )
@@ -349,6 +386,7 @@ def main() -> None:
                     "production_total": prod_total,
                     **top5,
                 },
+                "contrasts": contrasts,
                 "sf": sf_val,
             }
         )

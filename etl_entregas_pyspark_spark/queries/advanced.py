@@ -1453,10 +1453,12 @@ def q205_join_skew_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("c").alias("n_rows"), (F.col("c") * F.col("c")).alias("pair_rows")
     )
     c2 = F.col("pair_rows").cast("double")
+    # c^4 summed as exact bigints (mirrors the oracle's integer SUM);
+    # exactness bound c < ~55k per key, same as the docstring states.
     tot = contrib.agg(
         F.sum("pair_rows").cast("bigint").alias("total_pair_rows"),
         (
-            F.sum(c2 * c2)
+            F.sum(F.col("pair_rows") * F.col("pair_rows")).cast("double")
             / (
                 F.sum("pair_rows").cast("double")
                 * F.sum("pair_rows").cast("double")

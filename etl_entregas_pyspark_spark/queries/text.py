@@ -1603,8 +1603,13 @@ _ZIPF_TOP = 500   # fit over the top-500 ranks (the regime where Zipf holds)
 _ZIPF_Q = 6       # fixed-point scale for the OLS sufficient statistics
 
 
+# SQL literal derived from _ZIPF_Q (as _dsum_sql does) so the oracle and
+# the DataFrame path share ONE constant — changing _ZIPF_Q cannot de-sync.
+_ZIPF_SCALE_SQL = f"{10.0 ** _ZIPF_Q!r}"
+
+
 def _zipf_q(expr: str) -> str:
-    return f"CAST(FLOOR(({expr}) * 1000000.0) AS BIGINT)"
+    return f"CAST(FLOOR(({expr}) * {_ZIPF_SCALE_SQL}) AS BIGINT)"
 
 
 @register(
@@ -1629,8 +1634,8 @@ def _zipf_q(expr: str) -> str:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_ranks,
            {_rnd_sql(
-               "(COUNT(*) * (CAST(SUM(qxy) AS DOUBLE)/1000000.0) - (CAST(SUM(qx) AS DOUBLE)/1000000.0) * (CAST(SUM(qy) AS DOUBLE)/1000000.0))"
-               " / (COUNT(*) * (CAST(SUM(qxx) AS DOUBLE)/1000000.0) - (CAST(SUM(qx) AS DOUBLE)/1000000.0) * (CAST(SUM(qx) AS DOUBLE)/1000000.0))",
+               f"(COUNT(*) * (CAST(SUM(qxy) AS DOUBLE)/{_ZIPF_SCALE_SQL}) - (CAST(SUM(qx) AS DOUBLE)/{_ZIPF_SCALE_SQL}) * (CAST(SUM(qy) AS DOUBLE)/{_ZIPF_SCALE_SQL}))"
+               f" / (COUNT(*) * (CAST(SUM(qxx) AS DOUBLE)/{_ZIPF_SCALE_SQL}) - (CAST(SUM(qx) AS DOUBLE)/{_ZIPF_SCALE_SQL}) * (CAST(SUM(qx) AS DOUBLE)/{_ZIPF_SCALE_SQL}))",
                4,
            )} AS zipf_slope
     FROM pts GROUP BY source ORDER BY source
