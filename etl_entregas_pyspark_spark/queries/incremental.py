@@ -303,3 +303,229 @@ def q201_stream_disordered_tumbling(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.table(sink).localCheckpoint()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q212/q213 — disorder correctness BEYOND tumbling (r9 VERDICT #3): the
+# same out-of-order replay schedule as q201, driven through (a) merging
+# session windows and (b) the applyInPandasWithState sliding-distinct
+# operator behind its watermark guard — the two semantics a tumbling
+# aggregation cannot exercise (sessions MERGE under late data; arbitrary
+# stateful ops get no built-in late filter at all).
+# ---------------------------------------------------------------------------
+
+_DISORDER_COLS = ["event_id", "user_id", "event_type", "ts", "value"]
+
+
+def _disordered_cut(spark: SparkSession, sf_dir: str):
+    """q201's delivery schedule, shared by the non-tumbling disorder
+    oracles: A (days 1-10), B1/B2 (days 21-25 / 26-30, the bulk, split so
+    the lagging SPARK-42376 late-filter watermark has passed C when it
+    lands), C (days 11-20 — beyond-watermark, must drop), D (fresh
+    event_ids duplicating B2's last 30 minutes — within-watermark late,
+    must admit), and two far-future sentinels built from the unique
+    newest B2 row that advance the watermark so every decided
+    window/session flushes deterministically (sentinel 1 emits,
+    sentinel 2 stays open forever)."""
+    from pyspark.sql.window import Window as W
+
+    e = E(spark, sf_dir).select(*_DISORDER_COLS).localCheckpoint()
+    a = e.filter(F.dayofmonth("ts") <= 10)
+    b1 = e.filter((F.dayofmonth("ts") > 20) & (F.dayofmonth("ts") <= 25))
+    b2 = e.filter(F.dayofmonth("ts") > 25)
+    c = e.filter((F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20))
+    maxb = b2.agg(F.max("ts").alias("max_ts"))
+    d = (
+        b2.crossJoin(F.broadcast(maxb))
+        .filter(F.col("ts") > F.col("max_ts") - F.expr("INTERVAL 30 MINUTES"))
+        .drop("max_ts")
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    )
+    newest = (
+        b2.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    def sentinel(days: int) -> DataFrame:
+        return newest.select(
+            (F.col("event_id") + F.lit(20_000_000 + days)).alias("event_id"),
+            "user_id",
+            "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            "value",
+        )
+
+    return a, b1, b2, c, d, sentinel
+
+
+def _replay_disordered(spark: SparkSession, slices, make_query, sink: str) -> DataFrame:
+    """Write each slice as ONE mtime-paced parquet file, replay them as
+    single-file triggers through ``make_query(stream)`` into an
+    append-mode memory sink, and return the materialized emissions."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from etl_entregas_pyspark_spark.streaming.streams import read_event_stream
+
+    src = tempfile.mkdtemp(prefix=f"{sink}_")
+    try:
+        base_mtime = time.time()
+        for i, chunk in enumerate(slices):
+            stage = os.path.join(src, f"_stage{i}")
+            chunk.select(*_DISORDER_COLS).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"slice{i}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+            shutil.rmtree(stage, ignore_errors=True)
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            make_query(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.table(sink).localCheckpoint()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+_Q212_ORACLE = f"""
+    WITH b2 AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE day(ts) > 25
+    ), maxr AS (
+        SELECT user_id, ts, value FROM b2
+        ORDER BY ts DESC, event_id DESC LIMIT 1
+    ), admitted AS (
+        SELECT user_id, ts, value FROM events
+        WHERE day(ts) <= 10 OR day(ts) > 20
+        UNION ALL
+        SELECT user_id, ts, value FROM b2
+        WHERE ts > (SELECT ts FROM maxr) - INTERVAL '30 minutes'
+        UNION ALL
+        SELECT user_id, ts + INTERVAL '10 days' AS ts, value FROM maxr
+    ), marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM admitted
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_dsum_sql('value', 6)} AS total_value
+    FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "q212_stream_disordered_session",
+    _Q212_ORACLE,
+    doc="q201's disorder oracle extended to MERGING session windows — the "
+    "semantics tumbling cannot exercise: a late-admitted row does not "
+    "just land in a fixed bucket, it must fold into (and extend the "
+    "count/sum of) a session the state store is still holding open. "
+    "The events table replays through a real readStream -> watermarked "
+    "session_window (30-minute gap, 1-hour watermark) -> append memory "
+    "sink in seven mtime-paced single-file triggers delivered out of "
+    "order (q201's schedule): days 11-20 arrive after the SPARK-42376 "
+    "late-filter watermark passed them and must vanish without touching "
+    "any session; fresh duplicates of the bulk's last 30 minutes arrive "
+    "within-watermark and must merge into their still-open sessions "
+    "(same instant -> same session, so n_events/total_value grow); two "
+    "far-future sentinels flush every decided session (sentinel 1's own "
+    "session emits, sentinel 2's never does). Emitted sessions must "
+    "hash-match the lag/cumsum island recompute (q32's oracle) over "
+    "EXACTLY the admitted multiset; the value sum uses the dsum "
+    "quantization inside the stream, so session totals are exact no "
+    "matter how many triggers contributed. State is bounded: open "
+    "sessions only; everything the watermark passed is evicted-and-"
+    "emitted, which is precisely what the oracle certifies.",
+)
+def q212_stream_disordered_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.streaming.streams import sessionized_stream
+
+    a, b1, b2, c, d, sentinel = _disordered_cut(spark, sf_dir)
+    return _replay_disordered(
+        spark,
+        [a, b1, b2, c, d, sentinel(10), sentinel(20)],
+        lambda s: sessionized_stream(
+            s, gap="30 minutes", watermark="1 hour", exact_scale=6
+        ),
+        "q212_disordered_session",
+    )
+
+
+_Q213_ORACLE = """
+    WITH admitted AS (
+        SELECT event_id, user_id, event_type, ts FROM events
+        WHERE day(ts) <= 10 OR day(ts) > 20
+    )
+    SELECT event_id, event_type, ts,
+           CAST(COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_active_users
+    FROM admitted
+"""
+
+
+@register(
+    "q213_stream_disordered_sliding_distinct",
+    _Q213_ORACLE,
+    doc="q201's disorder oracle extended to the applyInPandasWithState "
+    "sliding-distinct operator (q175's live concurrency metric) — the "
+    "case where Spark gives NO built-in late filter: arbitrary stateful "
+    "ops see every arriving row, so the documented production guard is "
+    "an upstream watermarked stateful stage (dropDuplicatesWithin"
+    "Watermark doubles as the late-row gate and the exactly-once "
+    "layer). The replay delivers the bulk in time order but with rows "
+    "JUMBLED inside every trigger (the operator's contract: per-key "
+    "time-ordered micro-batches, any intra-batch order), then a "
+    "beyond-watermark slice (days 11-20) that the guard must kill "
+    "before it can corrupt the distinct-user state. Emitted per-event "
+    "trailing-1h distinct-user counts must hash-match q175's windowed "
+    "COUNT(DISTINCT) oracle restricted to EXACTLY the admitted events — "
+    "promoting tests/test_disordered_replay.py's third pytest to the "
+    "driver gate. State stays ∝ active users per type (pruned as the "
+    "newest instant advances), and this query certifies that pruning "
+    "plus the guard costs no correctness under disorder.",
+)
+def q213_stream_disordered_sliding_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_entregas_pyspark_spark.streaming.stateful import (
+        streaming_sliding_distinct,
+    )
+    from etl_entregas_pyspark_spark.streaming.streams import dedup_stream
+
+    a, b1, b2, c, _d, _sentinel = _disordered_cut(spark, sf_dir)
+    jumble = lambda df: df.orderBy(F.md5(F.col("event_id").cast("string")))  # noqa: E731
+    return _replay_disordered(
+        spark,
+        [jumble(a), jumble(b1), jumble(b2), c],
+        lambda s: streaming_sliding_distinct(
+            dedup_stream(s, watermark="1 hour")
+        ),
+        "q213_disordered_sliding",
+    )

@@ -106,12 +106,30 @@ def sliding_counts_stream(
     )
 
 
-def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
-    """q32's session windows as a stream (merging session state per user)."""
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    exact_scale: int | None = None,
+) -> DataFrame:
+    """q32's session windows as a stream (merging session state per user).
+
+    ``exact_scale`` switches the value sum to the dsum quantization (same
+    contract as ``tumbling_counts_stream``): exact long accumulation, so
+    emitted sessions hash-match a batch recompute no matter how many
+    micro-batches (or late-admitted rows) contributed to a session."""
+    if exact_scale is not None:
+        q = float(10 ** exact_scale)
+        total = (
+            F.sum(F.floor(F.col("value") * F.lit(q)).cast("long")).cast("double")
+            / F.lit(q)
+        ).alias("total_value")
+    else:
+        total = F.sum("value").alias("total_value")
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), total)
         .select(
             "user_id",
             F.col("session_window.start").alias("session_start"),

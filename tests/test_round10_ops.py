@@ -141,3 +141,52 @@ def test_ingest_apply_routing_invariants(spark, sf_dir):
         else:  # in-batch pair: the larger id cannot be 'keep'
             assert by_id[p["doc_b"]]["action"] != "keep"
     assert any(r["action"] != "keep" for r in out)
+
+
+# ---------------------------------------------------------------------------
+# q212/q213 — disorder oracles beyond tumbling
+# ---------------------------------------------------------------------------
+
+
+def test_disordered_session_conserves_admitted_rows(spark, sf_dir):
+    """Row conservation the hash cannot localize if it breaks: every
+    admitted event lands in exactly one emitted session — |A∪B1∪B2| + |D|
+    + 1 (sentinel 1; sentinel 2's session never flushes) — and the
+    late-admitted D twins actually MERGED (some session near the bulk's
+    end carries more events than distinct instants)."""
+    from etl_entregas_pyspark_spark.queries.incremental import (
+        _disordered_cut,
+        q212_stream_disordered_session,
+    )
+
+    out = q212_stream_disordered_session(spark, sf_dir)
+    a, b1, b2, c, d, sentinel = _disordered_cut(spark, sf_dir)
+    admitted = a.count() + b1.count() + b2.count() + d.count() + 1
+    got = out.agg(F.sum("n_events")).collect()[0][0]
+    assert got == admitted
+    # D duplicates existing instants -> its sessions must have n_events>=2
+    max_b = b2.agg(F.max("ts")).collect()[0][0]
+    d_min = d.agg(F.min("ts")).collect()[0][0]
+    merged = out.filter(
+        (F.col("session_start") >= F.lit(d_min) - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("session_start") <= F.lit(max_b))
+        & (F.col("n_events") >= 2)
+    ).count()
+    assert merged > 0
+
+
+def test_disordered_sliding_distinct_drops_late_slice(spark, sf_dir):
+    """The guard kills the beyond-watermark slice before it touches the
+    stateful operator: exactly one emission per admitted event, zero for
+    the C slice."""
+    from etl_entregas_pyspark_spark.queries.incremental import (
+        _disordered_cut,
+        q213_stream_disordered_sliding_distinct,
+    )
+
+    out = q213_stream_disordered_sliding_distinct(spark, sf_dir)
+    a, b1, b2, c, _d, _s = _disordered_cut(spark, sf_dir)
+    assert out.count() == a.count() + b1.count() + b2.count()
+    assert out.select("event_id").distinct().count() == out.count()
+    c_ids = c.select("event_id")
+    assert out.join(c_ids, "event_id").count() == 0
