@@ -104,6 +104,21 @@ def _band_long(per_doc: DataFrame) -> DataFrame:
     )
 
 
+def band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) band signatures for a (doc_id, text)
+    frame — the unit of work both the batch index build and the streaming
+    index maintenance (``streaming/upsert_sink.py:band_index_batch``)
+    run, so the live-maintained and batch-built indexes are
+    equivalence-testable against ONE implementation."""
+    ex = (
+        docs.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("item")
+        )
+        .withColumn("h", md5_int(F.col("item")) % _P)
+    )
+    return _band_long(ex.groupBy("doc_id").agg(*_minhash_aggs()))
+
+
 def ensure_band_index(
     spark: SparkSession, sf_dir: str, force: bool = False
 ) -> str:
@@ -122,15 +137,8 @@ def ensure_band_index(
     corpus = T(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _BATCH_MOD != 0
     )
-    ex = (
-        corpus.select(
-            "doc_id", F.explode(word_shingles(F.col("text"))).alias("item")
-        )
-        .withColumn("h", md5_int(F.col("item")) % _P)
-    )
-    per_doc = ex.groupBy("doc_id").agg(*_minhash_aggs())
     (
-        _band_long(per_doc)
+        band_signatures(corpus)
         .repartition(_INDEX_FILES, "band_hash")
         .write.mode("overwrite")
         .parquet(path)
@@ -162,25 +170,6 @@ def _batch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q210_incremental_lsh_probe_persisted",
-    _q203_oracle(),
-    doc="q203's incremental near-dup probe with the standing corpus read "
-    "from the PERSISTED band index (ensure_band_index — written once "
-    "per session/scale, maintained incrementally in production by the "
-    "streaming upsert sink): per-run cost is O(batch) + one columnar "
-    "scan of the skinny (doc_id, band_id, band_hash) table. The batch "
-    "is shingled/minhashed fresh (it is new data), its bands broadcast "
-    "into (a) the index probe — corpus signatures never shuffle, never "
-    "recompute — and (b) a tiny in-batch self-probe; exact-Jaccard "
-    "verification touches documents.text for corpus rows only through "
-    "a broadcast semi-join on the matched ids (O(matches)). Output and "
-    "oracle are identical to q203 (same pair set, same jaccard, same "
-    "batch/corpus routing tags), so the two driver rows prove "
-    "recompute-vs-persisted equivalence; tests/test_round10_ops.py "
-    "additionally pins result equality, index reuse across runs (no "
-    "rebuild), and the index scan in the executed plan.",
-)
 def _probe_pairs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -221,6 +210,25 @@ def _probe_pairs(
     return corpus_hits.unionByName(batch_pairs), per_batch
 
 
+@register(
+    "q210_incremental_lsh_probe_persisted",
+    _q203_oracle(),
+    doc="q203's incremental near-dup probe with the standing corpus read "
+    "from the PERSISTED band index (ensure_band_index — written once "
+    "per session/scale, maintained incrementally in production by the "
+    "streaming upsert sink): per-run cost is O(batch) + one columnar "
+    "scan of the skinny (doc_id, band_id, band_hash) table. The batch "
+    "is shingled/minhashed fresh (it is new data), its bands broadcast "
+    "into (a) the index probe — corpus signatures never shuffle, never "
+    "recompute — and (b) a tiny in-batch self-probe; exact-Jaccard "
+    "verification touches documents.text for corpus rows only through "
+    "a broadcast semi-join on the matched ids (O(matches)). Output and "
+    "oracle are identical to q203 (same pair set, same jaccard, same "
+    "batch/corpus routing tags), so the two driver rows prove "
+    "recompute-vs-persisted equivalence; tests/test_round10_ops.py "
+    "additionally pins result equality, index reuse across runs (no "
+    "rebuild), and the index scan in the executed plan.",
+)
 def q210_incremental_lsh_probe_persisted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
