@@ -253,13 +253,21 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # --passes N: timed passes per query (min kept). Default 2 — one
     # cold-contention sample must not define a query's cost.
+    # --skip-demos: drop the tagged DEMO_BASELINES from the run — they
+    # exist only to re-prove quadratic laws already measured in SCALE.md,
+    # and at sf1 they burn ~40% of the battery (r9 VERDICT #6). Their
+    # scaled production twins (q194/q196/q197/q198) always run.
     passes = 2
+    skip_demos = False
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--passes" and i + 1 < len(argv):
             passes = max(1, int(argv[i + 1]))
         elif a.startswith("--passes="):
             passes = max(1, int(a.split("=", 1)[1]))
+        elif a == "--skip-demos":
+            skip_demos = True
+    headline = [n for n in HEADLINE if not (skip_demos and n in DEMO_BASELINES)]
 
     spark = (
         SparkSession.builder.appName("etl-entregas-bench")
@@ -298,7 +306,7 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for timed in (False,) + (True,) * passes:
-        for name in HEADLINE:
+        for name in headline:
             if name in errors:
                 continue
             spec = q.REGISTRY[name]
@@ -361,6 +369,7 @@ def main() -> None:
                 "queries": times,
                 "errors": errors,
                 "demo_baselines": sorted(DEMO_BASELINES & set(times)),
+                "demos_skipped": sorted(DEMO_BASELINES - set(headline)),
                 "production_total": prod_total,
                 "regressions_vs": prev_name,
                 "regressions": regressions,

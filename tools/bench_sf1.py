@@ -66,8 +66,12 @@ def main() -> None:
     # SPARK_GRAFT_SF1_DIR: reuse a layout already built by build_replica
     # (kept on disk for pre-battery experiments); without it, build 10x
     # fresh and clean up after.
-    args = [a for a in sys.argv[1:] if a != "--keep"]
+    args = [a for a in sys.argv[1:] if a not in ("--keep", "--demos")]
     keep = "--keep" in sys.argv or "SPARK_GRAFT_SF1_DIR" in os.environ
+    # Demo baselines (q171/q182/q191) re-prove quadratic laws SCALE.md
+    # already records; at sf1 they are ~40% of the battery wall, so they
+    # are OPT-IN here (r9 VERDICT #6): pass --demos to re-measure them.
+    demos = "--demos" in sys.argv
     # forward --passes to bench.py: at sf1 a single timed pass (after the
     # untimed warm-up pass) keeps the whole battery inside the timeout.
     # Both --passes=N and --passes N forms are consumed here.
@@ -101,8 +105,9 @@ def main() -> None:
         out_dir, rows = build_replica(replicas)
     try:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=out_dir)
+        bench_args = passes_args + ([] if demos else ["--skip-demos"])
         proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), *passes_args],
+            [sys.executable, os.path.join(REPO, "bench.py"), *bench_args],
             env=env, capture_output=True, text=True, timeout=7200,
         )
         detail = summary = None
