@@ -179,6 +179,10 @@ HEADLINE = [
     "q207_centroid_drift",
     "q208_pps_sample_audit",
     "q209_zipf_slope",
+    "q210_incremental_lsh_probe_persisted",
+    "q211_ingest_apply",
+    "q212_stream_disordered_session",
+    "q213_stream_disordered_sliding_distinct",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
