@@ -155,6 +155,8 @@ HEADLINE = [
     "q207_centroid_drift",
     "q208_pps_sample_audit",
     "q209_zipf_slope",
+    "q210_incremental_lsh_probe_persisted",
+    "q211_ingest_apply",
 ]
 
 
@@ -183,6 +185,21 @@ def main() -> None:
         "combine). See SCALE.md for the per-family analysis.",
         "",
     ]
+    # Named plan-stage extras: sub-plans that checkpoints hide from the
+    # registered query's final plan but that carry the reviewable claim
+    # (e.g. q210's index scan — the candidate stage reads the persisted
+    # band table and must show NO documents.parquet scan).
+    def _q210_probe(spark, sf_dir):
+        from etl_entregas_pyspark_spark.queries.lsh_index import _probe_pairs
+
+        return _probe_pairs(spark, sf_dir)[0]
+
+    extras = {
+        "q210_incremental_lsh_probe_persisted": [
+            ("probe stage (pre-checkpoint): saved-index scan, no corpus text", _q210_probe)
+        ],
+    }
+
     for name in HEADLINE:
         plan = (
             q.REGISTRY[name]
@@ -191,6 +208,9 @@ def main() -> None:
             .explainString(mode)
         )
         out.append(f"## {name}\n\n```\n{plan.strip()}\n```\n")
+        for title, fn in extras.get(name, []):
+            sub = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+            out.append(f"### {name} — {title}\n\n```\n{sub.strip()}\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"PLANS.md written ({len(HEADLINE)} plans)")
