@@ -183,6 +183,8 @@ HEADLINE = [
     "q211_ingest_apply",
     "q212_stream_disordered_session",
     "q213_stream_disordered_sliding_distinct",
+    "q214_span_scrub_apply",
+    "q215_ivf_recall_audit",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -2286,3 +2286,179 @@ def q207_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sqrt(F.col("d2")), 6).alias("drift_l2"),
         rnd(F.col("mx"), 6).alias("max_dim_shift"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# q215 — IVF recall audit: measured recall@K of the q73 probe path vs the
+#         exact brute-force ranking, per query per nprobe (q192's
+#         calibration discipline applied to the OTHER ANN arm)
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+_RECALL_NPROBES = [1, 2, 4]
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip(q.q_emb, c.embedding),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    "    * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+)
+
+
+def _q215_oracle() -> str:
+    ivf_blocks = "\n        UNION ALL\n".join(
+        f"""
+        SELECT {np} AS nprobe, query_id, neighbor_id FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+            FROM (SELECT query_id, q_emb, centroid_id FROM probes
+                  WHERE rn <= {np}) p
+            JOIN cand c ON p.centroid_id = c.centroid_id
+            JOIN (SELECT query_id, q_emb FROM probes WHERE rn = 1) q
+              ON q.query_id = p.query_id
+        ) WHERE rank <= {_RECALL_K}
+        """
+        for np in _RECALL_NPROBES
+    )
+    nprobe_vals = ", ".join(f"({np})" for np in _RECALL_NPROBES)
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), cand AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, centroid_id, rn FROM (
+            {_PROBE_ASSIGN_SQL}
+        ) WHERE rn <= {max(_RECALL_NPROBES)}
+    ), exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+            FROM (SELECT query_id, q_emb FROM probes WHERE rn = 1) q
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id >= 16) c
+        ) WHERE rank <= {_RECALL_K}
+    ), ivf AS (
+        {ivf_blocks}
+    ), hits AS (
+        SELECT i.nprobe, i.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ivf i JOIN exact x
+          ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+        GROUP BY i.nprobe, i.query_id
+    ), grid AS (
+        SELECT np.nprobe, q.query_id
+        FROM (SELECT DISTINCT query_id FROM probes) q
+        CROSS JOIN (VALUES {nprobe_vals}) AS np(nprobe)
+    )
+    SELECT g.nprobe, g.query_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           {_rnd_sql(f"COALESCE(h.n_hits, 0) / CAST({_RECALL_K} AS DOUBLE)", 6)}
+               AS recall_at_k
+    FROM grid g
+    LEFT JOIN hits h ON g.nprobe = h.nprobe AND g.query_id = h.query_id
+    ORDER BY g.nprobe, g.query_id
+    """
+
+
+@register(
+    "q215_ivf_recall_audit",
+    _q215_oracle(),
+    doc="measured recall@K of the IVF probe path against the exact "
+    "brute-force ranking — q192's audit discipline (never ship an "
+    "approximate index without measuring what it misses) applied to "
+    "the second ANN arm: for each q73 query vector and each nprobe in "
+    f"{_RECALL_NPROBES}, rank the probed buckets' candidates by cosine "
+    f"(identical tie-breaks to q73), intersect with the exact top-"
+    f"{_RECALL_K} over the full candidate set, and emit (nprobe, "
+    "query_id, n_hits, recall_at_k) — the operating curve that picks "
+    "nprobe for a recall target, exactly how production tunes "
+    "IVF/FAISS probes. Monotonicity in nprobe is pinned by test. "
+    "Plan: centroids and the 8-query probe set broadcast; the exact "
+    "arm is one broadcast-queries x candidates scan (the audit's "
+    "necessary cost, run on a sampled query set in production — the "
+    "corpus is scanned once per audit, never re-shuffled); the IVF "
+    "arms reuse the same bucketed equi-join as q73. Everything after "
+    "scoring is queries x nprobes sized (24 rows).",
+)
+def q215_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    cent = ivf_centroids(e)
+    cand = ivf_assign(e.filter(F.col("vec_id") >= 16), cent, keep=1).drop("d2")
+    probes_all = ivf_assign(
+        e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+        cent,
+        keep=max(_RECALL_NPROBES),
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("vec_id").orderBy(
+                F.col("d2"), F.col("centroid_id")
+            )
+        )
+        .alias("rn"),
+    )
+    queries = probes_all.filter(F.col("rn") == 1).select("query_id", "q_emb")
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        e.filter(F.col("vec_id") >= 16)
+        .crossJoin(F.broadcast(queries))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    ivf_parts = []
+    for np_ in _RECALL_NPROBES:
+        probed = probes_all.filter(F.col("rn") <= np_).select(
+            "query_id", "q_emb", "centroid_id"
+        )
+        ivf_parts.append(
+            cand.join(F.broadcast(probed), "centroid_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cosine"),
+            )
+            .select("*", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= _RECALL_K)
+            .select(
+                F.lit(np_).alias("nprobe"), "query_id", "neighbor_id"
+            )
+        )
+    ivf = ivf_parts[0]
+    for part in ivf_parts[1:]:
+        ivf = ivf.unionByName(part)
+    hits = ivf.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe", "query_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    nprobes = spark.createDataFrame(
+        [(np_,) for np_ in _RECALL_NPROBES], "nprobe int"
+    )
+    grid = queries.select("query_id").crossJoin(F.broadcast(nprobes))
+    return (
+        grid.join(hits, ["nprobe", "query_id"], "left")
+        .select(
+            "nprobe",
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            rnd(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(_RECALL_K)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe", "query_id")
+    )

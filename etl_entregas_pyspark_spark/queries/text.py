@@ -1705,3 +1705,129 @@ def q209_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source", "n_ranks", rnd(slope, 4).alias("zipf_slope")
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q214 — exact-substring span scrubber: the APPLY of q202's duplication
+#         signal (Lee et al. 2022's exact-substring arm acts on spans,
+#         not documents — the duplicated bytes are removed, the document
+#         survives)
+# ---------------------------------------------------------------------------
+
+
+def _q214_oracle() -> str:
+    w = _SPAN_W
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), occ AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(t, i, i + {w - 1}), ' ') AS gram
+        FROM (
+            SELECT doc_id, t,
+                   unnest(CASE WHEN len(t) >= {w}
+                          THEN generate_series(1, len(t) - {w - 1})
+                          ELSE [] END) AS i
+            FROM toks
+        )
+    ), dup AS (
+        SELECT gram FROM occ GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+        FROM (
+            SELECT DISTINCT o.doc_id, unnest(generate_series(o.i, o.i + {w - 1})) AS pos
+            FROM occ o JOIN dup USING (gram)
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_covered, 0) AS n_covered,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT)
+               - COALESCE(c.n_covered, 0) AS n_retained,
+           {_rnd_sql("COALESCE(c.n_covered, 0) / CAST(len(string_split(d.text, ' ')) AS DOUBLE)", 6)}
+               AS scrub_frac
+    FROM documents d LEFT JOIN cov c USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "q214_span_scrub_apply",
+    _q214_oracle(),
+    doc="the APPLY of q202's duplicated-span signal — Lee et al. 2022's "
+    "exact-substring dedup acts on SPANS, not documents: every token "
+    f"position covered by a {_SPAN_W}-token window that appears "
+    "verbatim in >= 2 distinct docs is marked for removal, and the "
+    "per-doc budget row (n_tokens, n_covered, n_retained, scrub_frac) "
+    "is exactly what the training pipeline needs to (a) rewrite the "
+    "doc minus its duplicated spans and (b) account the surviving "
+    "token budget. One row per document, keepers included (q211's "
+    "decision-table shape). Distinct from q202 (top-100 profile, span "
+    "COUNTS) in that overlapping duplicated windows must not "
+    "double-count a token: coverage is the DISTINCT position union, "
+    "computed by exploding window extents and deduping (doc_id, pos). "
+    "Plan: positional gram stream (explode-first, codegen — "
+    "_gram_stream's shape with the start index kept), duplication "
+    "decided by ONE aggregate on the gram key (count distinct docs, "
+    "never pairwise), coverage = gram-keyed join back + position "
+    "explode + distinct — every stage linear in corpus tokens x W, "
+    "shuffles keyed by gram / (doc, pos). At 100 TB this is the "
+    "cheapest exact-dedup arm there is: no signatures, no pairs, two "
+    "token-bounded shuffles.",
+)
+def q214_span_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _SPAN_W
+    d = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    idx = F.when(
+        F.size("toks") >= w,
+        F.sequence(F.lit(1), F.size("toks") - (w - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = base.select("doc_id", "toks", F.explode(idx).alias("i")).select(
+        "doc_id",
+        "i",
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + k) for k in range(w)]
+        ).alias("gram"),
+    )
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        occ.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(w - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_covered"))
+    )
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    out = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", n_tok.alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_covered", F.lit(0)).cast("bigint").alias("n_covered"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_covered",
+        (F.col("n_tokens") - F.col("n_covered")).alias("n_retained"),
+        rnd(F.col("n_covered").cast("double") / F.col("n_tokens"), 6).alias(
+            "scrub_frac"
+        ),
+    ).orderBy("doc_id")

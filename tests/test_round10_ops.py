@@ -190,3 +190,87 @@ def test_disordered_sliding_distinct_drops_late_slice(spark, sf_dir):
     assert out.select("event_id").distinct().count() == out.count()
     c_ids = c.select("event_id")
     assert out.join(c_ids, "event_id").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# q214 — span scrubber (Lee et al. exact-substring apply)
+# ---------------------------------------------------------------------------
+
+
+def test_span_scrub_matches_python_recompute(spark, sf_dir):
+    """Independent recompute of the distinct-position coverage: the oracle
+    runs the same SQL formula, so a plain-Python sweep over the fixture
+    corpus is the check that can actually falsify the semantics —
+    including the overlap rule (overlapping duplicated windows must not
+    double-count a position)."""
+    from etl_entregas_pyspark_spark.queries.text import (
+        _SPAN_W,
+        q214_span_scrub_apply,
+    )
+
+    docs = {
+        r["doc_id"]: (r["text"] or "").split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    gram_docs: dict[tuple, set] = {}
+    for did, toks in docs.items():
+        for i in range(len(toks) - _SPAN_W + 1):
+            gram_docs.setdefault(tuple(toks[i : i + _SPAN_W]), set()).add(did)
+    want = {}
+    for did, toks in docs.items():
+        covered = set()
+        for i in range(len(toks) - _SPAN_W + 1):
+            if len(gram_docs[tuple(toks[i : i + _SPAN_W])]) >= 2:
+                covered.update(range(i, i + _SPAN_W))
+        want[did] = (len(toks), len(covered))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered"], r["n_retained"])
+        for r in q214_span_scrub_apply(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for did, (n_tok, n_cov) in want.items():
+        assert got[did] == (n_tok, n_cov, n_tok - n_cov), did
+    assert any(c > 0 for _t, c in want.values())  # fixture has dup spans
+    # overlap rule really exercised: some doc has more dup-span STARTS
+    # than would fit disjointly in its covered token count
+    assert any(
+        got[d][1] < sum(
+            _SPAN_W
+            for i in range(len(docs[d]) - _SPAN_W + 1)
+            if len(gram_docs[tuple(docs[d][i : i + _SPAN_W])]) >= 2
+        )
+        for d in docs
+        if got[d][1] > 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# q215 — IVF recall audit
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
+    """The operating-curve property the oracle (same formula) cannot
+    falsify: probing more buckets never loses a true neighbor, so
+    per-query recall is non-decreasing in nprobe, bounded by [0, 1],
+    and the grid is complete (every query x every nprobe level)."""
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        _RECALL_NPROBES,
+        q215_ivf_recall_audit,
+    )
+
+    rows = q215_ivf_recall_audit(spark, sf_dir).collect()
+    by_q: dict[int, dict[int, float]] = {}
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        by_q.setdefault(r["query_id"], {})[r["nprobe"]] = r["recall_at_k"]
+    assert len(by_q) == 8  # the q73 probe set
+    for q_id, curve in by_q.items():
+        assert sorted(curve) == sorted(_RECALL_NPROBES), q_id
+        vals = [curve[np_] for np_ in sorted(curve)]
+        assert vals == sorted(vals), (q_id, vals)  # monotone non-decreasing
+    # the audit is informative: some query misses at nprobe=1 and the
+    # curve actually rises somewhere (else the index is degenerate)
+    assert any(c[min(_RECALL_NPROBES)] < c[max(_RECALL_NPROBES)] for c in by_q.values()) or all(
+        c[min(_RECALL_NPROBES)] == 1.0 for c in by_q.values()
+    )

@@ -157,6 +157,8 @@ HEADLINE = [
     "q209_zipf_slope",
     "q210_incremental_lsh_probe_persisted",
     "q211_ingest_apply",
+    "q214_span_scrub_apply",
+    "q215_ivf_recall_audit",
 ]
 
 
