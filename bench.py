@@ -185,6 +185,7 @@ HEADLINE = [
     "q213_stream_disordered_sliding_distinct",
     "q214_span_scrub_apply",
     "q215_ivf_recall_audit",
+    "q216_stream_disordered_join",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -529,3 +529,68 @@ def q213_stream_disordered_sliding_distinct(
         ),
         "q213_disordered_sliding",
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — disorder correctness for the stream-stream join: the fourth (and
+# last) stateful-operator family under the q201 replay schedule. Unlike
+# aggregations, an inner join EMITS on match (no flush sentinels needed)
+# and buffers BOTH sides; disorder exercises the input late-filter and the
+# two state-eviction frontiers (right evicted below left-watermark −
+# lookback; left evicted once the watermark passes l_ts, since the
+# r_ts < l_ts constraint makes future matches impossible).
+# ---------------------------------------------------------------------------
+
+_Q216_ORACLE = """
+    WITH b2 AS (
+        SELECT event_id, user_id, event_type, ts FROM events WHERE day(ts) > 25
+    ), maxr AS (
+        SELECT ts FROM b2 ORDER BY ts DESC, event_id DESC LIMIT 1
+    ), admitted AS (
+        SELECT event_id, user_id, event_type, ts FROM events
+        WHERE day(ts) <= 10 OR day(ts) > 20
+        UNION ALL
+        SELECT event_id + 10000000, user_id, event_type, ts FROM b2
+        WHERE ts > (SELECT ts FROM maxr) - INTERVAL '30 minutes'
+    )
+    SELECT l.user_id AS l_user, l.event_id AS l_id, l.ts AS l_ts,
+           r.event_id AS r_id, r.ts AS r_ts
+    FROM admitted l JOIN admitted r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'purchase' AND r.event_type = 'click'
+     AND r.ts >= l.ts - INTERVAL '1 hour' AND r.ts < l.ts
+"""
+
+
+@register(
+    "q216_stream_disordered_join",
+    _Q216_ORACLE,
+    doc="q201's disorder oracle extended to the stream-stream inner join "
+    "(purchase x click within a trailing 1-hour lookback, same user) — "
+    "the remaining stateful family after tumbling (q201), sessions "
+    "(q212) and applyInPandasWithState (q213). The replay delivers the "
+    "q201 schedule without flush sentinels (an inner join emits on "
+    "match): days 11-20 arrive after the late-filter watermark passed "
+    "them and must produce ZERO pairs on either side; fresh duplicates "
+    "of the bulk's last 30 minutes arrive within-watermark and must "
+    "join exactly like their twins — the right rows they need sit "
+    "above the right-state eviction frontier (left-watermark - "
+    "lookback) and the left rows above the l_ts frontier, which is "
+    "precisely the buffered-state guarantee this query certifies. "
+    "Emitted pairs must hash-match the batch time-range self-join over "
+    "exactly the admitted multiset on both sides. State is bounded by "
+    "the two eviction frontiers: each side buffers ~one lookback of "
+    "rows, independent of stream length.",
+)
+def q216_stream_disordered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.streaming.streams import stream_stream_join
+
+    a, b1, b2, c, d, _sentinel = _disordered_cut(spark, sf_dir)
+    return _replay_disordered(
+        spark,
+        [a, b1, b2, c, d],
+        lambda s: stream_stream_join(
+            s, s, lookback="1 hour", watermark="1 hour"
+        ).select("l_user", "l_id", "l_ts", "r_id", "r_ts"),
+        "q216_disordered_join",
+    )

@@ -274,3 +274,44 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
     assert any(c[min(_RECALL_NPROBES)] < c[max(_RECALL_NPROBES)] for c in by_q.values()) or all(
         c[min(_RECALL_NPROBES)] == 1.0 for c in by_q.values()
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — disordered stream-stream join
+# ---------------------------------------------------------------------------
+
+
+def test_disordered_join_drops_late_and_joins_late_twins(spark, sf_dir):
+    """The two claims the hash cannot localize: the beyond-watermark slice
+    produces zero pairs on either side, and the within-watermark late
+    twins (event_id + 10M) join exactly like their originals."""
+    from etl_entregas_pyspark_spark.queries.incremental import (
+        _disordered_cut,
+        q216_stream_disordered_join,
+    )
+
+    out = q216_stream_disordered_join(spark, sf_dir).collect()
+    assert out
+    a, b1, b2, c, d, _s = _disordered_cut(spark, sf_dir)
+    c_ids = {r["event_id"] for r in c.collect()}
+    assert c_ids and all(
+        p["l_id"] not in c_ids and p["r_id"] not in c_ids for p in out
+    )
+    # twin symmetry, both directions: if (l, r) joined and l has a late
+    # twin l'=l+10M, then (l', r) joined too — and every pair involving a
+    # twin has its original's pair present (the late row joined EXACTLY
+    # like its original, no more, no less)
+    pair_set = {(p["l_id"], p["r_id"]) for p in out}
+    d_orig = {r["event_id"] - 10_000_000 for r in d.collect()}
+    for l_id, r_id in list(pair_set):
+        if l_id in d_orig:
+            assert (l_id + 10_000_000, r_id) in pair_set, (l_id, r_id)
+        if r_id in d_orig:
+            assert (l_id, r_id + 10_000_000) in pair_set, (l_id, r_id)
+        if l_id >= 10_000_000:
+            assert (l_id - 10_000_000, r_id) in pair_set, (l_id, r_id)
+        if r_id >= 10_000_000:
+            assert (l_id, r_id - 10_000_000) in pair_set, (l_id, r_id)
+    # informativeness is scale-dependent (at sf0.001 the 1-hour purchase x
+    # click fan is sparse and may miss the last-30-minute twins entirely);
+    # the driver oracle at sf0.01+ carries the non-vacuous check.
