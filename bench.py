@@ -206,9 +206,17 @@ DEMO_BASELINES = {
 # Declared contrast pairs (scaled-twin / demo-baseline): the sandbox swings
 # 2-3x on absolute wall clocks between sessions, so regressions are judged
 # on WITHIN-SESSION ratios of two queries from the same battery. Each pair
-# is (numerator, denominator); the expected ratio is < 1 (the scaled twin
-# beats its fixed/demo baseline). Emitted into the detail JSON so the
-# driver's BENCH_rN.json carries the instrument, not just the wall clocks.
+# is (numerator, denominator). Expected values are SCALE-DEPENDENT and the
+# point is their round-over-round stability, not a universal "<1":
+#   q197/q191 and q196/q182 (K-scaled vs fixed-K=8): <1 at every scale,
+#     shrinking with n (sf0.1 ~0.6, sf1 ~0.25 — the n²/K law).
+#   q198/q126 and q194/q171 (derived-valve vs fixed/uncapped): ~1.2 at
+#     sf0.1 (baseline density — the valve derivation costs a model-state
+#     pass and prunes nothing) and <1 under density stress (sf1: q198/q126
+#     measured 0.21x) — the valve is insurance priced at ~20% of a cheap
+#     query, paying off 5x on the layout that needs it.
+# Emitted into the detail JSON so the driver's BENCH_rN.json carries the
+# instrument, not just the wall clocks.
 CONTRAST_PAIRS = [
     ("q197_label_noise_scaled", "q191_label_noise"),
     ("q198_triangles_adaptive_support", "q126_copurchase_triangles"),
