@@ -137,10 +137,14 @@ def _read_pointer(snapshot_dir: str) -> dict:
         return json.load(f)
 
 
-def _commit_pointer(snapshot_dir: str, epoch: int, version: int) -> None:
+def _commit_pointer(
+    snapshot_dir: str, epoch: int, version: int, extra: dict | None = None
+) -> None:
     fd, tmp = tempfile.mkstemp(dir=snapshot_dir, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
-        json.dump({"epoch": int(epoch), "version": int(version)}, f)
+        json.dump(
+            {"epoch": int(epoch), "version": int(version), **(extra or {})}, f
+        )
     os.replace(tmp, os.path.join(snapshot_dir, _POINTER))  # atomic on POSIX
 
 
@@ -233,15 +237,21 @@ BAND_INDEX_COLS = ["doc_id", "band_id", "band_hash"]
 
 
 def read_band_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """The COMMITTED standing band index: the union of every epoch
-    directory at or below the pointer. An epoch written but not yet
-    committed (crash between write and pointer swing) is invisible until
-    its re-delivery overwrites and commits it — readers never see a
-    half-applied batch."""
+    """The COMMITTED standing band index: the compacted base (if the
+    pointer names one) plus every epoch directory the base has not yet
+    absorbed, at or below the committed epoch. An epoch written but not
+    yet committed (crash between write and pointer swing) is invisible
+    until its re-delivery overwrites and commits it; a base written but
+    not committed is likewise ignored; an absorbed epoch dir lingering
+    after a crash mid-cleanup is excluded by ``base_through_epoch`` —
+    readers never see a half-applied batch OR a double-counted one."""
     ptr = _read_pointer(index_dir)
     if ptr["epoch"] < 0:
         return None
+    base_through = ptr.get("base_through_epoch", -1)
     paths = []
+    if ptr.get("base_version") is not None:
+        paths.append(os.path.join(index_dir, f"base=v{ptr['base_version']}"))
     for entry in os.listdir(index_dir):
         if not entry.startswith("epoch="):
             continue
@@ -249,7 +259,7 @@ def read_band_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
             epoch = int(entry.split("=", 1)[1])
         except ValueError:
             continue
-        if epoch <= ptr["epoch"]:
+        if base_through < epoch <= ptr["epoch"]:
             paths.append(os.path.join(index_dir, entry))
     if not paths:
         return None
@@ -307,8 +317,68 @@ def band_index_batch(
     sigs.select(*BAND_INDEX_COLS).write.mode("overwrite").parquet(
         os.path.join(index_dir, f"epoch={int(epoch_id)}")
     )
-    _commit_pointer(index_dir, epoch_id, ptr["version"] + 1)
+    _commit_pointer(
+        index_dir,
+        epoch_id,
+        ptr["version"] + 1,
+        extra={
+            k: ptr[k]
+            for k in ("base_version", "base_through_epoch")
+            if k in ptr
+        },
+    )
     return True
+
+
+def compact_band_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold every committed epoch directory (and any previous base) into
+    ONE consolidated base — the maintenance pass a long-running index
+    sink schedules so the standing table stays a handful of well-sized
+    files instead of one small directory per micro-batch. Returns the
+    number of rows in the new base.
+
+    Crash-safety mirrors the snapshot store's versioned-rewrite recipe:
+    the new ``base=v<N>`` directory is written FIRST, the pointer swings
+    to name it (recording ``base_through_epoch`` = the epoch frontier it
+    absorbed), and only then are the absorbed epoch directories and the
+    old base deleted. A crash before the swing leaves an orphan base the
+    reader never resolves; a crash mid-cleanup leaves absorbed
+    directories the reader EXCLUDES via ``base_through_epoch`` — at no
+    point can a row be read twice or lost."""
+    import shutil
+
+    ptr = _read_pointer(index_dir)
+    if ptr["epoch"] < 0:
+        return 0
+    current = read_band_index(spark, index_dir)
+    new_version = ptr["version"] + 1
+    base_dir = os.path.join(index_dir, f"base=v{new_version}")
+    current.select(*BAND_INDEX_COLS).repartition(8, "band_hash").write.mode(
+        "overwrite"
+    ).parquet(base_dir)
+    n_rows = spark.read.parquet(base_dir).count()
+    old_base = ptr.get("base_version")
+    _commit_pointer(
+        index_dir,
+        ptr["epoch"],
+        new_version,
+        extra={
+            "base_version": new_version,
+            "base_through_epoch": ptr["epoch"],
+        },
+    )
+    # cleanup AFTER the swing: failures here cost disk, never correctness
+    for entry in os.listdir(index_dir):
+        if entry.startswith("epoch="):
+            try:
+                epoch = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if epoch <= ptr["epoch"]:
+                shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
+        elif old_base is not None and entry == f"base=v{old_base}":
+            shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
+    return n_rows
 
 
 def start_band_index_sink(

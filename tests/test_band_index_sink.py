@@ -154,3 +154,47 @@ def test_route_dups_keeps_recrawls_out(spark, sf_dir, tmp_path):
     assert new_docs == [
         fresh.collect()[0]["doc_id"] + 20_000_001
     ]  # the smaller of the two copies
+
+
+def test_compaction_preserves_rows_and_survives_crashes(spark, sf_dir, tmp_path):
+    """Compaction folds the epoch directories into one base with the exact
+    same row set; an absorbed epoch dir lingering after a crash
+    mid-cleanup is fenced out by base_through_epoch; appends after
+    compaction land next to the base and read as the union."""
+    import shutil
+
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        compact_band_index,
+    )
+
+    corpus = _corpus(spark, sf_dir).localCheckpoint()
+    s0 = corpus.filter(F.col("doc_id") % 9 < 3)
+    s1 = corpus.filter((F.col("doc_id") % 9 >= 3) & (F.col("doc_id") % 9 < 7))
+    s2 = corpus.filter(F.col("doc_id") % 9 >= 7)
+    index_dir = str(tmp_path / "idx")
+    assert band_index_batch(s0, 0, index_dir)
+    assert band_index_batch(s1, 1, index_dir)
+    before = _index_rows(spark, index_dir)
+    n = compact_band_index(spark, index_dir)
+    assert n == len(before)
+    assert _index_rows(spark, index_dir) == before
+    assert not any(
+        e.startswith("epoch=") for e in os.listdir(index_dir)
+    )  # cleanup ran
+    # crash mid-cleanup: resurrect an absorbed epoch dir — the reader
+    # must fence it out (no double counting)
+    band_signatures(s0).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "epoch=0")
+    )
+    assert _index_rows(spark, index_dir) == before
+    shutil.rmtree(os.path.join(index_dir, "epoch=0"))
+    # appends after compaction: union of base + new epoch
+    assert band_index_batch(s2, 2, index_dir)
+    after = _index_rows(spark, index_dir)
+    assert len(after) > len(before)
+    # and a SECOND compaction absorbs the new epoch + old base
+    n2 = compact_band_index(spark, index_dir)
+    assert n2 == len(after)
+    assert _index_rows(spark, index_dir) == after
+    dirs = [e for e in os.listdir(index_dir) if e.startswith(("base=", "epoch="))]
+    assert dirs == ["base=v5"] or len(dirs) == 1  # exactly one base left
