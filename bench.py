@@ -186,6 +186,8 @@ HEADLINE = [
     "q214_span_scrub_apply",
     "q215_ivf_recall_audit",
     "q216_stream_disordered_join",
+    "q217_band_index_reconcile",
+    "q218_scrub_budget_by_source",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

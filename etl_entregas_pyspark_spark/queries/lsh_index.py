@@ -15,7 +15,7 @@ This module closes the loop:
   pattern (``queries/bucketed.py``) applied to the LSH index. In
   production this write happens at ingest (and is maintained
   incrementally by the streaming upsert sink — see
-  ``streaming/upsert_sink.py:append_band_index``); re-running the probe
+  ``streaming/upsert_sink.py:band_index_batch``); re-running the probe
   NEVER rebuilds it (pinned by ``tests/test_round10_ops.py``).
 - ``q210_incremental_lsh_probe_persisted`` is q203 with the corpus side
   READ from the saved index: the only work proportional to the corpus is
@@ -385,4 +385,64 @@ def q211_ingest_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("jaccard"), 6).alias("reason_jaccard"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — standing-index reconciliation audit: corpus vs band index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q217_band_index_reconcile",
+    f"""
+    SELECT 'ok' AS status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE doc_id % {_BATCH_MOD} <> 0
+      AND len(string_split(text, ' ')) >= 3
+    """,
+    doc="integrity audit for the persisted standing band index (q187's "
+    "Merkle partition-diff discipline applied to derived index state): "
+    "full-outer reconcile the index's per-doc band counts against the "
+    "corpus contract — every shingle-able standing-corpus doc present "
+    f"with exactly {N_BANDS} bands. Each doc lands in one of four "
+    "statuses: ok, missing (corpus doc absent from the index — an "
+    "ingest dropped a batch), orphan (index doc no longer in the "
+    "corpus — a delete never propagated), band_count_bad (partial "
+    "epoch write). The aggregate is the page-able health row; the "
+    "oracle pins the healthy outcome (exactly one 'ok' row counting "
+    "the shingle-able corpus), so ANY drift fails the driver's "
+    "row-count/hash gate — the audit is itself audited. Plan: one "
+    "doc_id-keyed count over the skinny index + one corpus scan that "
+    "never touches band hashes; at 100 TB this is the cheap nightly "
+    "check that the live sink (band_index_batch) and compaction "
+    "(compact_band_index) preserved the corpus contract.",
+)
+def q217_band_index_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx_path = ensure_band_index(spark, sf_dir)
+    per_doc = (
+        spark.read.parquet(idx_path)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
+    )
+    expected = (
+        T(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % _BATCH_MOD != 0)
+            & (F.size(F.split("text", " ")) >= 3)
+        )
+        .select("doc_id", F.lit(True).alias("expected"))
+    )
+    status = (
+        F.when(F.col("expected").isNull(), "orphan")
+        .when(F.col("n_bands").isNull(), "missing")
+        .when(F.col("n_bands") != N_BANDS, "band_count_bad")
+        .otherwise("ok")
+    )
+    return (
+        per_doc.join(expected, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("status")
     )

@@ -1831,3 +1831,61 @@ def q214_span_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scrub_frac"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q218 — scrub-budget rollup by source: the planning view over q214
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q218_scrub_budget_by_source",
+    f"""
+    WITH per_doc AS ( {_q214_oracle()} )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(p.n_covered) AS BIGINT) AS covered_tokens,
+           CAST(SUM(p.n_retained) AS BIGINT) AS retained_tokens,
+           {_rnd_sql("CAST(SUM(p.n_retained) AS DOUBLE) / SUM(p.n_tokens)", 6)}
+               AS retention_frac
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    doc="the PLANNING view over q214's span scrubber: per source, how "
+    "many training tokens survive exact-substring dedup — n_docs, "
+    "total/covered/retained token sums (exact integers) and the "
+    "retention fraction. This is the number a data-mixing plan "
+    "actually consumes (q86's mixture weights must be computed over "
+    "POST-scrub token budgets, or heavily templated sources get "
+    "weighted by tokens that will be deleted); paired with q206's "
+    "fertility it prices the surviving corpus in model tokens. Plan: "
+    "q214's linear gram pipeline + one broadcast-size source join and "
+    "a |sources| aggregate — nothing new shuffles at corpus scale.",
+)
+def q218_scrub_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = q214_span_scrub_apply(spark, sf_dir)
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_covered").cast("bigint").alias("covered_tokens"),
+            F.sum("n_retained").cast("bigint").alias("retained_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "covered_tokens",
+            "retained_tokens",
+            rnd(
+                F.col("retained_tokens").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("retention_frac"),
+        )
+        .orderBy("source")
+    )

@@ -315,3 +315,70 @@ def test_disordered_join_drops_late_and_joins_late_twins(spark, sf_dir):
     # informativeness is scale-dependent (at sf0.001 the 1-hour purchase x
     # click fan is sparse and may miss the last-30-minute twins entirely);
     # the driver oracle at sf0.01+ carries the non-vacuous check.
+
+
+# ---------------------------------------------------------------------------
+# q217 — index reconciliation audit
+# ---------------------------------------------------------------------------
+
+
+def test_reconcile_flags_orphans_and_missing(spark, sf_dir, tmp_path):
+    """Healthy index -> exactly one 'ok' row; then corrupt the saved table
+    (append an orphan doc's bands) and the audit must surface it."""
+    from etl_entregas_pyspark_spark.queries import lsh_index
+    from etl_entregas_pyspark_spark.queries.similarity import _BATCH_MOD
+
+    healthy = {
+        r["status"]: r["n_docs"]
+        for r in lsh_index.q217_band_index_reconcile(spark, sf_dir).collect()
+    }
+    assert set(healthy) == {"ok"} and healthy["ok"] > 0
+    # corrupt: append a batch doc's bands (never part of the standing set)
+    path = lsh_index._index_path(spark, sf_dir)
+    orphan = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % _BATCH_MOD == 0)
+        .limit(1)
+        .select("doc_id", "text")
+    )
+    lsh_index.band_signatures(orphan).write.mode("append").parquet(path)
+    try:
+        corrupted = {
+            r["status"]: r["n_docs"]
+            for r in lsh_index.q217_band_index_reconcile(spark, sf_dir).collect()
+        }
+        assert corrupted.get("orphan") == 1
+        assert corrupted["ok"] == healthy["ok"]
+    finally:
+        lsh_index.ensure_band_index(spark, sf_dir, force=True)  # restore
+    restored = {
+        r["status"]: r["n_docs"]
+        for r in lsh_index.q217_band_index_reconcile(spark, sf_dir).collect()
+    }
+    assert restored == healthy
+
+
+# ---------------------------------------------------------------------------
+# q218 — scrub budget rollup
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_budget_conserves_doc_totals(spark, sf_dir):
+    """The per-source rollup must conserve q214's per-doc sums exactly
+    (exact integer arithmetic end to end)."""
+    from etl_entregas_pyspark_spark.queries.text import (
+        q214_span_scrub_apply,
+        q218_scrub_budget_by_source,
+    )
+
+    per_doc = q214_span_scrub_apply(spark, sf_dir)
+    agg = per_doc.agg(
+        F.count(F.lit(1)), F.sum("n_tokens"), F.sum("n_covered")
+    ).collect()[0]
+    roll = q218_scrub_budget_by_source(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in roll) == agg[0]
+    assert sum(r["total_tokens"] for r in roll) == agg[1]
+    assert sum(r["covered_tokens"] for r in roll) == agg[2]
+    for r in roll:
+        assert r["retained_tokens"] == r["total_tokens"] - r["covered_tokens"]
+        assert 0.0 <= r["retention_frac"] <= 1.0

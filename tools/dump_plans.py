@@ -159,6 +159,8 @@ HEADLINE = [
     "q211_ingest_apply",
     "q214_span_scrub_apply",
     "q215_ivf_recall_audit",
+    "q217_band_index_reconcile",
+    "q218_scrub_budget_by_source",
 ]
 
 
