@@ -188,6 +188,8 @@ HEADLINE = [
     "q216_stream_disordered_join",
     "q217_band_index_reconcile",
     "q218_scrub_budget_by_source",
+    "q219_snapshot_novelty",
+    "q220_mixture_plan",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

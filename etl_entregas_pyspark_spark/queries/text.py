@@ -1889,3 +1889,162 @@ def q218_scrub_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — snapshot novelty: how much of today's token mass is NEW
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q219_snapshot_novelty",
+    f"""
+    WITH tok AS (
+        SELECT source, doc_id % 2 AS snap, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), cnt AS (
+        SELECT source, snap, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, snap, w
+    ), b AS (
+        SELECT source, w, c FROM cnt WHERE snap = 1
+    ), a AS (
+        SELECT source, w FROM cnt WHERE snap = 0
+    )
+    SELECT b.source,
+           CAST(SUM(b.c) AS BIGINT) AS b_tokens,
+           CAST(COUNT(*) AS BIGINT) AS b_vocab,
+           CAST(SUM(CASE WHEN a.w IS NULL THEN b.c ELSE 0 END) AS BIGINT)
+               AS novel_tokens,
+           CAST(SUM(CASE WHEN a.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_vocab,
+           {_rnd_sql("SUM(CASE WHEN a.w IS NULL THEN b.c ELSE 0 END) / CAST(SUM(b.c) AS DOUBLE)", 6)}
+               AS novelty_frac
+    FROM b LEFT JOIN a ON b.source = a.source AND b.w = a.w
+    GROUP BY b.source ORDER BY b.source
+    """,
+    doc="per-source snapshot NOVELTY — the crawl-growth diagnostic: of "
+    "today's token mass (doc_id parity splits the corpus into "
+    "yesterday/today snapshots, q207's convention), how much lands on "
+    "tokens yesterday's snapshot never saw, both mass-weighted "
+    "(novel_tokens/b_tokens) and vocabulary-weighted (novel_vocab/"
+    "b_vocab). A re-crawl that mostly re-collects old pages reads ~0; "
+    "a source drifting topically (or being flooded with generated "
+    "text) spikes. Complements q204 (how differently two sources "
+    "talk), q195 (whose content is inside whose) and q207 (embedding-"
+    "space drift) with the lexical-GROWTH axis. Exactness: counts and "
+    "the novel-mass sums are pure integers; one rounded division per "
+    "source. Plan: ONE (source, snap, token) partial-agg shuffle "
+    "(linear in corpus tokens, map-side combined under Zipf), then a "
+    "vocab-keyed left join whose both sides are model-state-sized "
+    "count tables — corpus bytes never move twice; at 100 TB the cost "
+    "is the token scan, q204's scale argument verbatim.",
+)
+def q219_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "source",
+            (F.col("doc_id") % 2).alias("snap"),
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .groupBy("source", "snap", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    b = cnt.filter(F.col("snap") == 1).select("source", "w", "c")
+    a = cnt.filter(F.col("snap") == 0).select(
+        "source", "w", F.lit(True).alias("seen")
+    )
+    novel = F.when(F.col("seen").isNull(), F.col("c")).otherwise(F.lit(0))
+    novel1 = F.when(F.col("seen").isNull(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        b.join(a, ["source", "w"], "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("b_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("b_vocab"),
+            F.sum(novel).cast("bigint").alias("novel_tokens"),
+            F.sum(novel1).cast("bigint").alias("novel_vocab"),
+        )
+        .select(
+            "source",
+            "b_tokens",
+            "b_vocab",
+            "novel_tokens",
+            "novel_vocab",
+            rnd(
+                F.col("novel_tokens").cast("double") / F.col("b_tokens"), 6
+            ).alias("novelty_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — mixture plan: epochs-per-source over the POST-scrub token budget
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q220_mixture_plan",
+    f"""
+    WITH per_doc AS ( {_q214_oracle()} ),
+    budget AS (
+        SELECT d.source, CAST(SUM(p.n_retained) AS BIGINT) AS retained_tokens
+        FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+        GROUP BY d.source
+    ), tot AS (
+        SELECT CAST(SUM(retained_tokens) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM budget
+    )
+    SELECT b.source, b.retained_tokens,
+           {_rnd_sql("1.0 / t.n_sources", 6)} AS target_share,
+           {_rnd_sql("CAST(t.total AS DOUBLE) / t.n_sources", 2)}
+               AS allocated_tokens,
+           {_rnd_sql("CAST(t.total AS DOUBLE) / t.n_sources / b.retained_tokens", 4)}
+               AS epochs,
+           CAST(t.total AS DOUBLE) / t.n_sources / b.retained_tokens > 1.0
+               AS oversampled
+    FROM budget b CROSS JOIN tot t
+    ORDER BY b.source
+    """,
+    doc="the data-MIXING plan computed over the post-scrub token budget "
+    "(q218's point made executable): allocate the surviving corpus "
+    "uniformly across sources and emit, per source, its allocation, "
+    "the epochs needed to fill it (allocation / retained tokens) and "
+    "whether that oversamples (epochs > 1 — the source repeats, the "
+    "signal a curriculum must know). Computing this over RAW tokens "
+    "instead of post-scrub retained tokens systematically over-weights "
+    "templated sources whose duplicated spans will be deleted — the "
+    "q218 composition is the point. Uniform target shares keep the "
+    "plan constant-free (1/|sources| derives from the data); swapping "
+    "in learned weights (q86) changes one column. Plan: q214's linear "
+    "gram pipeline + a |sources| aggregate + a 1-row broadcast total — "
+    "the plan itself is model-state arithmetic.",
+)
+def q220_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = q214_span_scrub_apply(spark, sf_dir)
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    budget = (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_retained").cast("bigint").alias("retained_tokens"))
+    )
+    tot = budget.agg(
+        F.sum("retained_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    alloc = F.col("total").cast("double") / F.col("n_sources")
+    epochs = alloc / F.col("retained_tokens")
+    return (
+        budget.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "retained_tokens",
+            rnd(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+            rnd(alloc, 2).alias("allocated_tokens"),
+            rnd(epochs, 4).alias("epochs"),
+            (epochs > 1.0).alias("oversampled"),
+        )
+        .orderBy("source")
+    )

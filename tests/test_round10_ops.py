@@ -382,3 +382,66 @@ def test_scrub_budget_conserves_doc_totals(spark, sf_dir):
     for r in roll:
         assert r["retained_tokens"] == r["total_tokens"] - r["covered_tokens"]
         assert 0.0 <= r["retention_frac"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q219 — snapshot novelty
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_novelty_matches_python_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from etl_entregas_pyspark_spark.queries.text import q219_snapshot_novelty
+
+    docs = [
+        (r["source"], r["doc_id"], (r["text"] or "").split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    a_vocab: dict[str, set] = {}
+    b_cnt: dict[str, Counter] = {}
+    for source, did, toks in docs:
+        if did % 2 == 0:
+            a_vocab.setdefault(source, set()).update(toks)
+        else:
+            b_cnt.setdefault(source, Counter()).update(toks)
+    got = {r["source"]: r for r in q219_snapshot_novelty(spark, sf_dir).collect()}
+    assert set(got) == set(b_cnt)
+    for source, cnt in b_cnt.items():
+        seen = a_vocab.get(source, set())
+        novel_mass = sum(c for w, c in cnt.items() if w not in seen)
+        novel_voc = sum(1 for w in cnt if w not in seen)
+        r = got[source]
+        assert r["b_tokens"] == sum(cnt.values())
+        assert r["b_vocab"] == len(cnt)
+        assert r["novel_tokens"] == novel_mass
+        assert r["novel_vocab"] == novel_voc
+
+
+# ---------------------------------------------------------------------------
+# q220 — mixture plan
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_plan_conserves_budget_and_prices_epochs(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.text import (
+        q218_scrub_budget_by_source,
+        q220_mixture_plan,
+    )
+
+    budget = {
+        r["source"]: r["retained_tokens"]
+        for r in q218_scrub_budget_by_source(spark, sf_dir).collect()
+    }
+    total, n = sum(budget.values()), len(budget)
+    plan = q220_mixture_plan(spark, sf_dir).collect()
+    assert {r["source"] for r in plan} == set(budget)
+    for r in plan:
+        assert r["retained_tokens"] == budget[r["source"]]
+        want_epochs = (total / n) / budget[r["source"]]
+        assert abs(r["epochs"] - round(want_epochs, 4)) < 1e-9
+        assert r["oversampled"] == (want_epochs > 1.0)
+    # the uniform allocation must split sources both ways on this corpus
+    assert any(r["oversampled"] for r in plan) and any(
+        not r["oversampled"] for r in plan
+    )

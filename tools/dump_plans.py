@@ -161,6 +161,8 @@ HEADLINE = [
     "q215_ivf_recall_audit",
     "q217_band_index_reconcile",
     "q218_scrub_budget_by_source",
+    "q219_snapshot_novelty",
+    "q220_mixture_plan",
 ]
 
 
