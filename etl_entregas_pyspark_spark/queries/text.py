@@ -2001,10 +2001,12 @@ def q219_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_rnd_sql("1.0 / t.n_sources", 6)} AS target_share,
            {_rnd_sql("CAST(t.total AS DOUBLE) / t.n_sources", 2)}
                AS allocated_tokens,
-           {_rnd_sql("CAST(t.total AS DOUBLE) / t.n_sources / b.retained_tokens", 4)}
-               AS epochs,
-           CAST(t.total AS DOUBLE) / t.n_sources / b.retained_tokens > 1.0
-               AS oversampled
+           CASE WHEN b.retained_tokens > 0 THEN
+               {_rnd_sql("CAST(t.total AS DOUBLE) / t.n_sources / b.retained_tokens", 4)}
+           END AS epochs,
+           CASE WHEN b.retained_tokens > 0 THEN
+               CAST(t.total AS DOUBLE) / t.n_sources / b.retained_tokens > 1.0
+           END AS oversampled
     FROM budget b CROSS JOIN tot t
     ORDER BY b.source
     """,
@@ -2035,7 +2037,10 @@ def q220_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sources"),
     )
     alloc = F.col("total").cast("double") / F.col("n_sources")
-    epochs = alloc / F.col("retained_tokens")
+    # a fully-scrubbed source (retained = 0 — e.g. a verbatim re-crawl at
+    # the sf1 duplication stress) gets NULL epochs, not a zero division
+    has_budget = F.col("retained_tokens") > 0
+    epochs = F.when(has_budget, alloc / F.col("retained_tokens"))
     return (
         budget.crossJoin(F.broadcast(tot))
         .select(
@@ -2044,7 +2049,7 @@ def q220_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
             rnd(alloc, 2).alias("allocated_tokens"),
             rnd(epochs, 4).alias("epochs"),
-            (epochs > 1.0).alias("oversampled"),
+            F.when(has_budget, epochs > 1.0).alias("oversampled"),
         )
         .orderBy("source")
     )
