@@ -1434,8 +1434,10 @@ _SKEW_TOPK = 20
     "derive-the-valve pattern as q194's cap and q198's support. Output "
     "is the top-20 contributors plus the global stats every row "
     "carries. Exactness: contributions are pure integer arithmetic; "
-    "HHI is one double division of two exact integer sums (sum c^4 fits "
-    "bigint for per-key counts < ~55 k). Plan: ONE groupBy(user_id) "
+    "HHI is one double division of two exact integer sums — the c^4 "
+    "sum widens to decimal(38,0) BEFORE aggregating (per-key c^4 fits "
+    "bigint for c < ~55 k, but the cross-key aggregate does not; "
+    "DuckDB's HUGEINT sum is the oracle twin). Plan: ONE groupBy(user_id) "
     "partial agg (map-side combined), a 1-row broadcast for the "
     "totals, TakeOrderedAndProject for the top-k — the planner costs "
     "one linear scan regardless of how skewed the join it plans would "
@@ -1453,12 +1455,17 @@ def q205_join_skew_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("c").alias("n_rows"), (F.col("c") * F.col("c")).alias("pair_rows")
     )
     c2 = F.col("pair_rows").cast("double")
-    # c^4 summed as exact bigints (mirrors the oracle's integer SUM);
-    # exactness bound c < ~55k per key, same as the docstring states.
+    # c^4 summed in decimal(38,0): per-key c^4 fits bigint for c < ~55k,
+    # but the AGGREGATE sum across keys can pass 2^63 long before any
+    # single key does (100k keys at c~5k ≈ 6e19). DuckDB's oracle sums
+    # in HUGEINT; a bigint sum here would wrap silently in non-ANSI
+    # mode, so the exact widening happens before the cast to double.
     tot = contrib.agg(
         F.sum("pair_rows").cast("bigint").alias("total_pair_rows"),
         (
-            F.sum(F.col("pair_rows") * F.col("pair_rows")).cast("double")
+            F.sum(
+                F.col("pair_rows").cast("decimal(38,0)") * F.col("pair_rows")
+            ).cast("double")
             / (
                 F.sum("pair_rows").cast("double")
                 * F.sum("pair_rows").cast("double")

@@ -54,6 +54,7 @@ from etl_entregas_pyspark_spark.queries.similarity import (
     JACCARD_THRESHOLD,
     N_BANDS,
     N_HASHES,
+    SHINGLE_W,
     jaccard_verify,
     md5_int,
     word_shingles,
@@ -399,7 +400,7 @@ def q211_ingest_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ok' AS status, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM documents
     WHERE doc_id % {_BATCH_MOD} <> 0
-      AND len(string_split(text, ' ')) >= 3
+      AND len(string_split(text, ' ')) >= {SHINGLE_W}
     """,
     doc="integrity audit for the persisted standing band index (q187's "
     "Merkle partition-diff discipline applied to derived index state): "
@@ -429,7 +430,7 @@ def q217_band_index_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "documents")
         .filter(
             (F.col("doc_id") % _BATCH_MOD != 0)
-            & (F.size(F.split("text", " ")) >= 3)
+            & (F.size(F.split("text", " ")) >= SHINGLE_W)
         )
         .select("doc_id", F.lit(True).alias("expected"))
     )

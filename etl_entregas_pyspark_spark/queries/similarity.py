@@ -68,7 +68,14 @@ def md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
+# Canonical shingle width for every MinHash/LSH surface (word_shingles,
+# _sh_sql, the persisted band index, and q217's reconcile audit). One
+# constant so Spark-side filters and DuckDB oracle f-strings can never
+# de-sync from the shingler — the same discipline as text._ZIPF_Q.
+SHINGLE_W = 3
+
+
+def word_shingles(text: Column, n: int = SHINGLE_W) -> Column:
     """Distinct word n-gram shingles (space tokenizer)."""
     toks = F.split(text, " ")
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
@@ -81,7 +88,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _sh_sql(n: int = 3) -> str:
+def _sh_sql(n: int = SHINGLE_W) -> str:
     """DuckDB twin of word_shingles (1-based list indexing)."""
     gram = " || ' ' || ".join(f"string_split(text,' ')[i+{k}]" for k in range(n))
     return (

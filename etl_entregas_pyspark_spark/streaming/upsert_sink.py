@@ -284,6 +284,17 @@ def band_index_batch(
     bloat the index. It is deliberately verify-free (the sink holds
     signatures, not text); the full Jaccard-verified routing is q211's
     job against the corpus store, and production composes it upstream.
+
+    Concurrency contract: ONE writer mutates the pointer at a time — the
+    streaming thread running this batch, or ``compact_band_index``
+    scheduled between batches. Because compaction may legitimately run
+    on a separate maintenance thread, the commit below RE-READS the
+    pointer immediately before swinging it: committing the entry-time
+    snapshot would re-emit a pre-compaction ``base_version`` /
+    ``base_through_epoch`` after the compactor already deleted the
+    absorbed epoch directories, making those rows permanently
+    unreachable. Concurrent compactions with each other (or two sinks on
+    one index_dir) remain unsupported — single pointer-writer at a time.
     """
     os.makedirs(index_dir, exist_ok=True)
     ptr = _read_pointer(index_dir)
@@ -317,6 +328,12 @@ def band_index_batch(
     sigs.select(*BAND_INDEX_COLS).write.mode("overwrite").parquet(
         os.path.join(index_dir, f"epoch={int(epoch_id)}")
     )
+    # Re-read RIGHT before the swing (see concurrency contract above): a
+    # compaction that committed since entry moved base_version /
+    # base_through_epoch forward and deleted the epochs it absorbed.
+    ptr = _read_pointer(index_dir)
+    if epoch_id <= ptr["epoch"]:
+        return False  # fenced by a concurrent commit — treat as replayed
     _commit_pointer(
         index_dir,
         epoch_id,
@@ -344,27 +361,42 @@ def compact_band_index(spark: SparkSession, index_dir: str) -> int:
     old base deleted. A crash before the swing leaves an orphan base the
     reader never resolves; a crash mid-cleanup leaves absorbed
     directories the reader EXCLUDES via ``base_through_epoch`` — at no
-    point can a row be read twice or lost."""
+    point can a row be read twice or lost.
+
+    Concurrency contract (shared with ``band_index_batch``): one pointer
+    writer at a time, but the batch sink MAY commit between this
+    function's entry and its pointer swing, so the swing re-reads the
+    pointer and preserves the fresher committed epoch — the base only
+    claims the frontier it actually absorbed (``absorbed_through``), and
+    cleanup deletes nothing beyond that frontier. Two compactions racing
+    each other (or two index_dirs sharing a pointer) are unsupported."""
     import shutil
+
+    from etl_entregas_pyspark_spark.queries.lsh_index import _INDEX_FILES
 
     ptr = _read_pointer(index_dir)
     if ptr["epoch"] < 0:
         return 0
+    absorbed_through = ptr["epoch"]  # the frontier the new base contains
     current = read_band_index(spark, index_dir)
     new_version = ptr["version"] + 1
     base_dir = os.path.join(index_dir, f"base=v{new_version}")
-    current.select(*BAND_INDEX_COLS).repartition(8, "band_hash").write.mode(
-        "overwrite"
-    ).parquet(base_dir)
+    current.select(*BAND_INDEX_COLS).repartition(
+        _INDEX_FILES, "band_hash"
+    ).write.mode("overwrite").parquet(base_dir)
     n_rows = spark.read.parquet(base_dir).count()
     old_base = ptr.get("base_version")
+    # Re-read before the swing: a batch epoch committed since entry must
+    # keep its (higher) epoch pointer; its directory is NOT in this base
+    # (epoch > absorbed_through), so the reader still unions it in.
+    fresh = _read_pointer(index_dir)
     _commit_pointer(
         index_dir,
-        ptr["epoch"],
-        new_version,
+        max(fresh["epoch"], absorbed_through),
+        max(fresh["version"], new_version) + 1,
         extra={
             "base_version": new_version,
-            "base_through_epoch": ptr["epoch"],
+            "base_through_epoch": absorbed_through,
         },
     )
     # cleanup AFTER the swing: failures here cost disk, never correctness
@@ -374,7 +406,7 @@ def compact_band_index(spark: SparkSession, index_dir: str) -> int:
                 epoch = int(entry.split("=", 1)[1])
             except ValueError:
                 continue
-            if epoch <= ptr["epoch"]:
+            if epoch <= absorbed_through:
                 shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
         elif old_base is not None and entry == f"base=v{old_base}":
             shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
