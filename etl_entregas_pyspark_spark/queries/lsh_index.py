@@ -172,13 +172,15 @@ def _batch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _probe_pairs(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, corpus_bands: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The probe stage, pre-checkpoint (plan-testable): candidate pairs
-    whose corpus side is ONLY the saved band table. Returns
-    ``(cand, per_batch)``."""
-    idx_path = ensure_band_index(spark, sf_dir)
-    corpus_bands = spark.read.parquet(idx_path)
+    whose corpus side is ONLY the saved band table — the batch-built one
+    by default, or any injected (doc_id, band_id, band_hash) frame (q222
+    passes the LIVE-maintained store). Returns ``(cand, per_batch)``."""
+    if corpus_bands is None:
+        idx_path = ensure_band_index(spark, sf_dir)
+        corpus_bands = spark.read.parquet(idx_path)
     per_batch = _batch_signatures(spark, sf_dir)
     batch_bands = _band_long(per_batch)
 
@@ -211,39 +213,17 @@ def _probe_pairs(
     return corpus_hits.unionByName(batch_pairs), per_batch
 
 
-@register(
-    "q210_incremental_lsh_probe_persisted",
-    _q203_oracle(),
-    doc="q203's incremental near-dup probe with the standing corpus read "
-    "from the PERSISTED band index (ensure_band_index — written once "
-    "per session/scale, maintained incrementally in production by the "
-    "streaming upsert sink): per-run cost is O(batch) + one columnar "
-    "scan of the skinny (doc_id, band_id, band_hash) table. The batch "
-    "is shingled/minhashed fresh (it is new data), its bands broadcast "
-    "into (a) the index probe — corpus signatures never shuffle, never "
-    "recompute — and (b) a tiny in-batch self-probe; exact-Jaccard "
-    "verification touches documents.text for corpus rows only through "
-    "a broadcast semi-join on the matched ids (O(matches)). Output and "
-    "oracle are identical to q203 (same pair set, same jaccard, same "
-    "batch/corpus routing tags), so the two driver rows prove "
-    "recompute-vs-persisted equivalence; tests/test_round10_ops.py "
-    "additionally pins result equality, index reuse across runs (no "
-    "rebuild), and the index scan in the executed plan.",
-)
-def q210_incremental_lsh_probe_persisted(
-    spark: SparkSession, sf_dir: str
+def _verify_and_emit(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, per_batch: DataFrame
 ) -> DataFrame:
-    cand, per_batch = _probe_pairs(spark, sf_dir)
+    """Exact-Jaccard verification over the probe's candidate pairs,
+    shared by q210 (batch-built index) and q222 (live-maintained index):
+    batch shingles ride along in ``per_batch``; corpus shingles are
+    recomputed for MATCHED docs only through a broadcast semi-join, so
+    ``documents.text`` is touched for O(matches) corpus rows."""
     cand = cand.localCheckpoint()
-
-    # verify payloads: batch shingles already sit in per_batch; corpus
-    # shingles are recomputed for MATCHED docs only (broadcast semi-join),
-    # checkpointed so the a/b sides of the verify join cost ONE corpus
-    # text scan total, materializing O(matches) shingle rows
     corpus_ids = (
-        cand.select(
-            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-        )
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .filter(F.col("doc_id") % _BATCH_MOD != 0)
         .distinct()
     )
@@ -268,6 +248,32 @@ def q210_incremental_lsh_probe_persisted(
     return pairs.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", jac.alias("jaccard"), "match_side"
     )
+
+
+@register(
+    "q210_incremental_lsh_probe_persisted",
+    _q203_oracle(),
+    doc="q203's incremental near-dup probe with the standing corpus read "
+    "from the PERSISTED band index (ensure_band_index — written once "
+    "per session/scale, maintained incrementally in production by the "
+    "streaming upsert sink): per-run cost is O(batch) + one columnar "
+    "scan of the skinny (doc_id, band_id, band_hash) table. The batch "
+    "is shingled/minhashed fresh (it is new data), its bands broadcast "
+    "into (a) the index probe — corpus signatures never shuffle, never "
+    "recompute — and (b) a tiny in-batch self-probe; exact-Jaccard "
+    "verification touches documents.text for corpus rows only through "
+    "a broadcast semi-join on the matched ids (O(matches)). Output and "
+    "oracle are identical to q203 (same pair set, same jaccard, same "
+    "batch/corpus routing tags), so the two driver rows prove "
+    "recompute-vs-persisted equivalence; tests/test_round10_ops.py "
+    "additionally pins result equality, index reuse across runs (no "
+    "rebuild), and the index scan in the executed plan.",
+)
+def q210_incremental_lsh_probe_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cand, per_batch = _probe_pairs(spark, sf_dir)
+    return _verify_and_emit(spark, sf_dir, cand, per_batch)
 
 
 def _q211_oracle() -> str:
@@ -447,3 +453,238 @@ def q217_band_index_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — ingest COMMIT: apply q211's routing to the standing index store
+#         (the batch twin of the streaming sink's route_dups arm — closes
+#          the q104-CDC analogy: probe → route → APPLY → post-state)
+# ---------------------------------------------------------------------------
+
+
+def _commit_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(session, sf_dir) location for the ingest-committed index store
+    (epoch-fenced layout from streaming/upsert_sink.py, NOT the flat
+    batch table of ``ensure_band_index`` — the commit is an epoch)."""
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"lsh_commit_store_{app_id}_{tag}"
+    )
+
+
+def seed_index_store(
+    spark: SparkSession, standing_index_path: str, index_dir: str
+) -> None:
+    """Bulk-load the batch-built standing index as epoch 0 of an
+    epoch-fenced store (the ``streaming/upsert_sink.py`` layout) WITHOUT
+    re-hashing any text: one columnar scan of the skinny band table,
+    then the same write-directory-first / swing-pointer-last commit
+    ``band_index_batch`` uses. Idempotent: a committed store (epoch >= 0)
+    is left untouched. This is the production bootstrap path — an index
+    built once in batch, handed to the streaming maintainer."""
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        BAND_INDEX_COLS,
+        _commit_pointer,
+        _read_pointer,
+    )
+
+    os.makedirs(index_dir, exist_ok=True)
+    if _read_pointer(index_dir)["epoch"] >= 0:
+        return
+    (
+        spark.read.parquet(standing_index_path)
+        .select(*BAND_INDEX_COLS)
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "epoch=0"))
+    )
+    _commit_pointer(index_dir, 0, 1)
+
+
+def _q221_oracle() -> str:
+    shingleable = f"len(string_split({{t}}.text, ' ')) >= {SHINGLE_W}"
+    return f"""
+    WITH route AS ( {_q211_oracle()} ),
+    before_n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents d
+        WHERE d.doc_id % {_BATCH_MOD} <> 0 AND {shingleable.format(t='d')}
+    ), added_n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM route r JOIN documents d ON r.doc_id = d.doc_id
+        WHERE r.action = 'keep' AND {shingleable.format(t='d')}
+    )
+    SELECT action AS metric, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM route GROUP BY action
+    UNION ALL SELECT 'batch_total', CAST(COUNT(*) AS BIGINT) FROM route
+    UNION ALL SELECT 'index_docs_before', n FROM before_n
+    UNION ALL SELECT 'index_docs_added', n FROM added_n
+    UNION ALL SELECT 'index_docs_after', b.n + a.n FROM before_n b, added_n a
+    ORDER BY metric
+    """
+
+
+@register(
+    "q221_ingest_commit",
+    _q221_oracle(),
+    doc="the ingest COMMIT — the step q211 stopped short of (r10 VERDICT "
+    "'what's wrong' #3): consume the routing fold, PHYSICALLY append the "
+    "keepers' band signatures to the standing index store as a new "
+    "epoch, and emit the post-ingest summary. The store is the "
+    "epoch-fenced layout of streaming/upsert_sink.py: epoch 0 is "
+    "bulk-loaded from the batch-built table (seed_index_store — one "
+    "columnar scan, zero re-hash), epoch 1 is the keepers routed "
+    "through band_index_batch — the SAME foreachBatch body the live "
+    "sink runs, so batch and streaming ingest are one code path and "
+    "exactly-once fencing makes the whole query idempotent (a re-run "
+    "re-reads the committed state; nothing appends twice). The emitted "
+    "summary joins both worlds: routing counts per action straight "
+    "from q211's fold, and index_docs_before/added/after counted from "
+    "the COMMITTED store itself (read_band_index) — so if the physical "
+    "commit ever dropped or duplicated a keeper, the after-count would "
+    "diverge from the oracle's before+added arithmetic and fail the "
+    "driver hash gate. Completes q104's CDC analogy for the LLM "
+    "pipeline: change capture (q210 probe) → routing decision (q211 "
+    "fold) → apply (this commit) → queryable post-state. Scale: "
+    "O(batch) hash work + two skinny index scans; nothing corpus-sized "
+    "moves, and the epoch append is exactly the live sink's per-batch "
+    "cost.",
+)
+def q221_ingest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        band_index_batch,
+        read_band_index,
+    )
+
+    route = q211_ingest_apply(spark, sf_dir).localCheckpoint()
+    store = _commit_store_path(spark, sf_dir)
+    seed_index_store(spark, ensure_band_index(spark, sf_dir), store)
+    keepers = route.filter(F.col("action") == "keep").select("doc_id")
+    keeper_docs = (
+        T(spark, sf_dir, "documents")
+        .join(F.broadcast(keepers), "doc_id")
+        .select("doc_id", "text")
+    )
+    band_index_batch(keeper_docs, 1, store)  # fenced: re-runs skip
+
+    counts = route.groupBy(F.col("action").alias("metric")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    batch_total = route.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).select(F.lit("batch_total").alias("metric"), "n_docs")
+    before = spark.read.parquet(ensure_band_index(spark, sf_dir)).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("nb")
+    )
+    after = read_band_index(spark, store).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("na")
+    )
+    stats = before.crossJoin(after).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("index_docs_before").alias("metric"),
+                    F.col("nb").alias("n_docs"),
+                ),
+                F.struct(
+                    F.lit("index_docs_added").alias("metric"),
+                    (F.col("na") - F.col("nb")).alias("n_docs"),
+                ),
+                F.struct(
+                    F.lit("index_docs_after").alias("metric"),
+                    F.col("na").alias("n_docs"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.metric", "kv.n_docs")
+    return counts.unionByName(batch_total).unionByName(stats).orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# q222 — probe against the LIVE-maintained index: the corpus replayed in
+#         epoch slices through the STREAMING maintenance path (including a
+#         re-delivered epoch and a mid-stream compaction), then q210's
+#         probe run against THAT store — promoting the pytest-only
+#         batch-vs-live index equivalence to the driver gate (r10 VERDICT
+#         next-round #4, the q201→q212/q213/q216 promotion pattern).
+# ---------------------------------------------------------------------------
+
+_LIVE_EPOCHS = 3
+
+
+def _live_store_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"lsh_live_store_{app_id}_{tag}"
+    )
+
+
+def ensure_live_band_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the standing index the LIVE way, once per (session, sf_dir):
+    the standing corpus arrives in three doc_id-keyed epoch slices
+    through ``band_index_batch`` (the foreachBatch body of the streaming
+    sink), with epoch 1 deliberately RE-DELIVERED (the at-least-once
+    failure mode — must be fenced to a no-op) and a compaction after
+    epoch 1 (so the final read unions a compacted base WITH a
+    post-compaction epoch dir). The result must be row-identical to
+    ``ensure_band_index``'s batch-built table — q222 proves it at the
+    driver gate by running the probe against this store under q203's
+    oracle."""
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        _read_pointer,
+        band_index_batch,
+        compact_band_index,
+    )
+
+    path = _live_store_path(spark, sf_dir)
+    os.makedirs(path, exist_ok=True)
+    if _read_pointer(path)["epoch"] >= _LIVE_EPOCHS - 1:
+        return path
+    corpus = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BATCH_MOD != 0)
+        .select("doc_id", "text")
+    )
+    # corpus ids carry residue 1 or 2 mod 3, so pmod(id, 9) lands in
+    # {1,2,4,5,7,8} and floor(/3) splits them into epochs {0,1,2}
+    sl = F.floor(F.pmod(F.col("doc_id"), 9) / 3)
+    band_index_batch(corpus.filter(sl == 0), 0, path)
+    band_index_batch(corpus.filter(sl == 1), 1, path)
+    band_index_batch(corpus.filter(sl == 1), 1, path)  # re-delivery: no-op
+    compact_band_index(spark, path)  # absorbs epochs 0-1 into base=v*
+    band_index_batch(corpus.filter(sl == 2), 2, path)
+    return path
+
+
+@register(
+    "q222_live_index_probe",
+    _q203_oracle(),
+    doc="q210's incremental near-dup probe with the corpus side read from "
+    "the LIVE-MAINTAINED band index: the standing corpus is replayed in "
+    "three epoch slices through band_index_batch (the streaming sink's "
+    "foreachBatch body), including a deliberately re-delivered epoch "
+    "(at-least-once recovery — exactly-once fencing must skip it) and a "
+    "mid-stream compact_band_index (the final read unions the compacted "
+    "base with a post-compaction epoch). The oracle is q203's SQL — the "
+    "same pair set the recompute twin and the batch-index twin (q210) "
+    "prove — so one green driver row certifies the whole maintenance "
+    "path end-to-end: re-delivery fencing, pointer crash-safety, "
+    "compaction content-preservation, and base+epoch union reads. "
+    "Promotes tests/test_band_index_sink.py's pytest-only equivalence "
+    "to the driver gate, the same pattern that promoted disorder "
+    "correctness (q201 -> q212/q213/q216). Scale: identical to q210 — "
+    "O(batch) hash work against a skinny standing table; the live "
+    "replay itself is the one-off session bootstrap, per-epoch cost "
+    "O(slice).",
+)
+def q222_live_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        read_band_index,
+    )
+
+    store = ensure_live_band_index(spark, sf_dir)
+    corpus_bands = read_band_index(spark, store).select(
+        "doc_id", "band_id", "band_hash"
+    )
+    cand, per_batch = _probe_pairs(spark, sf_dir, corpus_bands=corpus_bands)
+    return _verify_and_emit(spark, sf_dir, cand, per_batch)

@@ -40,78 +40,80 @@ def register(name: str, oracle: Optional[str], doc: str = "") -> Callable[[Spark
 # queries that still need (or just regained) driver verification to the
 # front; everything else follows in registration order, so the window is
 # always "all unproven queries + as many previously-proven as fit".
-_PRIORITY = [
-    # --- round-10 window -----------------------------------------------
-    # (a) never driver-checked: registered in r9 after its window filled
-    # (locally hash-proven at sf0.01 AND sf0.1 in r9, re-proven by the
-    # r9 judge).
-    "q208_pps_sample_audit",
-    "q209_zipf_slope",
-    # (b) NEW this round (forward-safe: unregistered names are filtered):
-    # the persisted-band-index probe + ingest fold (r9 VERDICT #2/#4) and
-    # the disorder oracles beyond tumbling (r9 VERDICT #3).
-    "q210_incremental_lsh_probe_persisted",
-    "q211_ingest_apply",
-    "q212_stream_disordered_session",
-    "q213_stream_disordered_sliding_distinct",
-    "q214_span_scrub_apply",
-    "q215_ivf_recall_audit",
-    # (c) the r5-stale five the in-window r9 registrations displaced.
-    "q52_knn_label_vote",
-    "q53_minhash_near_dup",
-    "q54_simhash",
-    "q55_ivf_assign",
-    "q56_cosine_near_dup",
-    # (d) the r6 cohort, oldest-green-first (histogram after r9:
-    # r9=50/r8=50/r7=50/r6=50/r5=5 — regenerated by
-    # `tools/check_correctness.py --freshness` at round start). 37 fit
-    # after the q214/q215 registrations; the 13 displaced (q43, q49,
-    # q57, q62-q71) head the r11 window (all swept green locally at
-    # sf0.01 AND sf0.1 this round — COVERAGE.md round-10 section).
-    # q216_stream_disordered_join, q217_band_index_reconcile,
-    # q218_scrub_budget_by_source, q219_snapshot_novelty and
-    # q220_mixture_plan registered after the 50-slot window filled
-    # (each locally hash-green at all three scales): pin them FIRST in
-    # the r11 window, with the 13 displaced rows behind them.
-    "q143_fk_integrity",
-    "q144_decay_score",
-    "q145_count_min_sketch",
-    "q146_last_touch_attribution",
-    "q147_distinct_n",
-    "q148_rrf_fusion",
-    "q149_seasonal_anomaly",
-    "q150_bucketed_dedup_chain",
-    "q151_stream_upsert_sink",
-    "q152_setjoin_prefix_filter",
-    "q153_sliding_distinct",
-    "q154_calibration_bins",
-    "q155_psi_drift",
-    "q156_feature_matrix",
-    "q157_negative_sampling",
-    "q158_containment_join",
-    "q159_linear_attribution",
-    "q160_interval_overlap_join",
-    "q161_proportional_allocation",
-    "q162_bfs_levels",
-    "q163_weighted_sample_noreplace",
-    "q164_category_entropy",
-    "q165_ab_proportion_test",
-    "q166_golden_record",
-    "q167_pmi_cooccurrence",
-    "q168_geo_distance_join",
-    "q169_hierarchy_rollup",
-    "q170_rolling_corr",
+# On-change-only tier (r10 VERDICT #2): demo baselines that exist to
+# re-prove scaling laws already recorded in SCALE.md (their production
+# twins q194/q196/q197 stay in rotation). They keep their registration,
+# oracle, and pytest coverage, but are NOT re-enqueued for driver rows
+# unless their code changes — shrinking the active rotation cycle.
+_ON_CHANGE_ONLY = {
     "q171_link_prediction",
-    "q172_clamped_running_sum",
-    "q26_math_funcs",
-    "q27_conditional_agg",
-    "q29_pivot",
-    "q33_events_json",
-    "q37_from_json",
-    "q39_scalar_subquery",
-    "q40_text_stats",
+    "q182_semdedup",
+    "q191_label_noise",
+}
+
+_PRIORITY = [
+    # --- round-11 window -----------------------------------------------
+    # (a) never driver-checked: registered in r10 after its window filled
+    # (locally hash-green at all three scales — COVERAGE.md round-10
+    # section; re-verified by the r10 judge).
+    "q216_stream_disordered_join",
+    "q217_band_index_reconcile",
+    "q218_scrub_budget_by_source",
+    "q219_snapshot_novelty",
+    "q220_mixture_plan",
+    # (b) NEW this round: the ingest COMMIT (r10 VERDICT #3) and the
+    # live-maintained index probe (r10 VERDICT #4), both hash-green
+    # locally at sf0.001/sf0.01/sf0.1.
+    "q221_ingest_commit",
+    "q222_live_index_probe",
+    # (c) the 13 age-4 rows the in-window r10 registrations displaced
+    # (newest green row r6; swept green locally in r10 per COVERAGE.md).
     "q43_langid_heuristic",
     "q49_posexplode",
+    "q57_multimodal_decode",
+    "q62_dedup_components",
+    "q63_deterministic_split",
+    "q64_decontamination",
+    "q65_statistical_moments",
+    "q66_chunking",
+    "q67_stratified_sample",
+    "q68_int8_quantization",
+    "q69_trailing_range_window",
+    "q70_gap_fill_forward",
+    "q71_alto_valor_flag",
+    # (d) the r7 cohort (age 3), name-order, minus the on-change-only
+    # demos q182/q191. 30 fit; the 18 left (q76-q95 tail) head the r12
+    # window together with whatever r11 registers late.
+    "q100_incremental_dedup",
+    "q173_link_prediction_capped",
+    "q174_sliding_distinct_bucketed",
+    "q175_stream_sliding_distinct",
+    "q176_hll_sketch_rollup",
+    "q177_jl_projection_topk",
+    "q178_group_split",
+    "q179_hard_negative_mining",
+    "q180_contamination_score",
+    "q181_balanced_resample",
+    "q183_phash_near_dup",
+    "q184_rolling_psi",
+    "q185_compaction_planner",
+    "q186_cohens_kappa",
+    "q187_merkle_partition_diff",
+    "q188_pretrain_funnel",
+    "q189_sketch_calibration",
+    "q190_stratified_kfold",
+    "q192_lsh_recall_audit",
+    "q193_epoch_shuffle",
+    "q194_link_prediction_adaptive",
+    "q195_source_overlap_matrix",
+    "q196_semdedup_scaled",
+    "q34_approx_distinct",
+    "q60_entregas_pipeline",
+    "q61_entregas_quality_metrics",
+    "q72_dedup_materialize",
+    "q73_ivf_search",
+    "q74_unpivot",
+    "q75_kmeans_step",
 ]
 
 

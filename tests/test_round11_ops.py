@@ -1,0 +1,199 @@
+"""Round-11 operators: the ingest COMMIT (q221) and the live-maintained
+index probe (q222). The DuckDB oracles pin cross-engine values; these
+tests pin what the oracle cannot see — that the commit PHYSICALLY lands
+in the epoch-fenced store exactly once (idempotent re-runs), that the
+committed epoch holds exactly the keepers' signatures, that the
+live-replayed store is row-identical to the batch-built table even
+across a re-delivered epoch and a mid-stream compaction, and that the
+streaming sink's verify-free route_dups hygiene drops a SUPERSET of the
+Jaccard-verified routing's drops (band collision is necessary for a
+verified drop, not sufficient)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _rows(df, cols):
+    return sorted(
+        tuple(
+            round(v, 9) if isinstance(v, float) else v
+            for v in (r[c] for c in cols)
+        )
+        for r in df.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — ingest commit
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_commit_idempotent(spark, sf_dir):
+    """Two runs in one session: the second must neither re-seed nor
+    re-append (epoch fencing) and must emit the identical summary."""
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        _commit_store_path,
+        q221_ingest_commit,
+    )
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import _read_pointer
+
+    cols = ["metric", "n_docs"]
+    first = _rows(q221_ingest_commit(spark, sf_dir), cols)
+    store = _commit_store_path(spark, sf_dir)
+    ptr_before = _read_pointer(store)
+    epoch_dir = os.path.join(store, "epoch=1")
+    mtime_before = max(
+        os.path.getmtime(os.path.join(epoch_dir, f))
+        for f in os.listdir(epoch_dir)
+    )
+    second = _rows(q221_ingest_commit(spark, sf_dir), cols)
+    assert first == second
+    assert _read_pointer(store) == ptr_before  # no new commit happened
+    mtime_after = max(
+        os.path.getmtime(os.path.join(epoch_dir, f))
+        for f in os.listdir(epoch_dir)
+    )
+    assert mtime_after == mtime_before  # epoch dir untouched
+
+
+def test_ingest_commit_epoch_holds_exactly_the_keepers(spark, sf_dir):
+    """The committed epoch 1 must contain band signatures for exactly the
+    shingle-able keepers of q211's routing — nothing dropped, nothing
+    extra — and the summary's after-count must equal the store's."""
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        _commit_store_path,
+        band_signatures,
+        q211_ingest_apply,
+        q221_ingest_commit,
+    )
+    from etl_entregas_pyspark_spark.queries.relational import T
+
+    summary = {
+        r["metric"]: r["n_docs"]
+        for r in q221_ingest_commit(spark, sf_dir).collect()
+    }
+    store = _commit_store_path(spark, sf_dir)
+    committed = spark.read.parquet(os.path.join(store, "epoch=1"))
+
+    keepers = (
+        q211_ingest_apply(spark, sf_dir)
+        .filter(F.col("action") == "keep")
+        .select("doc_id")
+    )
+    keeper_docs = T(spark, sf_dir, "documents").join(keepers, "doc_id")
+    want = sorted(
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in band_signatures(keeper_docs.select("doc_id", "text")).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["band_id"], r["band_hash"]) for r in committed.collect()
+    )
+    assert got == want
+    n_added = committed.select("doc_id").distinct().count()
+    assert summary["index_docs_added"] == n_added
+    assert (
+        summary["index_docs_after"]
+        == summary["index_docs_before"] + n_added
+    )
+
+
+def test_sink_route_dups_drops_superset_of_verified_routing(spark, sf_dir, tmp_path):
+    """The streaming sink's verify-free hygiene (band collision alone)
+    must drop every doc the Jaccard-verified routing drops — collision is
+    a precondition of a verified match — while possibly dropping more
+    (band false positives). Run both over the SAME batch slice."""
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        ensure_band_index,
+        q211_ingest_apply,
+        seed_index_store,
+    )
+    from etl_entregas_pyspark_spark.queries.relational import T
+    from etl_entregas_pyspark_spark.queries.similarity import _BATCH_MOD
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        band_index_batch,
+    )
+
+    store = str(tmp_path / "route_store")
+    seed_index_store(spark, ensure_band_index(spark, sf_dir), store)
+    batch = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BATCH_MOD == 0)
+        .select("doc_id", "text")
+    )
+    band_index_batch(batch, 1, store, route_dups=True)
+    sink_kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(store, "epoch=1"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    routed = q211_ingest_apply(spark, sf_dir).collect()
+    verified_dropped = {
+        r["doc_id"] for r in routed if r["action"] != "keep"
+    }
+    # every verified drop collided on a band, so the sink dropped it too
+    assert not (verified_dropped & sink_kept)
+
+
+# ---------------------------------------------------------------------------
+# q222 — live-maintained index probe
+# ---------------------------------------------------------------------------
+
+
+def test_live_store_equals_batch_index(spark, sf_dir):
+    """After the sliced replay (with a re-delivered epoch and a
+    mid-stream compaction), the live store must be row-identical to the
+    batch-built standing table."""
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        ensure_band_index,
+        ensure_live_band_index,
+    )
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        read_band_index,
+    )
+
+    live = read_band_index(spark, ensure_live_band_index(spark, sf_dir))
+    batch = spark.read.parquet(ensure_band_index(spark, sf_dir))
+    key = lambda r: (r["doc_id"], r["band_id"], r["band_hash"])  # noqa: E731
+    assert sorted(map(key, live.collect())) == sorted(
+        map(key, batch.collect())
+    )
+
+
+def test_live_store_layout_shows_compaction_and_fencing(spark, sf_dir):
+    """The replay's store must physically show the maintenance history:
+    a compacted base absorbing epochs 0-1, a surviving post-compaction
+    epoch=2 dir, and a pointer at epoch 2 — proving the re-delivered
+    epoch was fenced (one commit per epoch) and compaction cleaned up."""
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        ensure_live_band_index,
+    )
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import _read_pointer
+
+    path = ensure_live_band_index(spark, sf_dir)
+    ptr = _read_pointer(path)
+    assert ptr["epoch"] == 2
+    assert ptr["base_through_epoch"] == 1
+    entries = set(os.listdir(path))
+    assert f"base=v{ptr['base_version']}" in entries
+    assert "epoch=2" in entries
+    assert "epoch=0" not in entries and "epoch=1" not in entries
+
+
+def test_live_probe_equals_persisted_probe(spark, sf_dir):
+    """q222 (live store) and q210 (batch table) must emit the identical
+    verified pair set."""
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        q210_incremental_lsh_probe_persisted,
+        q222_live_index_probe,
+    )
+
+    cols = ["doc_a", "doc_b", "jaccard", "match_side"]
+    got = _rows(q222_live_index_probe(spark, sf_dir), cols)
+    want = _rows(q210_incremental_lsh_probe_persisted(spark, sf_dir), cols)
+    assert got == want
+    assert len(got) > 0
