@@ -426,3 +426,133 @@ def start_band_index_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-pruned snapshot store (r10 VERDICT #5): the refinement the
+# full-rewrite sink's docstring deferred. The snapshot is stored as one
+# directory per key-bucket, each independently versioned through a
+# manifest inside the pointer file; a micro-batch rewrites ONLY the
+# buckets its keys hash into — untouched buckets keep their existing
+# files byte-identical (they are never read, never rewritten). This
+# removes the last O(snapshot)-per-epoch term in the streaming surface:
+# per-epoch cost is O(batch + touched-bucket rows), and at 100 TB the
+# bucket count is sized so a touched bucket is a few HDFS blocks.
+# ---------------------------------------------------------------------------
+
+_N_SNAPSHOT_BUCKETS = 16  # test-scale; a config at prod (pick ~snapshot/256MB)
+
+
+def _bucket_expr():
+    """Deterministic key→bucket assignment, stable across sessions (xxhash64
+    is seed-fixed in Spark), recomputable from the key alone so bucket
+    membership never needs to be stored."""
+    return F.pmod(
+        F.xxhash64(F.col("user_id")), F.lit(_N_SNAPSHOT_BUCKETS)
+    ).cast("int")
+
+
+def read_bucketed_snapshot(
+    spark: SparkSession, snapshot_dir: str
+) -> DataFrame | None:
+    """The committed bucketed snapshot store: the union of every bucket's
+    manifest-named version directory. Buckets absent from the manifest
+    have never held a key."""
+    ptr = _read_pointer(snapshot_dir)
+    manifest = ptr.get("buckets", {})
+    if not manifest:
+        return None
+    paths = [
+        os.path.join(snapshot_dir, f"bucket={b}", f"v{v}")
+        for b, v in manifest.items()
+    ]
+    return spark.read.parquet(*paths)
+
+
+def upsert_batch_bucketed(
+    batch_df: DataFrame, epoch_id: int, snapshot_dir: str, keep_last: int = 2
+) -> bool:
+    """Bucket-pruned twin of ``upsert_batch`` — identical merge semantics
+    (``merge_snapshot`` per key), identical exactly-once epoch fencing,
+    but the store is partitioned into ``_N_SNAPSHOT_BUCKETS`` key-buckets
+    and the merge reads/rewrites ONLY the buckets the batch's keys hash
+    into. Untouched buckets are left byte-identical on disk and their
+    manifest entries carry forward unchanged.
+
+    Crash-safety: all touched buckets are written to a staging directory
+    first, then moved to their ``bucket=<b>/v<new>`` homes, and ONLY then
+    does the pointer swing commit the new manifest atomically — a crash
+    at any earlier point leaves orphan version dirs the manifest never
+    references. Per-bucket version retention mirrors ``keep_last``."""
+    import shutil
+
+    os.makedirs(snapshot_dir, exist_ok=True)
+    ptr = _read_pointer(snapshot_dir)
+    if epoch_id <= ptr["epoch"]:
+        return False
+    manifest: dict[str, int] = dict(ptr.get("buckets", {}))
+    spark = batch_df.sparkSession
+    batch = batch_df.withColumn("_bucket", _bucket_expr()).localCheckpoint()
+    # ≤ _N_SNAPSHOT_BUCKETS-row driver pull: the prune plan, not data
+    touched = sorted(
+        r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+    )
+    existing_paths = [
+        os.path.join(snapshot_dir, f"bucket={b}", f"v{manifest[str(b)]}")
+        for b in touched
+        if str(b) in manifest
+    ]
+    existing = (
+        spark.read.parquet(*existing_paths) if existing_paths else None
+    )
+    merged = merge_snapshot(existing, batch.drop("_bucket"))
+    new_version = ptr["version"] + 1
+    staging = os.path.join(snapshot_dir, f"_staging_v{new_version}")
+    (
+        merged.withColumn("bucket", _bucket_expr())
+        .repartition(len(touched), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    for b in touched:
+        src = os.path.join(staging, f"bucket={b}")
+        dst_dir = os.path.join(snapshot_dir, f"bucket={b}")
+        os.makedirs(dst_dir, exist_ok=True)
+        dst = os.path.join(dst_dir, f"v{new_version}")
+        shutil.rmtree(dst, ignore_errors=True)  # re-write after a crash
+        os.rename(src, dst)
+        manifest[str(b)] = new_version
+    shutil.rmtree(staging, ignore_errors=True)
+    _commit_pointer(
+        snapshot_dir, epoch_id, new_version, extra={"buckets": manifest}
+    )
+    # prune AFTER the swing, per touched bucket: keep the committed
+    # version plus keep_last-1 predecessors (crash here costs disk only)
+    for b in touched:
+        bdir = os.path.join(snapshot_dir, f"bucket={b}")
+        versions = sorted(
+            int(e[1:])
+            for e in os.listdir(bdir)
+            if e.startswith("v") and e[1:].isdigit()
+        )
+        for v in versions[: -keep_last] if len(versions) > keep_last else []:
+            shutil.rmtree(os.path.join(bdir, f"v{v}"), ignore_errors=True)
+    return True
+
+
+def start_bucketed_upsert_sink(
+    change_log: DataFrame, snapshot_dir: str, checkpoint_dir: str,
+    keep_last: int = 2,
+):
+    """Run the streaming change log into the bucket-pruned snapshot
+    store; same source contract as ``start_upsert_sink``."""
+    return (
+        change_log.writeStream.foreachBatch(
+            lambda df, epoch: upsert_batch_bucketed(
+                df, epoch, snapshot_dir, keep_last
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

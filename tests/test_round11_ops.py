@@ -197,3 +197,118 @@ def test_live_probe_equals_persisted_probe(spark, sf_dir):
     want = _rows(q210_incremental_lsh_probe_persisted(spark, sf_dir), cols)
     assert got == want
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# bucket-pruned snapshot merge (r10 VERDICT #5)
+# ---------------------------------------------------------------------------
+
+
+def _change_log(spark, sf_dir):
+    from etl_entregas_pyspark_spark.queries.events import E
+
+    return E(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+
+def _snap_rows(df):
+    return sorted(
+        (r["user_id"], round(r["current_value"], 6), r["updated_at"], r["n_ops"])
+        for r in df.collect()
+    )
+
+
+def test_bucketed_merge_equals_full_rewrite(spark, sf_dir, tmp_path):
+    """The bucket-pruned sink must converge to the identical snapshot as
+    the full-rewrite sink on a time-sliced replay that includes a
+    re-delivered epoch; untouched buckets must keep their files
+    byte-identical across epochs."""
+    import os
+
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        _read_pointer,
+        read_bucketed_snapshot,
+        read_snapshot_store,
+        snapshot_view,
+        upsert_batch,
+        upsert_batch_bucketed,
+    )
+
+    log = _change_log(spark, sf_dir).localCheckpoint()
+    slices = [
+        log.filter(F.pmod(F.col("event_id"), 4) == i).localCheckpoint()
+        for i in range(4)
+    ]
+    full = str(tmp_path / "full")
+    buck = str(tmp_path / "buck")
+    for i, sl in enumerate(slices):
+        assert upsert_batch(sl, i, full) is True
+        assert upsert_batch_bucketed(sl, i, buck) is True
+        if i == 1:  # re-delivery mid-stream: both sinks must fence it
+            assert upsert_batch(sl, i, full) is False
+            assert upsert_batch_bucketed(sl, i, buck) is False
+
+    got = snapshot_view(read_bucketed_snapshot(spark, buck))
+    want = snapshot_view(read_snapshot_store(spark, full))
+    assert _snap_rows(got) == _snap_rows(want)
+
+    # untouched-bucket byte-identity: replay a 5th slice touching ONE key
+    # and check every other bucket's files are the same inodes/bytes
+    one_key = slices[0].orderBy("user_id", "event_id").limit(1).localCheckpoint()
+    bucket_of_key = one_key.select(
+        F.pmod(F.xxhash64("user_id"), F.lit(16)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    before = {}
+    for b in os.listdir(buck):
+        if b.startswith("bucket="):
+            vdir = os.path.join(buck, b, f"v{_read_pointer(buck)['buckets'][b.split('=')[1]]}")
+            before[b] = sorted(
+                (f, os.path.getmtime(os.path.join(vdir, f)), os.path.getsize(os.path.join(vdir, f)))
+                for f in os.listdir(vdir)
+            )
+    assert upsert_batch_bucketed(one_key, 4, buck) is True
+    ptr = _read_pointer(buck)
+    for b, files in before.items():
+        bid = b.split("=")[1]
+        if int(bid) == bucket_of_key:
+            assert ptr["buckets"][bid] == ptr["version"]  # rewritten
+            continue
+        vdir = os.path.join(buck, b, f"v{ptr['buckets'][bid]}")
+        after = sorted(
+            (f, os.path.getmtime(os.path.join(vdir, f)), os.path.getsize(os.path.join(vdir, f)))
+            for f in os.listdir(vdir)
+        )
+        assert after == files  # same files, same mtimes, same sizes
+
+
+def test_bucketed_merge_counts_match_q104(spark, sf_dir):
+    """End state of the bucketed fold must equal q104's single-pass CDC
+    snapshot (the same oracle the full-rewrite sink is held to)."""
+    import tempfile
+
+    from etl_entregas_pyspark_spark.queries.events import q104_cdc_apply
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        read_bucketed_snapshot,
+        snapshot_view,
+        upsert_batch_bucketed,
+    )
+
+    log = _change_log(spark, sf_dir).localCheckpoint()
+    store = tempfile.mkdtemp(prefix="buck_snap_")
+    for i in range(3):
+        upsert_batch_bucketed(
+            log.filter(F.pmod(F.col("event_id"), 3) == i), i, store
+        )
+    got = _snap_rows(snapshot_view(read_bucketed_snapshot(spark, store)))
+    want = sorted(
+        (r["user_id"], round(r["current_value"], 6), r["updated_at"], r["n_ops"])
+        for r in q104_cdc_apply(spark, sf_dir).collect()
+    )
+    assert got == want
