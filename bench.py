@@ -190,6 +190,8 @@ HEADLINE = [
     "q218_scrub_budget_by_source",
     "q219_snapshot_novelty",
     "q220_mixture_plan",
+    "q221_ingest_commit",
+    "q222_live_index_probe",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
@@ -219,6 +221,15 @@ DEMO_BASELINES = {
 #     pass and prunes nothing) and <1 under density stress (sf1: q198/q126
 #     measured 0.21x) — the valve is insurance priced at ~20% of a cheap
 #     query, paying off 5x on the layout that needs it.
+#   q210/q203 (persisted-index probe vs recompute twin): >1 at toy corpus
+#     sizes (sf0.1 ~2.5 — the persisted path pays checkpoint/scan stage
+#     floors while the recompute twin's corpus re-hash is still cheap);
+#     the crossover is corpus-size-driven — the recompute twin carries a
+#     corpus-bytes term the persisted form doesn't (SCALE.md r10 ladder).
+#   q214/q202 (exact-substring span scrub APPLY vs duplication profile):
+#     ~1-1.5 expected — apply adds the coverage union + per-doc rollup on
+#     top of the profile's gram aggregate, both linear in corpus tokens;
+#     the pair guards against the apply path ever regressing superlinear.
 # Emitted into the detail JSON so the driver's BENCH_rN.json carries the
 # instrument, not just the wall clocks.
 CONTRAST_PAIRS = [
@@ -226,6 +237,8 @@ CONTRAST_PAIRS = [
     ("q198_triangles_adaptive_support", "q126_copurchase_triangles"),
     ("q194_link_prediction_adaptive", "q171_link_prediction"),
     ("q196_semdedup_scaled", "q182_semdedup"),
+    ("q210_incremental_lsh_probe_persisted", "q203_incremental_lsh_probe"),
+    ("q214_span_scrub_apply", "q202_span_dup_profile"),
 ]
 
 

@@ -2389,8 +2389,11 @@ def _q215_oracle() -> str:
     "arm is one broadcast-queries x candidates scan (the audit's "
     "necessary cost, run on a sampled query set in production — the "
     "corpus is scanned once per audit, never re-shuffled); the IVF "
-    "arms reuse the same bucketed equi-join as q73. Everything after "
-    "scoring is queries x nprobes sized (24 rows).",
+    "arm reuses the same bucketed equi-join as q73 and scores ONCE at "
+    "max(nprobe) keeping each candidate's probe rank — the smaller-"
+    "nprobe curves are rank filters over the scored rows, never a "
+    "re-join or re-score. Everything after scoring is queries x "
+    "nprobes sized (24 rows).",
 )
 def q215_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
@@ -2428,18 +2431,37 @@ def q215_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
+    # ONE scoring pass at max(nprobe), keeping each candidate's probe
+    # rank; every smaller-nprobe curve is a rank FILTER over the scored
+    # (checkpointed) rows — the dot products and the candidate join are
+    # never recomputed per nprobe (r10 VERDICT #8).
+    scored = (
+        cand.join(
+            F.broadcast(
+                probes_all.filter(
+                    F.col("rn") <= max(_RECALL_NPROBES)
+                ).select(
+                    "query_id",
+                    "q_emb",
+                    "centroid_id",
+                    F.col("rn").alias("probe_rank"),
+                )
+            ),
+            "centroid_id",
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+            "probe_rank",
+        )
+        .localCheckpoint()
+    )
     ivf_parts = []
     for np_ in _RECALL_NPROBES:
-        probed = probes_all.filter(F.col("rn") <= np_).select(
-            "query_id", "q_emb", "centroid_id"
-        )
         ivf_parts.append(
-            cand.join(F.broadcast(probed), "centroid_id")
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                cos.alias("cosine"),
-            )
+            scored.filter(F.col("probe_rank") <= np_)
+            .select("query_id", "neighbor_id", "cosine")
             .select("*", F.row_number().over(w).alias("rank"))
             .filter(F.col("rank") <= _RECALL_K)
             .select(
