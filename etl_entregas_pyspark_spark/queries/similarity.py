@@ -2372,30 +2372,17 @@ def _q215_oracle() -> str:
     """
 
 
-@register(
-    "q215_ivf_recall_audit",
-    _q215_oracle(),
-    doc="measured recall@K of the IVF probe path against the exact "
-    "brute-force ranking — q192's audit discipline (never ship an "
-    "approximate index without measuring what it misses) applied to "
-    "the second ANN arm: for each q73 query vector and each nprobe in "
-    f"{_RECALL_NPROBES}, rank the probed buckets' candidates by cosine "
-    f"(identical tie-breaks to q73), intersect with the exact top-"
-    f"{_RECALL_K} over the full candidate set, and emit (nprobe, "
-    "query_id, n_hits, recall_at_k) — the operating curve that picks "
-    "nprobe for a recall target, exactly how production tunes "
-    "IVF/FAISS probes. Monotonicity in nprobe is pinned by test. "
-    "Plan: centroids and the 8-query probe set broadcast; the exact "
-    "arm is one broadcast-queries x candidates scan (the audit's "
-    "necessary cost, run on a sampled query set in production — the "
-    "corpus is scanned once per audit, never re-shuffled); the IVF "
-    "arm reuses the same bucketed equi-join as q73 and scores ONCE at "
-    "max(nprobe) keeping each candidate's probe rank — the smaller-"
-    "nprobe curves are rank filters over the scored rows, never a "
-    "re-join or re-score. Everything after scoring is queries x "
-    "nprobes sized (24 rows).",
-)
-def q215_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q215_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """q215's scoring stages, pre-checkpoint (plan-dumpable): returns
+    ``(scored, exact, queries)``. ``scored`` is the ONE candidate×probe
+    scoring pass at max(nprobe) — each candidate row carries its probe
+    rank, so every smaller-nprobe curve derives by a rank FILTER over
+    these rows; the dot products and the candidate join are never
+    recomputed per nprobe (r10 VERDICT #8). ``exact`` is the brute-force
+    audit arm (broadcast-queries × candidates — the audit's necessary
+    cost, sampled in production)."""
     e = T(spark, sf_dir, "embeddings")
     cent = ivf_centroids(e)
     cand = ivf_assign(e.filter(F.col("vec_id") >= 16), cent, keep=1).drop("d2")
@@ -2429,12 +2416,7 @@ def q215_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= _RECALL_K)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()
     )
-    # ONE scoring pass at max(nprobe), keeping each candidate's probe
-    # rank; every smaller-nprobe curve is a rank FILTER over the scored
-    # (checkpointed) rows — the dot products and the candidate join are
-    # never recomputed per nprobe (r10 VERDICT #8).
     scored = (
         cand.join(
             F.broadcast(
@@ -2455,7 +2437,39 @@ def q215_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
             "probe_rank",
         )
-        .localCheckpoint()
+    )
+    return scored, exact, queries
+
+
+@register(
+    "q215_ivf_recall_audit",
+    _q215_oracle(),
+    doc="measured recall@K of the IVF probe path against the exact "
+    "brute-force ranking — q192's audit discipline (never ship an "
+    "approximate index without measuring what it misses) applied to "
+    "the second ANN arm: for each q73 query vector and each nprobe in "
+    f"{_RECALL_NPROBES}, rank the probed buckets' candidates by cosine "
+    f"(identical tie-breaks to q73), intersect with the exact top-"
+    f"{_RECALL_K} over the full candidate set, and emit (nprobe, "
+    "query_id, n_hits, recall_at_k) — the operating curve that picks "
+    "nprobe for a recall target, exactly how production tunes "
+    "IVF/FAISS probes. Monotonicity in nprobe is pinned by test. "
+    "Plan: centroids and the 8-query probe set broadcast; the exact "
+    "arm is one broadcast-queries x candidates scan (the audit's "
+    "necessary cost, run on a sampled query set in production — the "
+    "corpus is scanned once per audit, never re-shuffled); the IVF "
+    "arm reuses the same bucketed equi-join as q73 and scores ONCE at "
+    "max(nprobe) keeping each candidate's probe rank — the smaller-"
+    "nprobe curves are rank filters over the scored rows, never a "
+    "re-join or re-score. Everything after scoring is queries x "
+    "nprobes sized (24 rows).",
+)
+def q215_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored, exact, queries = _q215_parts(spark, sf_dir)
+    scored = scored.localCheckpoint()
+    exact = exact.localCheckpoint()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
     )
     ivf_parts = []
     for np_ in _RECALL_NPROBES:

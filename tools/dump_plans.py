@@ -163,6 +163,8 @@ HEADLINE = [
     "q218_scrub_budget_by_source",
     "q219_snapshot_novelty",
     "q220_mixture_plan",
+    "q221_ingest_commit",
+    "q222_live_index_probe",
 ]
 
 
@@ -200,9 +202,21 @@ def main() -> None:
 
         return _probe_pairs(spark, sf_dir)[0]
 
+    def _q215_scored(spark, sf_dir):
+        from etl_entregas_pyspark_spark.queries.similarity import _q215_parts
+
+        return _q215_parts(spark, sf_dir)[0]
+
     extras = {
         "q210_incremental_lsh_probe_persisted": [
             ("probe stage (pre-checkpoint): saved-index scan, no corpus text", _q210_probe)
+        ],
+        "q215_ivf_recall_audit": [
+            (
+                "scoring stage (pre-checkpoint): ONE candidate×probe join at "
+                "max(nprobe); per-nprobe curves are rank filters over it",
+                _q215_scored,
+            )
         ],
     }
 
