@@ -46,6 +46,7 @@ from etl_entregas_pyspark_spark.queries import bucketed  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import incremental  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import setjoin  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import lsh_index  # noqa: E402,F401
+from etl_entregas_pyspark_spark.queries import ivf_index  # noqa: E402,F401
 from etl_entregas_pyspark_spark.queries import geo  # noqa: E402,F401
 
 __all__ = [

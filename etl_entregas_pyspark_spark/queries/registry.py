@@ -61,11 +61,13 @@ _PRIORITY = [
     "q218_scrub_budget_by_source",
     "q219_snapshot_novelty",
     "q220_mixture_plan",
-    # (b) NEW this round: the ingest COMMIT (r10 VERDICT #3) and the
-    # live-maintained index probe (r10 VERDICT #4), both hash-green
-    # locally at sf0.001/sf0.01/sf0.1.
+    # (b) NEW this round: the ingest COMMIT (r10 VERDICT #3), the
+    # live-maintained index probe (r10 VERDICT #4), and the persisted
+    # IVF inverted file (the vector-side q210), all hash-green locally
+    # at sf0.001/sf0.01/sf0.1.
     "q221_ingest_commit",
     "q222_live_index_probe",
+    "q223_ivf_probe_persisted",
     # (c) the 13 age-4 rows the in-window r10 registrations displaced
     # (newest green row r6; swept green locally in r10 per COVERAGE.md).
     "q43_langid_heuristic",
@@ -82,8 +84,9 @@ _PRIORITY = [
     "q70_gap_fill_forward",
     "q71_alto_valor_flag",
     # (d) the r7 cohort (age 3), name-order, minus the on-change-only
-    # demos q182/q191. 30 fit; the 18 left (q76-q95 tail) head the r12
-    # window together with whatever r11 registers late.
+    # demos q182/q191. 29 fit after q223's registration; the 19 left
+    # (q75 + the q76-q95 tail) head the r12 window together with
+    # whatever r11 registers late.
     "q100_incremental_dedup",
     "q173_link_prediction_capped",
     "q174_sliding_distinct_bucketed",
@@ -113,7 +116,6 @@ _PRIORITY = [
     "q72_dedup_materialize",
     "q73_ivf_search",
     "q74_unpivot",
-    "q75_kmeans_step",
 ]
 
 

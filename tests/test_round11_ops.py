@@ -312,3 +312,65 @@ def test_bucketed_merge_counts_match_q104(spark, sf_dir):
         for r in q104_cdc_apply(spark, sf_dir).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q223 — persisted IVF inverted file
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_persisted_probe_equals_recompute(spark, sf_dir):
+    """q223 (reads the persisted inverted file) and q73 (recomputes both
+    index sides) must emit the identical top-k."""
+    from etl_entregas_pyspark_spark.queries.ivf_index import (
+        q223_ivf_probe_persisted,
+    )
+    from etl_entregas_pyspark_spark.queries.similarity import q73_ivf_search
+
+    cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    got = _rows(q223_ivf_probe_persisted(spark, sf_dir), cols)
+    want = _rows(q73_ivf_search(spark, sf_dir), cols)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ivf_index_built_once_with_bucket_layout(spark, sf_dir):
+    """Back-to-back probes must not rebuild the inverted file, and the
+    candidate table must be physically partitioned one directory per
+    centroid bucket."""
+    from etl_entregas_pyspark_spark.queries import ivf_index
+
+    ivf_index.q223_ivf_probe_persisted(spark, sf_dir).count()
+    path = ivf_index._ivf_index_path(spark, sf_dir)
+    builds_before = ivf_index.IVF_INDEX_BUILDS.get(path)
+    ivf_index.q223_ivf_probe_persisted(spark, sf_dir).count()
+    assert ivf_index.IVF_INDEX_BUILDS.get(path) == builds_before == 1
+    cand_dir = os.path.join(path, "cand")
+    buckets = [
+        e for e in os.listdir(cand_dir) if e.startswith("centroid_id=")
+    ]
+    assert len(buckets) >= 2  # one physical partition per inverted list
+
+
+def test_ivf_probe_plan_is_partition_pruned(spark, sf_dir):
+    """The executed probe plan must (a) scan the persisted candidate
+    table with a centroid_id partition filter and (b) contain NO
+    embeddings-table scan on the candidate side — the only embeddings
+    read is the 8-vector query batch (and the centroid side comes from
+    the saved table, not a recompute)."""
+    from etl_entregas_pyspark_spark.queries.ivf_index import (
+        ensure_ivf_index,
+        q223_ivf_probe_persisted,
+    )
+
+    ensure_ivf_index(spark, sf_dir)
+    plan = (
+        q223_ivf_probe_persisted(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [centroid_id" in plan
+    # the probe side is checkpointed, so the only file scans in the final
+    # plan are the saved candidate partitions — never embeddings.parquet
+    assert "embeddings.parquet" not in plan

@@ -165,6 +165,7 @@ HEADLINE = [
     "q220_mixture_plan",
     "q221_ingest_commit",
     "q222_live_index_probe",
+    "q223_ivf_probe_persisted",
 ]
 
 
