@@ -27,6 +27,17 @@ This module closes the loop:
   described: one decision row per batch doc — drop-vs-corpus beats
   drop-in-batch beats keep, deterministic min-partner tie-breaks — the
   LLM-pipeline counterpart of q104's CDC fold.
+- ``q221_ingest_commit`` (round 11) closes the loop: it applies the
+  routing — bulk-seeds the epoch-fenced store from the batch-built
+  table, appends the keepers' signatures through the live sink's own
+  ``band_index_batch``, and emits the post-ingest summary read back from
+  the committed store. Probe → route → apply → post-state: q104's full
+  CDC analogy, driver-gated end to end.
+- ``q222_live_index_probe`` (round 11) promotes the batch-vs-live index
+  equivalence to the driver gate: the corpus replayed in epoch slices
+  through the streaming maintenance path (re-delivered epoch, mid-stream
+  compaction), then the probe run against THAT store under q203's
+  oracle.
 
 The reference has no incremental path at all (one batch CSV in, one CSV
 out, ``/root/reference/src/etl_entregas.py:537-553``); this is north-star
