@@ -225,10 +225,12 @@ DEMO_BASELINES = {
 #     measured 0.21x) — the valve is insurance priced at ~20% of a cheap
 #     query, paying off 5x on the layout that needs it.
 #   q210/q203 (persisted-index probe vs recompute twin): >1 at toy corpus
-#     sizes (sf0.1 ~2.5 — the persisted path pays checkpoint/scan stage
-#     floors while the recompute twin's corpus re-hash is still cheap);
-#     the crossover is corpus-size-driven — the recompute twin carries a
-#     corpus-bytes term the persisted form doesn't (SCALE.md r10 ladder).
+#     sizes (sf0.1 ~2.1-2.4 — the persisted path pays checkpoint/scan stage
+#     floors while the recompute twin's corpus re-hash is still cheap) and
+#     <1 once the corpus costs real money to re-hash — MEASURED at sf1:
+#     0.576 / 0.561 across two r11 batteries (SCALE.md round-11 section);
+#     the recompute twin carries a corpus-bytes term the persisted form
+#     doesn't, and one decade of corpus growth flips the ratio.
 #   q214/q202 (exact-substring span scrub APPLY vs duplication profile):
 #     ~1-1.5 expected — apply adds the coverage union + per-doc rollup on
 #     top of the profile's gram aggregate, both linear in corpus tokens;

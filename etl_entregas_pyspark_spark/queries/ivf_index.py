@@ -215,18 +215,17 @@ def ensure_ivf_commit(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-_ASSIGN_STANDING_SQL = """
-        SELECT e.vec_id, e.embedding, c.centroid_id,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                   list_sum(list_transform(list_zip(e.embedding, c.c_emb),
-                            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-                               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
-                   c.centroid_id) AS rn
-        FROM (SELECT * FROM embeddings WHERE vec_id >= 16 AND vec_id % {mod} <> 0) e
-        CROSS JOIN cent c
-"""
+# both slices reuse similarity._IVF_ASSIGN_SQL (the one assignment
+# expression every IVF oracle shares) — only the {SRC} filter differs
+from etl_entregas_pyspark_spark.queries.similarity import (  # noqa: E402
+    _IVF_ASSIGN_SQL,
+)
 
-_ASSIGN_BATCH_SQL = _ASSIGN_STANDING_SQL.replace("<> 0", "= 0")
+_ASSIGN_STANDING_SQL = _IVF_ASSIGN_SQL.replace(
+    "{SRC}",
+    "(SELECT * FROM embeddings WHERE vec_id >= 16 AND vec_id % {mod} <> 0)",
+)
+_ASSIGN_BATCH_SQL = _ASSIGN_STANDING_SQL.replace("<> 0)", "= 0)")
 
 
 @register(

@@ -233,6 +233,7 @@ def test_bucketed_merge_equals_full_rewrite(spark, sf_dir, tmp_path):
     import os
 
     from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        _bucket_expr,
         _read_pointer,
         read_bucketed_snapshot,
         read_snapshot_store,
@@ -262,9 +263,7 @@ def test_bucketed_merge_equals_full_rewrite(spark, sf_dir, tmp_path):
     # untouched-bucket byte-identity: replay a 5th slice touching ONE key
     # and check every other bucket's files are the same inodes/bytes
     one_key = slices[0].orderBy("user_id", "event_id").limit(1).localCheckpoint()
-    bucket_of_key = one_key.select(
-        F.pmod(F.xxhash64("user_id"), F.lit(16)).cast("int").alias("b")
-    ).collect()[0]["b"]
+    bucket_of_key = one_key.select(_bucket_expr().alias("b")).collect()[0]["b"]
     before = {}
     for b in os.listdir(buck):
         if b.startswith("bucket="):
