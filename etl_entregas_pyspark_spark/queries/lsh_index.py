@@ -699,3 +699,213 @@ def q222_live_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand, per_batch = _probe_pairs(spark, sf_dir, corpus_bands=corpus_bands)
     return _verify_and_emit(spark, sf_dir, cand, per_batch)
+
+
+# ---------------------------------------------------------------------------
+# q226 — deletion propagation (right-to-be-forgotten): tombstone fan-out
+#         across the persisted stores, executed as a filtered compaction
+#         on an epoch-fenced copy and summarized from the POST state.
+# ---------------------------------------------------------------------------
+
+_DENY_MOD = 17  # doc_id % 17 == 1 plays the deletion request set
+
+
+def scrub_band_index(
+    spark: SparkSession, index_dir: str, deny: DataFrame
+) -> None:
+    """Remove every band row whose doc_id is in ``deny`` from an
+    epoch-fenced band-index store — the GDPR-delete path for an
+    append-only index: a filtered compaction. The committed state is
+    read (base + live epochs), anti-joined against the broadcast
+    denylist, written as a NEW base absorbing the full epoch frontier,
+    and only then does the pointer swing (compact_band_index's
+    crash-safety recipe: an interrupted scrub leaves the old state
+    intact and fully re-runnable — rows never half-disappear).
+
+    Scale: one columnar scan of the skinny index + a broadcast anti-join
+    (the denylist is request-sized); corpus text is never touched. At
+    100 TB this is the scheduled deletion compaction, and the q217
+    reconcile (run with the post-deletion corpus contract) is its
+    audit."""
+    import shutil
+
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        BAND_INDEX_COLS,
+        _commit_pointer,
+        _read_pointer,
+        read_band_index,
+    )
+
+    ptr = _read_pointer(index_dir)
+    current = read_band_index(spark, index_dir)
+    if current is None:
+        return
+    kept = current.join(
+        F.broadcast(deny.select("doc_id")), "doc_id", "left_anti"
+    )
+    new_version = ptr["version"] + 1
+    base_dir = os.path.join(index_dir, f"base=v{new_version}")
+    kept.select(*BAND_INDEX_COLS).repartition(
+        _INDEX_FILES, "band_hash"
+    ).write.mode("overwrite").parquet(base_dir)
+    old_base = ptr.get("base_version")
+    _commit_pointer(
+        index_dir,
+        ptr["epoch"],
+        new_version,
+        extra={
+            "base_version": new_version,
+            "base_through_epoch": ptr["epoch"],
+        },
+    )
+    for entry in os.listdir(index_dir):
+        if entry.startswith("epoch="):
+            try:
+                epoch = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if epoch <= ptr["epoch"]:
+                shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
+        elif old_base is not None and entry == f"base=v{old_base}":
+            shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
+
+
+def _scrub_store_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"lsh_scrub_store_{app_id}_{tag}"
+    )
+
+
+def ensure_scrubbed_store(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a dedicated store from the batch-built index and execute the
+    deletion compaction on it, once per (session, sf_dir). The shared
+    session index stays untouched (q210/q217 keep their contract); at
+    production the scrub runs in place as scheduled maintenance."""
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        _read_pointer,
+    )
+
+    path = _scrub_store_path(spark, sf_dir)
+    os.makedirs(path, exist_ok=True)
+    if _read_pointer(path).get("base_version") is not None:
+        return path
+    seed_index_store(spark, ensure_band_index(spark, sf_dir), path)
+    deny = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _DENY_MOD == 1)
+        .select("doc_id")
+    )
+    scrub_band_index(spark, path, deny)
+    return path
+
+
+@register(
+    "q226_deletion_propagation",
+    f"""
+    WITH deny AS (
+        SELECT doc_id FROM documents WHERE doc_id % {_DENY_MOD} = 1
+    ), indexed_deny AS (
+        SELECT d.doc_id FROM deny d
+        JOIN documents x ON d.doc_id = x.doc_id
+        WHERE x.doc_id % {_BATCH_MOD} <> 0
+          AND len(string_split(x.text, ' ')) >= {SHINGLE_W}
+    ), idx_before AS (
+        SELECT CAST({N_BANDS} AS BIGINT) * COUNT(*) AS n FROM documents
+        WHERE doc_id % {_BATCH_MOD} <> 0
+          AND len(string_split(text, ' ')) >= {SHINGLE_W}
+    )
+    SELECT 'band_index_rows_after' AS metric,
+           b.n - {N_BANDS} * (SELECT COUNT(*) FROM indexed_deny) AS n_rows
+    FROM idx_before b
+    UNION ALL
+    SELECT 'band_index_rows_before', n FROM idx_before
+    UNION ALL
+    SELECT 'band_index_rows_deleted',
+           CAST({N_BANDS} AS BIGINT) * COUNT(*) FROM indexed_deny
+    UNION ALL
+    SELECT 'deny_docs_indexed', CAST(COUNT(*) AS BIGINT) FROM indexed_deny
+    UNION ALL
+    SELECT 'deny_docs_total', CAST(COUNT(*) AS BIGINT) FROM deny
+    ORDER BY metric
+    """,
+    doc="right-to-be-forgotten propagation across the persisted index "
+    "(the governance leg ingest/audit don't cover): a deletion-request "
+    "set fans out into the standing band index as a FILTERED COMPACTION "
+    "— committed state anti-joined against the broadcast denylist, "
+    "rewritten as a new base, pointer swung last (compact_band_index's "
+    "crash recipe, so an interrupted scrub never half-deletes). The "
+    "summary is read from the POST-SCRUB store: before/deleted/after "
+    "row counts plus the request-set split (indexed vs total), so a "
+    "row that survived deletion — or one deleted too many — breaks the "
+    "oracle's exact arithmetic at the driver gate. Executed on a "
+    "session-dedicated copy so q210/q217's shared index keeps its "
+    "contract; in production the same function runs in place as "
+    "scheduled maintenance, and q217's reconcile (with the shrunken "
+    "corpus contract) audits it. Scale: one skinny-index scan + a "
+    "request-sized broadcast anti-join; no text, no corpus shuffle.",
+)
+def q226_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        read_band_index,
+    )
+
+    store = ensure_scrubbed_store(spark, sf_dir)
+    after_df = read_band_index(spark, store)
+    after = (
+        after_df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        if after_df is not None
+        else spark.range(1).select(F.lit(0).cast("bigint").alias("n"))
+    )
+    before = spark.read.parquet(ensure_band_index(spark, sf_dir)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    deny = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _DENY_MOD == 1)
+        .select("doc_id")
+    )
+    deny_total = deny.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    indexed_deny = deny.join(
+        spark.read.parquet(ensure_band_index(spark, sf_dir))
+        .select("doc_id")
+        .distinct(),
+        "doc_id",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    row = (
+        before.withColumnRenamed("n", "b")
+        .crossJoin(after.withColumnRenamed("n", "a"))
+        .crossJoin(deny_total.withColumnRenamed("n", "dt"))
+        .crossJoin(indexed_deny.withColumnRenamed("n", "di"))
+    )
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("band_index_rows_after").alias("metric"),
+                        F.col("a").alias("n_rows"),
+                    ),
+                    F.struct(
+                        F.lit("band_index_rows_before").alias("metric"),
+                        F.col("b").alias("n_rows"),
+                    ),
+                    F.struct(
+                        F.lit("band_index_rows_deleted").alias("metric"),
+                        (F.col("b") - F.col("a")).alias("n_rows"),
+                    ),
+                    F.struct(
+                        F.lit("deny_docs_indexed").alias("metric"),
+                        F.col("di").alias("n_rows"),
+                    ),
+                    F.struct(
+                        F.lit("deny_docs_total").alias("metric"),
+                        F.col("dt").alias("n_rows"),
+                    ),
+                )
+            ).alias("kv")
+        )
+        .select("kv.metric", "kv.n_rows")
+        .orderBy("metric")
+    )

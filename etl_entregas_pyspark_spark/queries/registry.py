@@ -70,6 +70,7 @@ _PRIORITY = [
     "q223_ivf_probe_persisted",
     "q224_ivf_ingest_commit",
     "q225_ivf_reconcile",
+    "q226_deletion_propagation",
     # (c) the 13 age-4 rows the in-window r10 registrations displaced
     # (newest green row r6; swept green locally in r10 per COVERAGE.md).
     "q43_langid_heuristic",
@@ -86,9 +87,9 @@ _PRIORITY = [
     "q70_gap_fill_forward",
     "q71_alto_valor_flag",
     # (d) the r7 cohort (age 3), name-order, minus the on-change-only
-    # demos q182/q191. 27 fit after the five round-11 registrations
-    # (new-query driver evidence outranks age-3 re-proofs); the 21 left
-    # (q73/q74/q75 + the q76-q95 tail) head the r12 window together
+    # demos q182/q191. 26 fit after the six round-11 registrations
+    # (new-query driver evidence outranks age-3 re-proofs); the 22 left
+    # (q72/q73/q74/q75 + the q76-q95 tail) head the r12 window together
     # with whatever r11 registers late.
     "q100_incremental_dedup",
     "q173_link_prediction_capped",
@@ -116,7 +117,6 @@ _PRIORITY = [
     "q34_approx_distinct",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
-    "q72_dedup_materialize",
 ]
 
 

@@ -438,3 +438,68 @@ def test_ivf_reconcile_healthy_and_detects_drift(spark, sf_dir, tmp_path):
         T(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 16).count()
     )
     assert healthy[0]["n_vectors"] == n_corpus
+
+
+# ---------------------------------------------------------------------------
+# q226 — deletion propagation (filtered compaction)
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_removes_exactly_the_denied_docs(spark, sf_dir, tmp_path):
+    """After the filtered compaction: zero rows for denied ids, every
+    other doc's rows intact, and the store layout shows a fresh base
+    with no stray epochs."""
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        _DENY_MOD,
+        ensure_band_index,
+        scrub_band_index,
+        seed_index_store,
+    )
+    from etl_entregas_pyspark_spark.queries.relational import T
+    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
+        _read_pointer,
+        read_band_index,
+    )
+
+    store = str(tmp_path / "scrub_store")
+    seed_index_store(spark, ensure_band_index(spark, sf_dir), store)
+    before = read_band_index(spark, store).collect()
+    deny = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _DENY_MOD == 1)
+        .select("doc_id")
+    )
+    deny_ids = {r["doc_id"] for r in deny.collect()}
+    scrub_band_index(spark, store, deny)
+    after = read_band_index(spark, store).collect()
+
+    assert not {r["doc_id"] for r in after} & deny_ids  # none survive
+    key = lambda r: (r["doc_id"], r["band_id"], r["band_hash"])  # noqa: E731
+    want = sorted(key(r) for r in before if r["doc_id"] not in deny_ids)
+    assert sorted(key(r) for r in after) == want  # nothing else deleted
+
+    ptr = _read_pointer(store)
+    entries = set(os.listdir(store))
+    assert f"base=v{ptr['base_version']}" in entries
+    assert not any(e.startswith("epoch=") for e in entries)
+
+
+def test_scrub_summary_arithmetic_holds(spark, sf_dir):
+    """q226's emitted counts must satisfy before - deleted = after and
+    deleted = N_BANDS x indexed deny docs."""
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        q226_deletion_propagation,
+    )
+    from etl_entregas_pyspark_spark.queries.similarity import N_BANDS
+
+    m = {
+        r["metric"]: r["n_rows"]
+        for r in q226_deletion_propagation(spark, sf_dir).collect()
+    }
+    assert (
+        m["band_index_rows_before"] - m["band_index_rows_deleted"]
+        == m["band_index_rows_after"]
+    )
+    assert m["band_index_rows_deleted"] == N_BANDS * m["deny_docs_indexed"]
+    assert m["deny_docs_indexed"] <= m["deny_docs_total"]
+    assert m["deny_docs_indexed"] > 0  # the fixture does index deny docs

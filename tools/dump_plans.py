@@ -168,6 +168,7 @@ HEADLINE = [
     "q223_ivf_probe_persisted",
     "q224_ivf_ingest_commit",
     "q225_ivf_reconcile",
+    "q226_deletion_propagation",
 ]
 
 
