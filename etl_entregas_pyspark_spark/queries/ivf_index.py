@@ -160,6 +160,8 @@ def q223_ivf_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VEC_BATCH_MOD = 5  # corpus vec_id % 5 == 0 plays the arriving batch
 
+IVF_MEMBER_COLS = ["vec_id", "centroid_id"]  # the skinny membership schema
+
 
 def _ivf_store_path(spark: SparkSession, sf_dir: str) -> str:
     app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
@@ -174,44 +176,27 @@ def ensure_ivf_commit(spark: SparkSession, sf_dir: str) -> str:
     Epoch 0 bulk-loads the STANDING corpus's (vec_id, centroid_id)
     assignment; epoch 1 assigns the arriving batch against the SAVED
     centroids (never re-assigning the standing rows — the O(batch)
-    ingest contract) and lands it with the write-directory-first /
-    swing-pointer-last commit shared with the band-index store. The
+    ingest contract) and lands it with ``EpochStore``'s write-first /
+    swing-last commit — the SAME transaction-log recipe the band-index
+    store runs (r11 VERDICT #5: one helper, three surfaces). The
     membership table is deliberately skinny — vectors live once in the
     base table; the index is WHICH list each one belongs to, which is
     what arrives, merges, and audits at 100 TB."""
-    from etl_entregas_pyspark_spark.streaming.upsert_sink import (
-        _commit_pointer,
-        _read_pointer,
-    )
+    from etl_entregas_pyspark_spark.streaming.epoch_store import EpochStore
 
     path = _ivf_store_path(spark, sf_dir)
-    os.makedirs(path, exist_ok=True)
-    if _read_pointer(path)["epoch"] >= 1:
+    store = EpochStore(path, IVF_MEMBER_COLS)
+    if store.pointer()["epoch"] >= 1:
         return path
     cent = spark.read.parquet(
         os.path.join(ensure_ivf_index(spark, sf_dir), "centroids")
     )
     e = T(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") >= 16)
-    if _read_pointer(path)["epoch"] < 0:
-        standing = corpus.filter(F.col("vec_id") % _VEC_BATCH_MOD != 0)
-        (
-            ivf_assign(standing, cent, keep=1)
-            .select("vec_id", "centroid_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "epoch=0"))
-        )
-        _commit_pointer(path, 0, 1)
+    standing = corpus.filter(F.col("vec_id") % _VEC_BATCH_MOD != 0)
+    store.seed(ivf_assign(standing, cent, keep=1))  # no-op if epoch 0 exists
     batch = corpus.filter(F.col("vec_id") % _VEC_BATCH_MOD == 0)
-    (
-        ivf_assign(batch, cent, keep=1)
-        .select("vec_id", "centroid_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "epoch=1"))
-    )
-    ptr = _read_pointer(path)  # re-read before the swing (band-index rule)
-    if ptr["epoch"] < 1:
-        _commit_pointer(path, 1, ptr["version"] + 1)
+    store.append(ivf_assign(batch, cent, keep=1), 1)  # fenced: re-runs skip
     return path
 
 

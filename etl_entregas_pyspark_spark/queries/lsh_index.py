@@ -491,25 +491,18 @@ def seed_index_store(
     epoch-fenced store (the ``streaming/upsert_sink.py`` layout) WITHOUT
     re-hashing any text: one columnar scan of the skinny band table,
     then the same write-directory-first / swing-pointer-last commit
-    ``band_index_batch`` uses. Idempotent: a committed store (epoch >= 0)
-    is left untouched. This is the production bootstrap path — an index
-    built once in batch, handed to the streaming maintainer."""
+    ``band_index_batch`` uses (``EpochStore.seed`` — idempotent: a
+    committed store is left untouched). This is the production bootstrap
+    path — an index built once in batch, handed to the streaming
+    maintainer."""
+    from etl_entregas_pyspark_spark.streaming.epoch_store import EpochStore
     from etl_entregas_pyspark_spark.streaming.upsert_sink import (
         BAND_INDEX_COLS,
-        _commit_pointer,
-        _read_pointer,
     )
 
-    os.makedirs(index_dir, exist_ok=True)
-    if _read_pointer(index_dir)["epoch"] >= 0:
-        return
-    (
+    EpochStore(index_dir, BAND_INDEX_COLS).seed(
         spark.read.parquet(standing_index_path)
-        .select(*BAND_INDEX_COLS)
-        .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "epoch=0"))
     )
-    _commit_pointer(index_dir, 0, 1)
 
 
 def _q221_oracle() -> str:
@@ -715,59 +708,28 @@ def scrub_band_index(
 ) -> None:
     """Remove every band row whose doc_id is in ``deny`` from an
     epoch-fenced band-index store — the GDPR-delete path for an
-    append-only index: a filtered compaction. The committed state is
-    read (base + live epochs), anti-joined against the broadcast
-    denylist, written as a NEW base absorbing the full epoch frontier,
-    and only then does the pointer swing (compact_band_index's
-    crash-safety recipe: an interrupted scrub leaves the old state
-    intact and fully re-runnable — rows never half-disappear).
+    append-only index: a filtered compaction (``EpochStore.scrub``). The
+    committed state is read (base + live epochs), anti-joined against
+    the broadcast denylist, written as a NEW base absorbing the epoch
+    frontier, and only then does the pointer swing — UNDER the store's
+    pointer lock, re-reading first, so a sink commit landing during the
+    scrub keeps its fresher epoch instead of being rolled back (r11
+    ADVICE #3; an interrupted scrub leaves the old state intact and
+    fully re-runnable — rows never half-disappear).
 
     Scale: one columnar scan of the skinny index + a broadcast anti-join
     (the denylist is request-sized); corpus text is never touched. At
     100 TB this is the scheduled deletion compaction, and the q217
     reconcile (run with the post-deletion corpus contract) is its
     audit."""
-    import shutil
-
+    from etl_entregas_pyspark_spark.streaming.epoch_store import EpochStore
     from etl_entregas_pyspark_spark.streaming.upsert_sink import (
         BAND_INDEX_COLS,
-        _commit_pointer,
-        _read_pointer,
-        read_band_index,
     )
 
-    ptr = _read_pointer(index_dir)
-    current = read_band_index(spark, index_dir)
-    if current is None:
-        return
-    kept = current.join(
-        F.broadcast(deny.select("doc_id")), "doc_id", "left_anti"
+    EpochStore(index_dir, BAND_INDEX_COLS).scrub(
+        spark, deny, "doc_id", n_files=_INDEX_FILES, shuffle_cols=("band_hash",)
     )
-    new_version = ptr["version"] + 1
-    base_dir = os.path.join(index_dir, f"base=v{new_version}")
-    kept.select(*BAND_INDEX_COLS).repartition(
-        _INDEX_FILES, "band_hash"
-    ).write.mode("overwrite").parquet(base_dir)
-    old_base = ptr.get("base_version")
-    _commit_pointer(
-        index_dir,
-        ptr["epoch"],
-        new_version,
-        extra={
-            "base_version": new_version,
-            "base_through_epoch": ptr["epoch"],
-        },
-    )
-    for entry in os.listdir(index_dir):
-        if entry.startswith("epoch="):
-            try:
-                epoch = int(entry.split("=", 1)[1])
-            except ValueError:
-                continue
-            if epoch <= ptr["epoch"]:
-                shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
-        elif old_base is not None and entry == f"base=v{old_base}":
-            shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
 
 
 def _scrub_store_path(spark: SparkSession, sf_dir: str) -> str:

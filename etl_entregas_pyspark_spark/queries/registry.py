@@ -51,6 +51,11 @@ _ON_CHANGE_ONLY = {
     "q191_label_noise",
 }
 
+# The demo tier is exactly the set of registered queries MANUALLY omitted
+# from _PRIORITY; the assert below (checked at import time, so every pytest
+# and driver run trips it) keeps the set and the list from silently
+# drifting apart (r11 ADVICE #4).
+
 _PRIORITY = [
     # --- round-11 window -----------------------------------------------
     # (a) never driver-checked: registered in r10 after its window filled
@@ -118,6 +123,11 @@ _PRIORITY = [
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
+
+assert _ON_CHANGE_ONLY.isdisjoint(_PRIORITY), (
+    "on-change-only demo queries must not be enqueued for driver rows: "
+    f"{sorted(_ON_CHANGE_ONLY.intersection(_PRIORITY))}"
+)
 
 
 def _ordered() -> list[str]:

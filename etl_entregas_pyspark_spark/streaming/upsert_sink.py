@@ -36,15 +36,20 @@ refinement; semantics are identical.
 
 from __future__ import annotations
 
-import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_POINTER = "_COMMITTED.json"
+from etl_entregas_pyspark_spark.streaming.epoch_store import (
+    POINTER as _POINTER,
+)
+from etl_entregas_pyspark_spark.streaming.epoch_store import (
+    EpochStore,
+    commit_pointer as _commit_pointer,
+    read_pointer as _read_pointer,
+)
 
 SNAPSHOT_COLS = [
     "user_id", "current_value", "updated_at", "last_event_id", "n_ops", "live",
@@ -129,23 +134,9 @@ def snapshot_view(store: DataFrame) -> DataFrame:
     )
 
 
-def _read_pointer(snapshot_dir: str) -> dict:
-    p = os.path.join(snapshot_dir, _POINTER)
-    if not os.path.exists(p):
-        return {"epoch": -1, "version": 0}
-    with open(p) as f:
-        return json.load(f)
-
-
-def _commit_pointer(
-    snapshot_dir: str, epoch: int, version: int, extra: dict | None = None
-) -> None:
-    fd, tmp = tempfile.mkstemp(dir=snapshot_dir, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(
-            {"epoch": int(epoch), "version": int(version), **(extra or {})}, f
-        )
-    os.replace(tmp, os.path.join(snapshot_dir, _POINTER))  # atomic on POSIX
+# Pointer primitives live in epoch_store (ONE transaction-log recipe for
+# every store in the package — r11 VERDICT #5); the `_read_pointer` /
+# `_commit_pointer` names are re-exported above for the existing callers.
 
 
 def read_snapshot_store(spark: SparkSession, snapshot_dir: str) -> DataFrame | None:
@@ -239,31 +230,10 @@ BAND_INDEX_COLS = ["doc_id", "band_id", "band_hash"]
 def read_band_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """The COMMITTED standing band index: the compacted base (if the
     pointer names one) plus every epoch directory the base has not yet
-    absorbed, at or below the committed epoch. An epoch written but not
-    yet committed (crash between write and pointer swing) is invisible
-    until its re-delivery overwrites and commits it; a base written but
-    not committed is likewise ignored; an absorbed epoch dir lingering
-    after a crash mid-cleanup is excluded by ``base_through_epoch`` —
-    readers never see a half-applied batch OR a double-counted one."""
-    ptr = _read_pointer(index_dir)
-    if ptr["epoch"] < 0:
-        return None
-    base_through = ptr.get("base_through_epoch", -1)
-    paths = []
-    if ptr.get("base_version") is not None:
-        paths.append(os.path.join(index_dir, f"base=v{ptr['base_version']}"))
-    for entry in os.listdir(index_dir):
-        if not entry.startswith("epoch="):
-            continue
-        try:
-            epoch = int(entry.split("=", 1)[1])
-        except ValueError:
-            continue
-        if base_through < epoch <= ptr["epoch"]:
-            paths.append(os.path.join(index_dir, entry))
-    if not paths:
-        return None
-    return spark.read.parquet(*paths)
+    absorbed, at or below the committed epoch — ``EpochStore.read``'s
+    exclusion rules (uncommitted epochs invisible, absorbed dirs never
+    double-counted)."""
+    return EpochStore(index_dir, BAND_INDEX_COLS).read(spark)
 
 
 def band_index_batch(
@@ -285,27 +255,20 @@ def band_index_batch(
     signatures, not text); the full Jaccard-verified routing is q211's
     job against the corpus store, and production composes it upstream.
 
-    Concurrency contract: ONE writer mutates the pointer at a time — the
-    streaming thread running this batch, or ``compact_band_index``
-    scheduled between batches. Because compaction may legitimately run
-    on a separate maintenance thread, the commit below RE-READS the
-    pointer immediately before swinging it: committing the entry-time
-    snapshot would re-emit a pre-compaction ``base_version`` /
-    ``base_through_epoch`` after the compactor already deleted the
-    absorbed epoch directories, making those rows permanently
-    unreachable. Concurrent compactions with each other (or two sinks on
-    one index_dir) remain unsupported — single pointer-writer at a time.
-    """
-    os.makedirs(index_dir, exist_ok=True)
-    ptr = _read_pointer(index_dir)
-    if epoch_id <= ptr["epoch"]:
-        return False
+    Concurrency: the fenced append is ``EpochStore.append`` — the
+    re-read→swing decision runs under the store's pointer lock, so a
+    compaction committing on a maintenance thread between this batch's
+    write and its swing can no longer be overwritten with a stale
+    ``base_version`` (the advisory check-then-act race)."""
+    store = EpochStore(index_dir, BAND_INDEX_COLS)
+    if epoch_id <= store.pointer()["epoch"]:
+        return False  # fence EARLY: skip the signature work entirely
     from etl_entregas_pyspark_spark.queries.lsh_index import band_signatures
 
     spark = batch_df.sparkSession
     sigs = band_signatures(batch_df.select("doc_id", "text"))
     if route_dups:
-        existing = read_band_index(spark, index_dir)
+        existing = store.read(spark)
         hit_old = (
             sigs.join(
                 existing.withColumnRenamed("doc_id", "old_doc"),
@@ -325,26 +288,7 @@ def band_index_batch(
         drops = hit_old.union(hit_batch) if hit_old is not None else hit_batch
         sigs = sigs.join(drops.distinct(), "doc_id", "left_anti")
     sigs = sigs.localCheckpoint()  # decide BEFORE touching the store
-    sigs.select(*BAND_INDEX_COLS).write.mode("overwrite").parquet(
-        os.path.join(index_dir, f"epoch={int(epoch_id)}")
-    )
-    # Re-read RIGHT before the swing (see concurrency contract above): a
-    # compaction that committed since entry moved base_version /
-    # base_through_epoch forward and deleted the epochs it absorbed.
-    ptr = _read_pointer(index_dir)
-    if epoch_id <= ptr["epoch"]:
-        return False  # fenced by a concurrent commit — treat as replayed
-    _commit_pointer(
-        index_dir,
-        epoch_id,
-        ptr["version"] + 1,
-        extra={
-            k: ptr[k]
-            for k in ("base_version", "base_through_epoch")
-            if k in ptr
-        },
-    )
-    return True
+    return store.append(sigs, int(epoch_id))
 
 
 def compact_band_index(spark: SparkSession, index_dir: str) -> int:
@@ -354,63 +298,16 @@ def compact_band_index(spark: SparkSession, index_dir: str) -> int:
     files instead of one small directory per micro-batch. Returns the
     number of rows in the new base.
 
-    Crash-safety mirrors the snapshot store's versioned-rewrite recipe:
-    the new ``base=v<N>`` directory is written FIRST, the pointer swings
-    to name it (recording ``base_through_epoch`` = the epoch frontier it
-    absorbed), and only then are the absorbed epoch directories and the
-    old base deleted. A crash before the swing leaves an orphan base the
-    reader never resolves; a crash mid-cleanup leaves absorbed
-    directories the reader EXCLUDES via ``base_through_epoch`` — at no
-    point can a row be read twice or lost.
-
-    Concurrency contract (shared with ``band_index_batch``): one pointer
-    writer at a time, but the batch sink MAY commit between this
-    function's entry and its pointer swing, so the swing re-reads the
-    pointer and preserves the fresher committed epoch — the base only
-    claims the frontier it actually absorbed (``absorbed_through``), and
-    cleanup deletes nothing beyond that frontier. Two compactions racing
-    each other (or two index_dirs sharing a pointer) are unsupported."""
-    import shutil
-
+    Crash-safety and the batch-vs-compaction race are ``EpochStore.
+    compact``'s contract: base written FIRST, pointer swung under the
+    store's lock preserving any fresher concurrent commit (the base only
+    claims the frontier it actually absorbed), cleanup last — at no
+    point can a row be read twice or lost."""
     from etl_entregas_pyspark_spark.queries.lsh_index import _INDEX_FILES
 
-    ptr = _read_pointer(index_dir)
-    if ptr["epoch"] < 0:
-        return 0
-    absorbed_through = ptr["epoch"]  # the frontier the new base contains
-    current = read_band_index(spark, index_dir)
-    new_version = ptr["version"] + 1
-    base_dir = os.path.join(index_dir, f"base=v{new_version}")
-    current.select(*BAND_INDEX_COLS).repartition(
-        _INDEX_FILES, "band_hash"
-    ).write.mode("overwrite").parquet(base_dir)
-    n_rows = spark.read.parquet(base_dir).count()
-    old_base = ptr.get("base_version")
-    # Re-read before the swing: a batch epoch committed since entry must
-    # keep its (higher) epoch pointer; its directory is NOT in this base
-    # (epoch > absorbed_through), so the reader still unions it in.
-    fresh = _read_pointer(index_dir)
-    _commit_pointer(
-        index_dir,
-        max(fresh["epoch"], absorbed_through),
-        max(fresh["version"], new_version) + 1,
-        extra={
-            "base_version": new_version,
-            "base_through_epoch": absorbed_through,
-        },
+    return EpochStore(index_dir, BAND_INDEX_COLS).compact(
+        spark, n_files=_INDEX_FILES, shuffle_cols=("band_hash",)
     )
-    # cleanup AFTER the swing: failures here cost disk, never correctness
-    for entry in os.listdir(index_dir):
-        if entry.startswith("epoch="):
-            try:
-                epoch = int(entry.split("=", 1)[1])
-            except ValueError:
-                continue
-            if epoch <= absorbed_through:
-                shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
-        elif old_base is not None and entry == f"base=v{old_base}":
-            shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
-    return n_rows
 
 
 def start_band_index_sink(
@@ -497,6 +394,15 @@ def upsert_batch_bucketed(
     touched = sorted(
         r["_bucket"] for r in batch.select("_bucket").distinct().collect()
     )
+    if not touched:
+        # Empty micro-batch (foreachBatch may deliver them): no bucket to
+        # merge, but the epoch must still be FENCED — commit the pointer
+        # with the manifest unchanged so a later re-delivery of this
+        # epoch stays a no-op and the epoch sequence never regresses.
+        _commit_pointer(
+            snapshot_dir, epoch_id, ptr["version"], extra={"buckets": manifest}
+        )
+        return True
     existing_paths = [
         os.path.join(snapshot_dir, f"bucket={b}", f"v{manifest[str(b)]}")
         for b in touched
