@@ -39,6 +39,7 @@ from pyspark.sql.window import Window
 
 from etl_entregas_pyspark_spark.queries.registry import REGISTRY, register
 from etl_entregas_pyspark_spark.queries.relational import T
+from etl_entregas_pyspark_spark.streaming.epoch_store import EpochStore
 from etl_entregas_pyspark_spark.queries.similarity import (
     _IVF_TOPK,
     _NPROBE,
@@ -182,8 +183,6 @@ def ensure_ivf_commit(spark: SparkSession, sf_dir: str) -> str:
     membership table is deliberately skinny — vectors live once in the
     base table; the index is WHICH list each one belongs to, which is
     what arrives, merges, and audits at 100 TB."""
-    from etl_entregas_pyspark_spark.streaming.epoch_store import EpochStore
-
     path = _ivf_store_path(spark, sf_dir)
     store = EpochStore(path, IVF_MEMBER_COLS)
     if store.pointer()["epoch"] >= 1:
@@ -324,4 +323,326 @@ def q225_ivf_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
         .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — IVF governance parity with the LSH band index (r11 VERDICT #2/#3):
+# the membership store gets the full standing-index lifecycle the band index
+# has — a streaming foreachBatch maintainer, epoch compaction, deletion
+# propagation, and a live-vs-batch equivalence probe at the driver gate.
+# All pointer plumbing is the shared EpochStore (streaming/epoch_store.py).
+# ---------------------------------------------------------------------------
+
+_MEMBER_FILES = 4  # membership-table files per base (test-scale config)
+
+
+def ivf_membership_batch(
+    batch_df: DataFrame, epoch_id: int, store_dir: str, centroids_path: str
+) -> bool:
+    """foreachBatch body for LIVE maintenance of the IVF membership table
+    (the vector-side twin of ``band_index_batch``): the arriving vectors
+    are assigned against the SAVED centroids only — O(batch × C), the
+    standing memberships are never recomputed — and the skinny (vec_id,
+    centroid_id) rows land as a fenced epoch append (``EpochStore``:
+    re-delivered epochs are no-ops, write-first/swing-last under the
+    pointer lock). This is FAISS's ``add()`` as an exactly-once table
+    commit; per-epoch cost never touches the corpus."""
+    store = EpochStore(store_dir, IVF_MEMBER_COLS)
+    if epoch_id <= store.pointer()["epoch"]:
+        return False  # fence EARLY: skip the assignment work entirely
+    spark = batch_df.sparkSession
+    cent = spark.read.parquet(centroids_path)
+    assigned = ivf_assign(
+        batch_df.select("vec_id", "embedding"), cent, keep=1
+    ).localCheckpoint()  # decide BEFORE touching the store
+    return store.append(assigned, int(epoch_id))
+
+
+def start_ivf_membership_sink(
+    vec_stream: DataFrame, store_dir: str, centroids_path: str,
+    checkpoint_dir: str,
+):
+    """Run a streaming vector source (vec_id, embedding) into the live
+    membership store — the production shape ``ensure_live_ivf_membership``
+    replays deterministically for the driver gate."""
+    return (
+        vec_stream.writeStream.foreachBatch(
+            lambda df, epoch: ivf_membership_batch(
+                df, epoch, store_dir, centroids_path
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def compact_ivf_membership(spark: SparkSession, store_dir: str) -> int:
+    """Fold the membership store's epoch directories into one
+    centroid-clustered base (``EpochStore.compact``) — the maintenance
+    pass that stops ``epoch=N`` dirs accumulating unboundedly across
+    ingests (the r11 governance gap). Returns the new base's row count."""
+    return EpochStore(store_dir, IVF_MEMBER_COLS).compact(
+        spark, n_files=_MEMBER_FILES, shuffle_cols=("centroid_id",)
+    )
+
+
+def scrub_ivf_membership(
+    spark: SparkSession, store_dir: str, deny: DataFrame
+) -> int:
+    """Deletion propagation for the vector index (q226's filtered
+    compaction on the membership store): every membership row whose
+    vec_id is in the request-sized broadcast denylist is removed in one
+    crash-safe base rewrite — an interrupted scrub never half-deletes.
+    Returns the surviving row count."""
+    return EpochStore(store_dir, IVF_MEMBER_COLS).scrub(
+        spark, deny, "vec_id", n_files=_MEMBER_FILES,
+        shuffle_cols=("centroid_id",),
+    )
+
+
+# -- q227: deletion propagation --------------------------------------------
+
+_VEC_DENY_MOD = 13  # vec_id % 13 == 2 plays the forget-request set
+
+
+def _ivf_scrub_store_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"ivf_scrub_store_{app_id}_{tag}")
+
+
+def ensure_scrubbed_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a dedicated membership store from q224's committed epochs
+    (two skinny scans — no re-assignment) and execute the deletion
+    compaction on it, once per (session, sf_dir). The shared commit
+    store stays untouched (q224/q225 keep their contract); in
+    production the scrub runs in place as scheduled maintenance."""
+    path = _ivf_scrub_store_path(spark, sf_dir)
+    store = EpochStore(path, IVF_MEMBER_COLS)
+    if store.pointer().get("base_version") is not None:
+        return path
+    shared = ensure_ivf_commit(spark, sf_dir)
+    store.seed(spark.read.parquet(os.path.join(shared, "epoch=0")))
+    store.append(spark.read.parquet(os.path.join(shared, "epoch=1")), 1)
+    deny = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _VEC_DENY_MOD == 2)
+        .select("vec_id")
+    )
+    scrub_ivf_membership(spark, path, deny)
+    return path
+
+
+@register(
+    "q227_ivf_deletion_propagation",
+    f"""
+    WITH deny AS (
+        SELECT vec_id FROM embeddings WHERE vec_id % {_VEC_DENY_MOD} = 2
+    ), corpus AS (
+        SELECT vec_id FROM embeddings WHERE vec_id >= 16
+    ), indexed_deny AS (
+        SELECT d.vec_id FROM deny d JOIN corpus c ON d.vec_id = c.vec_id
+    )
+    SELECT 'deny_vecs_indexed' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS n_rows FROM indexed_deny
+    UNION ALL SELECT 'deny_vecs_total', CAST(COUNT(*) AS BIGINT) FROM deny
+    UNION ALL SELECT 'membership_rows_after',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM indexed_deny)
+    UNION ALL SELECT 'membership_rows_before',
+           CAST(COUNT(*) AS BIGINT) FROM corpus
+    UNION ALL SELECT 'membership_rows_deleted',
+           CAST(COUNT(*) AS BIGINT) FROM indexed_deny
+    ORDER BY metric
+    """,
+    doc="right-to-be-forgotten propagation into the VECTOR index — the "
+    "governance leg the r11 verdict called out as missing (a forget "
+    "request could reach the LSH band index via q226 but not the IVF "
+    "membership store): the request set fans out as q226's filtered "
+    "compaction, executed by the SAME EpochStore.scrub recipe — "
+    "committed state anti-joined against the broadcast denylist, "
+    "rewritten as one centroid-clustered base, pointer swung last under "
+    "the store lock, so an interrupted scrub never half-deletes and a "
+    "sink commit landing mid-scrub keeps its epoch. The summary is read "
+    "from the POST-SCRUB store: before/deleted/after row counts plus "
+    "the request-set split (indexed vs total), so a membership row that "
+    "survived deletion — or one deleted too many — breaks the oracle's "
+    "exact arithmetic at the driver gate. Runs on a session-dedicated "
+    "copy seeded from q224's committed epochs (two skinny scans, zero "
+    "re-assignment); q225's reconcile (with the shrunken corpus "
+    "contract) is its audit. Scale: one scan of the skinny membership "
+    "table + a request-sized broadcast anti-join; embeddings are never "
+    "read, nothing corpus-sized shuffles.",
+)
+def q227_ivf_deletion_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = ensure_scrubbed_ivf_store(spark, sf_dir)
+    after_df = EpochStore(path, IVF_MEMBER_COLS).read(spark)
+    after = (
+        after_df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        if after_df is not None
+        else spark.range(1).select(F.lit(0).cast("bigint").alias("n"))
+    )
+    shared = ensure_ivf_commit(spark, sf_dir)
+    members = spark.read.parquet(
+        os.path.join(shared, "epoch=0"), os.path.join(shared, "epoch=1")
+    )
+    before = members.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    deny = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _VEC_DENY_MOD == 2)
+        .select("vec_id")
+    )
+    deny_total = deny.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    indexed_deny = deny.join(
+        members.select("vec_id").distinct(), "vec_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    row = (
+        before.withColumnRenamed("n", "b")
+        .crossJoin(after.withColumnRenamed("n", "a"))
+        .crossJoin(deny_total.withColumnRenamed("n", "dt"))
+        .crossJoin(indexed_deny.withColumnRenamed("n", "di"))
+    )
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("deny_vecs_indexed").alias("metric"),
+                        F.col("di").alias("n_rows"),
+                    ),
+                    F.struct(
+                        F.lit("deny_vecs_total").alias("metric"),
+                        F.col("dt").alias("n_rows"),
+                    ),
+                    F.struct(
+                        F.lit("membership_rows_after").alias("metric"),
+                        F.col("a").alias("n_rows"),
+                    ),
+                    F.struct(
+                        F.lit("membership_rows_before").alias("metric"),
+                        F.col("b").alias("n_rows"),
+                    ),
+                    F.struct(
+                        F.lit("membership_rows_deleted").alias("metric"),
+                        (F.col("b") - F.col("a")).alias("n_rows"),
+                    ),
+                )
+            ).alias("kv")
+        )
+        .select("kv.metric", "kv.n_rows")
+        .orderBy("metric")
+    )
+
+
+# -- q228: live-vs-batch equivalence at the driver gate ---------------------
+
+_LIVE_VEC_EPOCHS = 3
+
+
+def _ivf_live_store_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"ivf_live_store_{app_id}_{tag}")
+
+
+def ensure_live_ivf_membership(spark: SparkSession, sf_dir: str) -> str:
+    """Build the corpus's IVF membership the LIVE way, once per
+    (session, sf_dir): the corpus arrives in three vec_id-keyed epoch
+    slices through ``ivf_membership_batch`` (the foreachBatch body of the
+    streaming sink), with epoch 1 deliberately RE-DELIVERED (at-least-once
+    recovery — must fence to a no-op) and a ``compact_ivf_membership``
+    after epoch 1 (so the final read unions a compacted base WITH a
+    post-compaction epoch dir — the q222 replay shape for vectors)."""
+    path = _ivf_live_store_path(spark, sf_dir)
+    store = EpochStore(path, IVF_MEMBER_COLS)
+    if store.pointer()["epoch"] >= _LIVE_VEC_EPOCHS - 1:
+        return path
+    cent_path = os.path.join(ensure_ivf_index(spark, sf_dir), "centroids")
+    corpus = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= 16)
+        .select("vec_id", "embedding")
+    )
+    sl = F.pmod(F.col("vec_id"), 3)
+    ivf_membership_batch(corpus.filter(sl == 0), 0, path, cent_path)
+    ivf_membership_batch(corpus.filter(sl == 1), 1, path, cent_path)
+    ivf_membership_batch(corpus.filter(sl == 1), 1, path, cent_path)  # no-op
+    compact_ivf_membership(spark, path)  # absorbs epochs 0-1 into base=v*
+    ivf_membership_batch(corpus.filter(sl == 2), 2, path, cent_path)
+    return path
+
+
+@register(
+    "q228_live_ivf_probe",
+    REGISTRY["q73_ivf_search"].oracle,
+    doc="q223's IVF ANN probe with the inverted lists resolved from the "
+    "LIVE-MAINTAINED membership store: the corpus is replayed in three "
+    "epoch slices through ivf_membership_batch (the streaming sink's "
+    "foreachBatch body — each slice assigned against the SAVED "
+    "centroids only), including a deliberately re-delivered epoch "
+    "(exactly-once fencing must skip it) and a mid-stream "
+    "compact_ivf_membership (the final read unions the compacted base "
+    "with a post-compaction epoch — the governance pass q227/compact "
+    "add this round, exercised under the probe). The probe assigns the "
+    "query batch fresh, pulls the <= C probed bucket ids as model "
+    "state, restricts the MEMBERSHIP table to those lists, and joins "
+    "the member ids back to the embeddings table to rank — vectors "
+    "live ONCE in the base table; the index moves only skinny (vec_id, "
+    "centroid_id) rows, which is what a 100-TB deployment replicates "
+    "hot. The oracle is q73's SQL — the same top-k the recompute twin "
+    "(q73) and the persisted-file twin (q223) prove — so one green "
+    "driver row certifies live-vs-batch IVF index equivalence "
+    "end-to-end: fencing, pointer crash-safety, compaction "
+    "content-preservation, and base+epoch union reads, completing the "
+    "q222 pattern for the vector family. Scale: per-epoch maintenance "
+    "is O(batch x C); the probe reads ~nprobe/C of the membership "
+    "table plus an id-keyed pull of just those members' vectors.",
+)
+def q228_live_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store_dir = ensure_live_ivf_membership(spark, sf_dir)
+    cent = spark.read.parquet(
+        os.path.join(ensure_ivf_index(spark, sf_dir), "centroids")
+    )
+    e = T(spark, sf_dir, "embeddings")
+    probes = (
+        ivf_assign(
+            e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+            cent,
+            _NPROBE,
+        )
+        .drop("d2")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "centroid_id",
+        )
+        .localCheckpoint()
+    )
+    # <= C-row model-state pull: which inverted lists to open
+    buckets = [
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    members = (
+        EpochStore(store_dir, IVF_MEMBER_COLS)
+        .read(spark)
+        .filter(F.col("centroid_id").isin(buckets))
+    )
+    cand = members.join(e.select("vec_id", "embedding"), "vec_id")
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _IVF_TOPK)
     )

@@ -57,71 +57,68 @@ _ON_CHANGE_ONLY = {
 # drifting apart (r11 ADVICE #4).
 
 _PRIORITY = [
-    # --- round-11 window -----------------------------------------------
-    # (a) never driver-checked: registered in r10 after its window filled
-    # (locally hash-green at all three scales — COVERAGE.md round-10
-    # section; re-verified by the r10 judge).
-    "q216_stream_disordered_join",
-    "q217_band_index_reconcile",
-    "q218_scrub_budget_by_source",
-    "q219_snapshot_novelty",
-    "q220_mixture_plan",
-    # (b) NEW this round: the ingest COMMIT (r10 VERDICT #3), the
-    # live-maintained index probe (r10 VERDICT #4), and the persisted
-    # IVF inverted file (the vector-side q210), all hash-green locally
-    # at sf0.001/sf0.01/sf0.1.
-    "q221_ingest_commit",
-    "q222_live_index_probe",
-    "q223_ivf_probe_persisted",
-    "q224_ivf_ingest_commit",
-    "q225_ivf_reconcile",
-    "q226_deletion_propagation",
-    # (c) the 13 age-4 rows the in-window r10 registrations displaced
-    # (newest green row r6; swept green locally in r10 per COVERAGE.md).
-    "q43_langid_heuristic",
-    "q49_posexplode",
-    "q57_multimodal_decode",
-    "q62_dedup_components",
-    "q63_deterministic_split",
-    "q64_decontamination",
-    "q65_statistical_moments",
-    "q66_chunking",
-    "q67_stratified_sample",
-    "q68_int8_quantization",
-    "q69_trailing_range_window",
-    "q70_gap_fill_forward",
-    "q71_alto_valor_flag",
-    # (d) the r7 cohort (age 3), name-order, minus the on-change-only
-    # demos q182/q191. 26 fit after the six round-11 registrations
-    # (new-query driver evidence outranks age-3 re-proofs); the 22 left
-    # (q72/q73/q74/q75 + the q76-q95 tail) head the r12 window together
-    # with whatever r11 registers late.
-    "q100_incremental_dedup",
-    "q173_link_prediction_capped",
-    "q174_sliding_distinct_bucketed",
-    "q175_stream_sliding_distinct",
-    "q176_hll_sketch_rollup",
-    "q177_jl_projection_topk",
-    "q178_group_split",
-    "q179_hard_negative_mining",
-    "q180_contamination_score",
-    "q181_balanced_resample",
-    "q183_phash_near_dup",
-    "q184_rolling_psi",
-    "q185_compaction_planner",
-    "q186_cohens_kappa",
-    "q187_merkle_partition_diff",
-    "q188_pretrain_funnel",
-    "q189_sketch_calibration",
-    "q190_stratified_kfold",
-    "q192_lsh_recall_audit",
-    "q193_epoch_shuffle",
-    "q194_link_prediction_adaptive",
-    "q195_source_overlap_matrix",
-    "q196_semdedup_scaled",
-    "q34_approx_distinct",
-    "q60_entregas_pipeline",
-    "q61_entregas_quality_metrics",
+    # --- round-12 window (the r11 VERDICT #1 rotation plan) -------------
+    # (a) NEW this round: IVF governance parity with the band index —
+    # deletion propagation (r11 VERDICT #2) and the live-maintained
+    # membership probe (r11 VERDICT #3), hash-green locally at
+    # sf0.001/sf0.01/sf0.1 (COVERAGE.md round-12 section).
+    "q227_ivf_deletion_propagation",
+    "q228_live_ivf_probe",
+    # (b) the r7-cohort tail (age 4 — the oldest evidence in the
+    # registry; the 26-row head of that cohort re-proved in r11),
+    # name-order, minus the on-change-only demos q182/q191.
+    "q72_dedup_materialize",
+    "q73_ivf_search",
+    "q74_unpivot",
+    "q75_kmeans_step",
+    "q76_grouping_sets",
+    "q77_edit_distance_pairs",
+    "q78_tfidf_top_terms",
+    "q79_salted_aggregate",
+    "q80_latest_per_key",
+    "q81_reconciliation",
+    "q82_sequence_packing",
+    "q84_funnel",
+    "q85_repetition_profile",
+    "q86_mixture_weights",
+    "q87_expectation_audit",
+    "q88_corpus_filter",
+    "q89_heavy_hitters",
+    "q90_denylist_scrub",
+    "q91_exists_decorrelated",
+    "q92_length_histogram",
+    "q94_scd2_intervals",
+    "q95_partial_merge",
+    # (c) the oldest r8-cohort rows (age 3), name-order; 26 fit. The
+    # cohort's remainder (q124_hourly_churn ... q99_rfm_segments, 24
+    # rows) heads the r13 window together with whatever r12 registers
+    # late.
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q06_global_agg",
+    "q101_ohlc_bars",
+    "q102_rolling_zscore",
+    "q103_bigram_counts",
+    "q104_cdc_apply",
+    "q105_per_key_sample",
+    "q106_kmeans_loop",
+    "q107_skew_split_join",
+    "q108_twap",
+    "q109_minmax_scale",
+    "q110_boilerplate_score",
+    "q111_cluster_canonical",
+    "q112_winsorize",
+    "q113_debounce_dedup",
+    "q114_user_paths",
+    "q115_pagerank",
+    "q116_pii_redaction",
+    "q117_vocab_coverage",
+    "q118_basket_pairs",
+    "q119_benford_audit",
+    "q120_transition_matrix",
+    "q121_mad_outliers",
+    "q122_group_ols",
+    "q123_weighted_sample",
 ]
 
 assert _ON_CHANGE_ONLY.isdisjoint(_PRIORITY), (
