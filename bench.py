@@ -196,6 +196,10 @@ HEADLINE = [
     "q224_ivf_ingest_commit",
     "q225_ivf_reconcile",
     "q226_deletion_propagation",
+    "q227_ivf_deletion_propagation",
+    "q228_live_ivf_probe",
+    "q229_ivf_scrub_under_ingest",
+    "q230_ivf_nprobe_sweep",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
@@ -236,6 +240,12 @@ DEMO_BASELINES = {
 #     ~1-1.5 expected — apply adds the coverage union + per-doc rollup on
 #     top of the profile's gram aggregate, both linear in corpus tokens;
 #     the pair guards against the apply path ever regressing superlinear.
+#   q228/q73 (live-maintained IVF probe vs recompute twin — q222/q203's
+#     pattern for vectors): >1 at toy scale (the live path pays the
+#     store read + first-run replay amortization while q73's corpus
+#     re-assignment is still cheap) and flips once re-assigning the
+#     corpus costs real money — same decade-of-growth argument as
+#     q210/q203, measured there at sf1 (0.58).
 # Emitted into the detail JSON so the driver's BENCH_rN.json carries the
 # instrument, not just the wall clocks.
 CONTRAST_PAIRS = [
@@ -245,6 +255,7 @@ CONTRAST_PAIRS = [
     ("q196_semdedup_scaled", "q182_semdedup"),
     ("q210_incremental_lsh_probe_persisted", "q203_incremental_lsh_probe"),
     ("q214_span_scrub_apply", "q202_span_dup_profile"),
+    ("q228_live_ivf_probe", "q73_ivf_search"),
 ]
 
 

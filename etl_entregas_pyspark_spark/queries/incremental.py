@@ -120,52 +120,28 @@ def q175_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured growth exponent alpha = 0.21 over 1x/2x/4x replica layouts
     # (tools/growth_exponent.py, SCALE.md round-9 table): micro-batch
     # trigger overhead is the floor; state stays pruned as volume grows
-    import glob as _glob
-    import os
-    import shutil
-    import tempfile
-    import time
-
     from etl_entregas_pyspark_spark.streaming.stateful import (
         streaming_sliding_distinct,
     )
-    from etl_entregas_pyspark_spark.streaming.streams import read_event_stream
 
-    src = tempfile.mkdtemp(prefix="q175_replay_")
-    sink = "q175_sliding_distinct"
-    try:
+    def build():
         e = E(spark, sf_dir)
-        base_mtime = time.time()
-        lo = 0
-        for i, hi in enumerate(_SLICES):
-            chunk = e.filter(
-                (F.dayofmonth("ts") > lo) & (F.dayofmonth("ts") <= hi)
+        out, lo = [], 0
+        for hi in _SLICES:
+            out.append(
+                e.filter((F.dayofmonth("ts") > lo) & (F.dayofmonth("ts") <= hi))
             )
-            stage = os.path.join(src, f"_stage{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"slice{i}.parquet")
-            os.rename(part, dst)
-            # FileStreamSource orders by modification time: stamp slices
-            # with strictly increasing mtimes instead of sleeping
-            os.utime(dst, (base_mtime + i, base_mtime + i))
-            shutil.rmtree(stage, ignore_errors=True)
             lo = hi
-        stream = read_event_stream(spark, src, max_files_per_trigger=1)
-        q = (
-            streaming_sliding_distinct(stream)
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        # materialize off the transient memory sink so the returned frame
-        # survives the next invocation's queryName reuse
-        return spark.table(sink).localCheckpoint()
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+        return out
+
+    return _replay_disordered(
+        spark,
+        sf_dir,
+        "inorder4",
+        build,
+        streaming_sliding_distinct,
+        "q175_sliding_distinct",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -228,81 +204,25 @@ _Q201_ORACLE = f"""
     "precisely what this query proves costs no correctness.",
 )
 def q201_stream_disordered_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob as _glob
-    import os
-    import shutil
-    import tempfile
-    import time
-
-    from pyspark.sql.window import Window as W
-
     from etl_entregas_pyspark_spark.streaming.streams import (
-        read_event_stream,
         tumbling_counts_stream,
     )
 
-    cols = ["event_id", "user_id", "event_type", "ts", "value"]
-    e = E(spark, sf_dir).select(*cols).localCheckpoint()
-    a = e.filter(F.dayofmonth("ts") <= 10)
-    b1 = e.filter((F.dayofmonth("ts") > 20) & (F.dayofmonth("ts") <= 25))
-    b2 = e.filter(F.dayofmonth("ts") > 25)
-    c = e.filter((F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20))
-    # D: new late-but-within-horizon rows — model-state cutoff (the 1-row
-    # max broadcasts into the filter; the harness never collects data)
-    maxb = b2.agg(F.max("ts").alias("max_ts"))
-    d = (
-        b2.crossJoin(F.broadcast(maxb))
-        .filter(F.col("ts") > F.col("max_ts") - F.expr("INTERVAL 30 MINUTES"))
-        .drop("max_ts")
-        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
-    )
-    # far-future sentinels from the unique newest B2 row (ties broken by
-    # event_id, mirroring the oracle's ORDER BY ts DESC, event_id DESC)
-    newest = (
-        b2.withColumn(
-            "rn",
-            F.row_number().over(
-                W.orderBy(F.col("ts").desc(), F.col("event_id").desc())
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    def build():
+        # q201's original inline cut IS _disordered_cut (the helper was
+        # extracted from it for q212/q213/q216); the slices now also SHARE
+        # q212's cached directory — identical 7-slice schedule ("disorder7")
+        a, b1, b2, c, d, sentinel = _disordered_cut(spark, sf_dir)
+        return [a, b1, b2, c, d, sentinel(10), sentinel(20)]
 
-    def sentinel(days: int) -> DataFrame:
-        return newest.select(
-            (F.col("event_id") + F.lit(20_000_000 + days)).alias("event_id"),
-            "user_id",
-            "event_type",
-            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            "value",
-        )
-
-    src = tempfile.mkdtemp(prefix="q201_disorder_")
-    sink = "q201_disordered_tumbling"
-    try:
-        base_mtime = time.time()
-        for i, chunk in enumerate([a, b1, b2, c, d, sentinel(10), sentinel(20)]):
-            stage = os.path.join(src, f"_stage{i}")
-            chunk.select(*cols).coalesce(1).write.mode("overwrite").parquet(stage)
-            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"slice{i}.parquet")
-            os.rename(part, dst)
-            os.utime(dst, (base_mtime + i, base_mtime + i))
-            shutil.rmtree(stage, ignore_errors=True)
-        stream = read_event_stream(spark, src, max_files_per_trigger=1)
-        q = (
-            tumbling_counts_stream(stream, watermark="1 hour", exact_scale=6)
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        return spark.table(sink).localCheckpoint()
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
+    return _replay_disordered(
+        spark,
+        sf_dir,
+        "disorder7",
+        build,
+        lambda s: tumbling_counts_stream(s, watermark="1 hour", exact_scale=6),
+        "q201_disordered_tumbling",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -364,31 +284,78 @@ def _disordered_cut(spark: SparkSession, sf_dir: str):
     return a, b1, b2, c, d, sentinel
 
 
-def _replay_disordered(spark: SparkSession, slices, make_query, sink: str) -> DataFrame:
-    """Write each slice as ONE mtime-paced parquet file, replay them as
-    single-file triggers through ``make_query(stream)`` into an
-    append-mode memory sink, and return the materialized emissions."""
+# ---------------------------------------------------------------------------
+# Consolidated replay instrument (r11 VERDICT #4, landed r13). Two changes
+# relative to the per-query plumbing the replays shipped with:
+#
+# 1. **Slice the source ONCE.** The mtime-paced slice files are immutable
+#    per (session, sf_dir, schedule), so they are built once and cached —
+#    q201/q212 literally share one directory (identical 7-slice schedule),
+#    and the bench's warm-up + min-of-N passes stop rebuilding slices on
+#    every pass (previously ~1/3 of each replay's wall time).
+# 2. **Replay-sized state stores.** Streaming state is partitioned by the
+#    session's shuffle-partition count at query start, and EVERY partition
+#    pays a state-store commit per trigger. At 32 partitions the five
+#    replays paid 32 × triggers × (1–4 stores/partition) commits for
+#    state that is replay-sized; the runs now pin
+#    ``_REPLAY_STATE_PARTITIONS`` for the stream's lifetime (restored
+#    after). Semantics are partitioning-independent (hash-partitioned
+#    keyed state; the oracles hash sorted output). Production sinks keep
+#    inheriting the session conf — sizing state partitions to the
+#    deployment is the operator's knob, this is the test-scale setting.
+# ---------------------------------------------------------------------------
+
+_REPLAY_STATE_PARTITIONS = 8
+
+# (applicationId, sf_dir, schedule tag) -> slice directory. In-process
+# cache: the entry is set only after every slice file landed, so a crash
+# mid-build just rebuilds a fresh tempdir next call.
+_REPLAY_SRC_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _ensure_replay_src(spark: SparkSession, sf_dir: str, tag: str, build) -> str:
+    """Write ``build()``'s slices as mtime-paced single parquet files,
+    once per (session, sf_dir, ``tag``); return the cached directory."""
     import glob as _glob
     import os
     import shutil
     import tempfile
     import time
 
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), tag)
+    cached = _REPLAY_SRC_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    src = tempfile.mkdtemp(prefix=f"replay_{tag}_")
+    base_mtime = time.time()
+    for i, chunk in enumerate(build()):
+        stage = os.path.join(src, f"_stage{i}")
+        chunk.select(*_DISORDER_COLS).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"slice{i}.parquet")
+        os.rename(part, dst)
+        # FileStreamSource orders by modification time: stamp slices
+        # with strictly increasing mtimes instead of sleeping
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+        shutil.rmtree(stage, ignore_errors=True)
+    _REPLAY_SRC_CACHE[key] = src
+    return src
+
+
+def _run_replay(spark: SparkSession, src: str, make_query, sink: str) -> DataFrame:
+    """Replay the prepared slice dir as single-file triggers through
+    ``make_query(stream)`` into an append-mode memory sink; return the
+    materialized emissions. State stores run at
+    ``_REPLAY_STATE_PARTITIONS`` for the query's lifetime."""
     from etl_entregas_pyspark_spark.streaming.streams import read_event_stream
 
-    src = tempfile.mkdtemp(prefix=f"{sink}_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_REPLAY_STATE_PARTITIONS)
+    )
     try:
-        base_mtime = time.time()
-        for i, chunk in enumerate(slices):
-            stage = os.path.join(src, f"_stage{i}")
-            chunk.select(*_DISORDER_COLS).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(stage)
-            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"slice{i}.parquet")
-            os.rename(part, dst)
-            os.utime(dst, (base_mtime + i, base_mtime + i))
-            shutil.rmtree(stage, ignore_errors=True)
         stream = read_event_stream(spark, src, max_files_per_trigger=1)
         q = (
             make_query(stream)
@@ -399,9 +366,21 @@ def _replay_disordered(spark: SparkSession, slices, make_query, sink: str) -> Da
         )
         q.processAllAvailable()
         q.stop()
+        # materialize off the transient memory sink so the returned frame
+        # survives the next invocation's queryName reuse
         return spark.table(sink).localCheckpoint()
     finally:
-        shutil.rmtree(src, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _replay_disordered(
+    spark: SparkSession, sf_dir: str, tag: str, build, make_query, sink: str
+) -> DataFrame:
+    """Cached slice build + replay run (the shape all five replay queries
+    share)."""
+    return _run_replay(
+        spark, _ensure_replay_src(spark, sf_dir, tag, build), make_query, sink
+    )
 
 
 _Q212_ORACLE = f"""
@@ -465,10 +444,15 @@ _Q212_ORACLE = f"""
 def q212_stream_disordered_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_entregas_pyspark_spark.streaming.streams import sessionized_stream
 
-    a, b1, b2, c, d, sentinel = _disordered_cut(spark, sf_dir)
+    def build():
+        a, b1, b2, c, d, sentinel = _disordered_cut(spark, sf_dir)
+        return [a, b1, b2, c, d, sentinel(10), sentinel(20)]
+
     return _replay_disordered(
         spark,
-        [a, b1, b2, c, d, sentinel(10), sentinel(20)],
+        sf_dir,
+        "disorder7",  # shared with q201: one slice build serves both
+        build,
         lambda s: sessionized_stream(
             s, gap="30 minutes", watermark="1 hour", exact_scale=6
         ),
@@ -519,11 +503,16 @@ def q213_stream_disordered_sliding_distinct(
     )
     from etl_entregas_pyspark_spark.streaming.streams import dedup_stream
 
-    a, b1, b2, c, _d, _sentinel = _disordered_cut(spark, sf_dir)
-    jumble = lambda df: df.orderBy(F.md5(F.col("event_id").cast("string")))  # noqa: E731
+    def build():
+        a, b1, b2, c, _d, _sentinel = _disordered_cut(spark, sf_dir)
+        jumble = lambda df: df.orderBy(F.md5(F.col("event_id").cast("string")))  # noqa: E731
+        return [jumble(a), jumble(b1), jumble(b2), c]
+
     return _replay_disordered(
         spark,
-        [jumble(a), jumble(b1), jumble(b2), c],
+        sf_dir,
+        "disorder4j",
+        build,
         lambda s: streaming_sliding_distinct(
             dedup_stream(s, watermark="1 hour")
         ),
@@ -585,10 +574,15 @@ _Q216_ORACLE = """
 def q216_stream_disordered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_entregas_pyspark_spark.streaming.streams import stream_stream_join
 
-    a, b1, b2, c, d, _sentinel = _disordered_cut(spark, sf_dir)
+    def build():
+        a, b1, b2, c, d, _sentinel = _disordered_cut(spark, sf_dir)
+        return [a, b1, b2, c, d]
+
     return _replay_disordered(
         spark,
-        [a, b1, b2, c, d],
+        sf_dir,
+        "disorder5",
+        build,
         lambda s: stream_stream_join(
             s, s, lookback="1 hour", watermark="1 hour"
         ).select("l_user", "l_id", "l_ts", "r_id", "r_ts"),

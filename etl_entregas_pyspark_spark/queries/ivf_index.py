@@ -202,6 +202,7 @@ def ensure_ivf_commit(spark: SparkSession, sf_dir: str) -> str:
 # both slices reuse similarity._IVF_ASSIGN_SQL (the one assignment
 # expression every IVF oracle shares) — only the {SRC} filter differs
 from etl_entregas_pyspark_spark.queries.similarity import (  # noqa: E402
+    _CAND_ASSIGN_SQL,
     _IVF_ASSIGN_SQL,
 )
 
@@ -251,17 +252,19 @@ _ASSIGN_BATCH_SQL = _ASSIGN_STANDING_SQL.replace("<> 0)", "= 0)")
     "the FAISS add() path as a table commit.",
 )
 def q224_ivf_ingest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = ensure_ivf_commit(spark, sf_dir)
+    store = EpochStore(ensure_ivf_commit(spark, sf_dir), IVF_MEMBER_COLS)
     cent_ids = spark.read.parquet(
         os.path.join(ensure_ivf_index(spark, sf_dir), "centroids")
     ).select("centroid_id")
+    # per-epoch split via the store's fenced reader — never raw
+    # epoch=N paths, which break silently under compaction (r12 ADVICE #2)
     standing = (
-        spark.read.parquet(os.path.join(store, "epoch=0"))
+        store.read_epoch(spark, 0)
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("s_n"))
     )
     added = (
-        spark.read.parquet(os.path.join(store, "epoch=1"))
+        store.read_epoch(spark, 1)
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("a_n"))
     )
@@ -299,10 +302,9 @@ def q224_ivf_ingest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the cheap nightly check for a 100-TB vector index.",
 )
 def q225_ivf_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = ensure_ivf_commit(spark, sf_dir)
-    members = spark.read.parquet(
-        os.path.join(store, "epoch=0"), os.path.join(store, "epoch=1")
-    )
+    members = EpochStore(
+        ensure_ivf_commit(spark, sf_dir), IVF_MEMBER_COLS
+    ).read(spark)
     per_vec = members.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets")
     )
@@ -413,18 +415,22 @@ def _ivf_scrub_store_path(spark: SparkSession, sf_dir: str) -> str:
 
 
 def ensure_scrubbed_ivf_store(spark: SparkSession, sf_dir: str) -> str:
-    """Seed a dedicated membership store from q224's committed epochs
-    (two skinny scans — no re-assignment) and execute the deletion
-    compaction on it, once per (session, sf_dir). The shared commit
-    store stays untouched (q224/q225 keep their contract); in
-    production the scrub runs in place as scheduled maintenance."""
+    """Seed a dedicated membership store from q224's COMMITTED state
+    (one skinny pointer-resolved scan — no re-assignment) and execute
+    the deletion compaction on it, once per (session, sf_dir). The
+    shared commit store stays untouched (q224/q225 keep their
+    contract); in production the scrub runs in place as scheduled
+    maintenance."""
     path = _ivf_scrub_store_path(spark, sf_dir)
     store = EpochStore(path, IVF_MEMBER_COLS)
     if store.pointer().get("base_version") is not None:
         return path
-    shared = ensure_ivf_commit(spark, sf_dir)
-    store.seed(spark.read.parquet(os.path.join(shared, "epoch=0")))
-    store.append(spark.read.parquet(os.path.join(shared, "epoch=1")), 1)
+    shared = EpochStore(ensure_ivf_commit(spark, sf_dir), IVF_MEMBER_COLS)
+    # committed-state read through the shared store's pointer — layout-
+    # agnostic, so a compaction of the q224 store cannot break the seed
+    # (r12 ADVICE #2); the scrub compacts this copy into a base anyway,
+    # so the copy's own epoch structure is irrelevant
+    store.seed(shared.read(spark))
     deny = (
         T(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % _VEC_DENY_MOD == 2)
@@ -469,8 +475,9 @@ def ensure_scrubbed_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     "the request-set split (indexed vs total), so a membership row that "
     "survived deletion — or one deleted too many — breaks the oracle's "
     "exact arithmetic at the driver gate. Runs on a session-dedicated "
-    "copy seeded from q224's committed epochs (two skinny scans, zero "
-    "re-assignment); q225's reconcile (with the shrunken corpus "
+    "copy seeded from q224's committed state (one skinny pointer-"
+    "resolved scan, zero re-assignment); q225's reconcile (with the "
+    "shrunken corpus "
     "contract) is its audit. Scale: one scan of the skinny membership "
     "table + a request-sized broadcast anti-join; embeddings are never "
     "read, nothing corpus-sized shuffles.",
@@ -485,10 +492,9 @@ def q227_ivf_deletion_propagation(
         if after_df is not None
         else spark.range(1).select(F.lit(0).cast("bigint").alias("n"))
     )
-    shared = ensure_ivf_commit(spark, sf_dir)
-    members = spark.read.parquet(
-        os.path.join(shared, "epoch=0"), os.path.join(shared, "epoch=1")
-    )
+    members = EpochStore(
+        ensure_ivf_commit(spark, sf_dir), IVF_MEMBER_COLS
+    ).read(spark)
     before = members.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     deny = (
         T(spark, sf_dir, "embeddings")
@@ -645,4 +651,344 @@ def q228_live_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= _IVF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — governance UNDER live ingest (q229) and the recall/cost sweep
+# (q230): the two instruments a production vector index still lacked after
+# r12 closed batch deletion (q227) and live equivalence (q228). q229 pins
+# the ordering contract the r12 scrub race fix documents (a scrub lands
+# BETWEEN ingest epochs and later epochs keep flowing; upstream filters the
+# denied keys from post-request ingest — the GDPR semantics); q230 turns
+# the fixed-nprobe probe into the tuning curve you actually read before
+# picking nprobe on a 100-TB corpus.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_govlive_store_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"ivf_govlive_store_{app_id}_{tag}"
+    )
+
+
+def ensure_govlive_ivf_membership(spark: SparkSession, sf_dir: str) -> str:
+    """Build the membership store through the FULL lifecycle interleaving,
+    once per (session, sf_dir): two ingest epochs land, a deletion request
+    (vec_id % 13 == 2) is scrubbed as a filtered compaction, then ingest
+    RESUMES with a third epoch whose denied keys were filtered upstream —
+    the documented contract for requests racing ingest (a forget request
+    covers data existing at request time; post-request ingest is the
+    source filter's job, ``epoch_store.EpochStore.scrub``). The final
+    committed read therefore unions a scrubbed base with a post-scrub
+    epoch directory — the one layout shape q228's replay (compact between
+    epochs) does not produce."""
+    path = _ivf_govlive_store_path(spark, sf_dir)
+    store = EpochStore(path, IVF_MEMBER_COLS)
+    if store.pointer()["epoch"] >= 2:
+        return path
+    cent_path = os.path.join(ensure_ivf_index(spark, sf_dir), "centroids")
+    corpus = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= 16)
+        .select("vec_id", "embedding")
+    )
+    deny = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _VEC_DENY_MOD == 2)
+        .select("vec_id")
+    )
+    sl = F.pmod(F.col("vec_id"), 3)
+    ivf_membership_batch(corpus.filter(sl == 0), 0, path, cent_path)
+    ivf_membership_batch(corpus.filter(sl == 1), 1, path, cent_path)
+    # the forget request arrives mid-stream: filtered compaction NOW
+    scrub_ivf_membership(spark, path, deny)
+    # ingest resumes; the source filter drops post-request denied keys
+    resumed = corpus.filter(sl == 2).join(
+        F.broadcast(deny), "vec_id", "left_anti"
+    )
+    ivf_membership_batch(resumed, 2, path, cent_path)
+    return path
+
+
+_CAND_ASSIGN_GOV_SQL = _IVF_ASSIGN_SQL.replace(
+    "{SRC}",
+    "(SELECT * FROM embeddings WHERE vec_id >= 16"
+    f" AND vec_id % {_VEC_DENY_MOD} <> 2)",
+)
+
+_PROBE_ASSIGN_Q229_SQL = _IVF_ASSIGN_SQL.replace(
+    "{SRC}", "(SELECT * FROM embeddings WHERE vec_id >= 8 AND vec_id < 16)"
+)
+
+
+@register(
+    "q229_ivf_scrub_under_ingest",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), cand AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_GOV_SQL}
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+            {_PROBE_ASSIGN_Q229_SQL}
+        ) WHERE rn <= {_NPROBE}
+    ), scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.q_emb, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine
+        FROM probes p JOIN cand c ON p.centroid_id = c.centroid_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_IVF_TOPK}
+    """,
+    doc="deletion propagation RACING live ingest — the lifecycle "
+    "interleaving q227 (batch scrub) and q228 (live ingest) each prove "
+    "alone: two membership epochs land through the foreachBatch body, "
+    "the forget request (vec_id % 13 = 2) executes as the EpochStore "
+    "filtered compaction MID-STREAM, then ingest resumes with an "
+    "upstream-filtered third epoch — the documented contract for "
+    "requests arriving under sustained ingest (scrub covers committed "
+    "state; the source filter covers what arrives after, "
+    "streaming/epoch_store.py invariant 5). The probe (q73's plan: "
+    "fresh query assignment, <= C-row bucket pull, membership "
+    "restricted to probed lists, vectors joined back by id) must "
+    "hash-match q73's oracle over the corpus MINUS the denied set — "
+    "one driver row certifying that no denied vector survives in any "
+    "layout layer (scrubbed base OR post-scrub epoch) and no innocent "
+    "neighbor went missing. Scale: the scrub is one skinny-table "
+    "rewrite + request-sized broadcast anti-joins; embeddings are "
+    "never read during maintenance.",
+)
+def q229_ivf_scrub_under_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store_dir = ensure_govlive_ivf_membership(spark, sf_dir)
+    cent = spark.read.parquet(
+        os.path.join(ensure_ivf_index(spark, sf_dir), "centroids")
+    )
+    e = T(spark, sf_dir, "embeddings")
+    probes = (
+        ivf_assign(
+            e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+            cent,
+            _NPROBE,
+        )
+        .drop("d2")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "centroid_id",
+        )
+        .localCheckpoint()
+    )
+    # <= C-row model-state pull: which inverted lists to open
+    buckets = [
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    members = (
+        EpochStore(store_dir, IVF_MEMBER_COLS)
+        .read(spark)
+        .filter(F.col("centroid_id").isin(buckets))
+    )
+    cand = members.join(e.select("vec_id", "embedding"), "vec_id")
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+    )
+
+
+# -- q230: the nprobe recall/cost sweep --------------------------------------
+
+_SWEEP_NPROBES = [1, 2, 4, 8]  # C = 8 centroids: up to the exhaustive probe
+
+
+@register(
+    "q230_ivf_nprobe_sweep",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), cand AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, centroid_id,
+               rn AS pr FROM (
+            {_PROBE_ASSIGN_Q229_SQL}
+        ) WHERE rn <= 8
+    ), levels AS (
+        SELECT * FROM (VALUES (1), (2), (4), (8)) AS t(nprobe)
+    ), scored AS (
+        SELECT l.nprobe, p.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.q_emb, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine
+        FROM levels l
+        JOIN probes p ON p.pr <= l.nprobe
+        JOIN cand c ON p.centroid_id = c.centroid_id
+    ), approx AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT nprobe, query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {_IVF_TOPK}
+    ), bscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 8 AND vec_id < 16) q
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id >= 16) c
+    ), brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM bscored
+        ) WHERE rank <= {_IVF_TOPK}
+    ), costs AS (
+        SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+        FROM scored GROUP BY nprobe
+    ), hitagg AS (
+        SELECT a.nprobe, CAST(COUNT(b.neighbor_id) AS BIGINT) AS hits
+        FROM approx a
+        LEFT JOIN brute b ON a.query_id = b.query_id
+                         AND a.neighbor_id = b.neighbor_id
+        GROUP BY a.nprobe
+    )
+    SELECT c.nprobe, c.n_queries, c.n_candidates, h.hits,
+           CAST(h.hits AS DOUBLE)
+               / (CAST(c.n_queries AS DOUBLE) * {_IVF_TOPK}) AS recall_at_k
+    FROM costs c JOIN hitagg h ON c.nprobe = h.nprobe
+    ORDER BY c.nprobe
+    """,
+    doc="the IVF tuning instrument: recall@k AND scan cost per nprobe in "
+    "one pass over the PERSISTED inverted file (1/2/4/8 of C=8 lists, "
+    "up to exhaustive), each level's approximate top-k compared against "
+    "the brute-force ground truth (q51's scan — on a real corpus you "
+    "run it over a query SAMPLE; the curve is what picks nprobe before "
+    "committing a 100-TB probe fleet to it, FAISS's nprobe sweep as a "
+    "driver-gated table). Emits per level: queries, candidate pairs "
+    "scanned (the cost axis), ground-truth hits, recall@k — monotone "
+    "non-decreasing recall reaching 1.0 at the exhaustive level by "
+    "construction, so an assignment or ranking bug surfaces as a "
+    "non-monotone or sub-1.0 tail at the driver hash gate. Plan: "
+    "probe ranks and query batch broadcast; ONE scan of the persisted "
+    "candidate lists fans out to all four levels (the level join is a "
+    "broadcast of 4 literals, not four scans); two skinny aggregates "
+    "join at the end. The brute-force leg is the only corpus-sized "
+    "term, exactly as in q215's recall audit.",
+)
+def q230_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ivf_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    # probe ranks 1..8 per query (keep d2 ordering as pr via re-rank)
+    wq = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
+    probes = (
+        ivf_assign(queries, cent, keep=8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "centroid_id",
+            F.row_number().over(wq).alias("pr"),
+        )
+        .localCheckpoint()
+    )
+    cand = spark.read.parquet(os.path.join(idx, "cand"))
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    # ONE candidate scan fans out to every level: the level fan-out is an
+    # explode of a 4-literal array (a narrow op — no join, no shuffle),
+    # and the resulting |queries| × C × 4-row frame broadcasts
+    fan = F.broadcast(
+        probes.withColumn(
+            "nprobe",
+            F.explode(F.array(*[F.lit(n) for n in _SWEEP_NPROBES])),
+        )
+        .filter(F.col("pr") <= F.col("nprobe"))
+        .drop("pr")
+    )
+    scored = cand.join(fan, "centroid_id").select(
+        "nprobe",
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    wa = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        scored.select("*", F.row_number().over(wa).alias("rank"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    # ground truth: brute-force top-k (q51's scan), queries broadcast
+    corpus = e.filter(F.col("vec_id") >= 16).select("vec_id", "embedding")
+    bq = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    brute = (
+        corpus.crossJoin(F.broadcast(bq))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .select("*", F.row_number().over(wb).alias("rank"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", F.lit(True).alias("is_true"))
+    )
+    costs = scored.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+    )
+    hits = (
+        approx.join(F.broadcast(brute), ["query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(F.count("is_true").cast("bigint").alias("hits"))
+    )
+    return (
+        costs.join(hits, "nprobe")
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_candidates",
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / (F.col("n_queries").cast("double") * F.lit(_IVF_TOPK))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
     )

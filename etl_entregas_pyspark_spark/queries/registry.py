@@ -57,74 +57,80 @@ _ON_CHANGE_ONLY = {
 # drifting apart (r11 ADVICE #4).
 
 _PRIORITY = [
-    # --- round-12 window (the r11 VERDICT #1 rotation plan) -------------
-    # (a) NEW this round: IVF governance parity with the band index —
-    # deletion propagation (r11 VERDICT #2) and the live-maintained
-    # membership probe (r11 VERDICT #3), hash-green locally at
-    # sf0.001/sf0.01/sf0.1 (COVERAGE.md round-12 section).
-    "q227_ivf_deletion_propagation",
-    "q228_live_ivf_probe",
-    # (b) the r7-cohort tail (age 4 — the oldest evidence in the
-    # registry; the 26-row head of that cohort re-proved in r11),
-    # name-order, minus the on-change-only demos q182/q191.
-    "q72_dedup_materialize",
-    "q73_ivf_search",
-    "q74_unpivot",
-    "q75_kmeans_step",
-    "q76_grouping_sets",
-    "q77_edit_distance_pairs",
-    "q78_tfidf_top_terms",
-    "q79_salted_aggregate",
-    "q80_latest_per_key",
-    "q81_reconciliation",
-    "q82_sequence_packing",
-    "q84_funnel",
-    "q85_repetition_profile",
-    "q86_mixture_weights",
-    "q87_expectation_audit",
-    "q88_corpus_filter",
-    "q89_heavy_hitters",
-    "q90_denylist_scrub",
-    "q91_exists_decorrelated",
-    "q92_length_histogram",
-    "q94_scd2_intervals",
-    "q95_partial_merge",
-    # (c) the oldest r8-cohort rows (age 3), name-order; 26 fit. The
-    # cohort's remainder (q124_hourly_churn ... q99_rfm_segments, 24
-    # rows) heads the r13 window together with whatever r12 registers
-    # late.
-    "q01_pricing_summary",
-    "q03_top_orders",
-    "q06_global_agg",
-    "q101_ohlc_bars",
-    "q102_rolling_zscore",
-    "q103_bigram_counts",
-    "q104_cdc_apply",
-    "q105_per_key_sample",
-    "q106_kmeans_loop",
-    "q107_skew_split_join",
-    "q108_twap",
-    "q109_minmax_scale",
-    "q110_boilerplate_score",
-    "q111_cluster_canonical",
-    "q112_winsorize",
-    "q113_debounce_dedup",
-    "q114_user_paths",
-    "q115_pagerank",
-    "q116_pii_redaction",
-    "q117_vocab_coverage",
-    "q118_basket_pairs",
-    "q119_benford_audit",
-    "q120_transition_matrix",
-    "q121_mad_outliers",
-    "q122_group_ols",
-    "q123_weighted_sample",
+    # --- round-13 window (the r12 VERDICT #2 rotation plan) -------------
+    # (a) NEW this round: the two governance/tuning instruments closing
+    # the IVF lifecycle — deletion propagation RACING live ingest (q229,
+    # the scrub→resume interleaving the r12 race fix documents) and the
+    # nprobe recall/cost sweep over the persisted inverted file (q230).
+    # Both hash-green locally at sf0.001/sf0.01/sf0.1 (COVERAGE.md
+    # round-13 evidence section).
+    "q229_ivf_scrub_under_ingest",
+    "q230_ivf_nprobe_sweep",
+    # (b) the r8-cohort remainder (age 4 after the r12 rotation — the
+    # oldest evidence in the registry; exactly the age-4 row set in
+    # COVERAGE.md's regenerated freshness histogram), name-order.
+    "q124_hourly_churn",
+    "q125_inverted_index",
+    "q126_copurchase_triangles",
+    "q127_quantile_bucketize",
+    "q128_bm25_scoring",
+    "q129_multimodal_embed",
+    "q12_rollup",
+    "q130_zorder_layout",
+    "q132_bloom_semi_join",
+    "q134_pareto_skyline",
+    "q135_power_iteration",
+    "q137_association_rules",
+    "q197_label_noise_scaled",
+    "q198_triangles_adaptive_support",
+    "q35_approx_quantiles",
+    "q38_array_funcs",
+    "q58_asof_join",
+    "q59_range_join",
+    "q83_sessionization",
+    "q93_dedup_pipeline",
+    "q96_map_funcs",
+    "q97_explode_outer",
+    "q98_cohort_retention",
+    "q99_rfm_segments",
+    # (c) backfill to 50 from the r9 cohort (age 3), name-order; 24 fit.
+    # The cohort's remainder (q201_stream_disordered_tumbling ...
+    # q51_cosine_topk, 26 rows) heads the r14 window together with
+    # whatever r13 registers late.
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q07_left_join_counts",
+    "q08_anti_join",
+    "q09_semi_join",
+    "q10_full_outer",
+    "q11_broadcast_brand",
+    "q131_global_index",
+    "q133_interval_islands",
+    "q136_chisq_drift",
+    "q138_auc_rank",
+    "q139_ks_drift",
+    "q13_cube",
+    "q140_split_gain",
+    "q141_bigram_perplexity",
+    "q142_country_filter",
+    "q14_window_topn",
+    "q15_window_running",
+    "q16_window_lag",
+    "q17_window_rank_ntile",
+    "q18_topk_orders",
+    "q199_semdedup_auto",
+    "q19_set_ops",
+    "q200_label_noise_auto",
 ]
 
-assert _ON_CHANGE_ONLY.isdisjoint(_PRIORITY), (
-    "on-change-only demo queries must not be enqueued for driver rows: "
-    f"{sorted(_ON_CHANGE_ONLY.intersection(_PRIORITY))}"
-)
+# checked at import time so every pytest and driver run trips it; an
+# explicit raise, not an assert, so `python -O` cannot strip the guard
+# (r12 ADVICE #4)
+if not _ON_CHANGE_ONLY.isdisjoint(_PRIORITY):
+    raise ValueError(
+        "on-change-only demo queries must not be enqueued for driver rows: "
+        f"{sorted(_ON_CHANGE_ONLY.intersection(_PRIORITY))}"
+    )
 
 
 def _ordered() -> list[str]:

@@ -35,6 +35,15 @@ Invariants (each pinned by ``tests/test_epoch_store.py``):
    compaction: the loser of the race re-reads the winner's pointer
    under the lock and carries its keys forward. (Long parquet writes
    stay OUTSIDE the lock — only the pointer decision is serialized.)
+5. **Entry-pinned maintenance reads** (r12 VERDICT #1) — ``compact``/
+   ``scrub`` resolve the state they rewrite from the SAME pointer
+   snapshot they hand to the swing, never a fresh re-read: an epoch
+   committed between snapshot and read would otherwise be folded into
+   the new base while its directory survives cleanup — double-counted
+   by every later read. ``scrub`` additionally LOOPS until no epoch
+   landed mid-pass, so a denied key racing its own deletion is purged
+   (r12 ADVICE #3); sustained ingest of denied keys is the upstream
+   filter's job.
 
 Scale: the store IS the 100-TB maintenance story — per-ingest cost is
 O(batch) (one epoch dir), compaction folds small epoch files into a
@@ -133,12 +142,21 @@ class EpochStore:
         return os.path.join(self.path, f"epoch={int(epoch_id)}")
 
     # -- read -------------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(self, spark: SparkSession, ptr: dict | None = None) -> DataFrame | None:
         """The COMMITTED state: the compacted base (if the pointer names
         one) plus every epoch the base has not absorbed, at or below the
         committed epoch. Uncommitted/absorbed directories are excluded —
-        readers never see a half-applied batch OR a double-counted one."""
-        ptr = self.pointer()
+        readers never see a half-applied batch OR a double-counted one.
+
+        ``ptr`` pins the read to a pointer SNAPSHOT the caller already
+        holds. ``compact``/``scrub`` must pass their entry snapshot: a
+        fresh re-read here would fold a concurrently-committed epoch into
+        the new base while ``base_through_epoch`` still names the older
+        frontier, leaving that epoch directory alive — every later read
+        would union it with a base that already contains it (the r12
+        double-count race, ``tests/test_epoch_store_race13.py``)."""
+        if ptr is None:
+            ptr = self.pointer()
         if ptr["epoch"] < 0:
             return None
         base_through = ptr.get("base_through_epoch", -1)
@@ -157,6 +175,24 @@ class EpochStore:
         if not paths:
             return None
         return spark.read.parquet(*paths)
+
+    def read_epoch(self, spark: SparkSession, epoch_id: int) -> DataFrame:
+        """ONE committed epoch's rows — for callers that need the
+        per-epoch split (e.g. standing-vs-arrived summaries), without
+        hard-coding ``epoch=<id>`` paths that silently break once a
+        compaction absorbs the directory (r12 ADVICE #2). Raises when
+        ``epoch_id`` is uncommitted or already folded into the base."""
+        ptr = self.pointer()
+        if epoch_id > ptr["epoch"]:
+            raise ValueError(
+                f"epoch {epoch_id} is not committed (pointer at {ptr['epoch']})"
+            )
+        if epoch_id <= ptr.get("base_through_epoch", -1):
+            raise ValueError(
+                f"epoch {epoch_id} was absorbed into base=v{ptr.get('base_version')}"
+                " — per-epoch reads are only valid before compaction"
+            )
+        return spark.read.parquet(self._epoch_dir(epoch_id))
 
     # -- write ------------------------------------------------------------
     def seed(self, df: DataFrame, epoch_id: int = 0) -> bool:
@@ -257,11 +293,17 @@ class EpochStore:
         """Fold every committed epoch (and any previous base) into ONE
         well-partitioned base — the scheduled maintenance pass that keeps
         a long-running store a handful of right-sized files instead of
-        one small directory per micro-batch. Returns the new base's rows."""
+        one small directory per micro-batch. Returns the new base's rows.
+
+        The read is PINNED to the entry pointer snapshot: an epoch
+        committed after the snapshot is simply not absorbed this pass —
+        its directory stays above ``base_through_epoch`` and readers keep
+        unioning it (never folded-in AND kept, the double-count race)."""
         ptr = self.pointer()
         if ptr["epoch"] < 0:
             return 0
-        current = self.read(spark)
+        _hook("compact_after_entry_read")
+        current = self.read(spark, ptr=ptr)
         return self._rewrite_base(
             spark, current, ptr, "compact_after_base_write", n_files, shuffle_cols
         )
@@ -273,20 +315,38 @@ class EpochStore:
         key: str,
         n_files: int | None = None,
         shuffle_cols: Sequence[str] = (),
+        max_passes: int = 4,
     ) -> int:
         """Deletion propagation (right-to-be-forgotten) as a FILTERED
         compaction: committed state anti-joined against the broadcast
         request-sized denylist on ``key``, rewritten as a new base,
         pointer swung last — an interrupted scrub leaves the old state
         intact and fully re-runnable; rows never half-disappear. Returns
-        the surviving row count."""
-        ptr = self.pointer()
-        current = self.read(spark)
-        if current is None:
-            return 0
-        kept = current.join(
-            F.broadcast(deny.select(key)), key, "left_anti"
-        )
-        return self._rewrite_base(
-            spark, kept, ptr, "scrub_after_base_write", n_files, shuffle_cols
-        )
+        the surviving row count.
+
+        Each pass reads at its entry pointer snapshot (same double-count
+        argument as ``compact``), so an epoch committed MID-PASS is not
+        filtered by that pass. The loop re-applies the anti-join until no
+        fresher epoch landed during the pass (single-writer callers exit
+        after one) — a denied key arriving concurrently with its own
+        deletion is still purged, not silently retained until the next
+        scheduled scrub (r12 ADVICE #3). Under SUSTAINED concurrent
+        ingest the loop stops after ``max_passes``; the contract then is
+        the caller's upstream filter (a forget request covers data that
+        exists at request time — later ingest must be filtered at the
+        source) or a re-run once ingest quiesces."""
+        deny_keys = F.broadcast(deny.select(key))
+        n = 0
+        for _ in range(max_passes):
+            ptr = self.pointer()
+            _hook("scrub_after_entry_read")
+            current = self.read(spark, ptr=ptr)
+            if current is None:
+                return 0
+            kept = current.join(deny_keys, key, "left_anti")
+            n = self._rewrite_base(
+                spark, kept, ptr, "scrub_after_base_write", n_files, shuffle_cols
+            )
+            if self.pointer()["epoch"] <= ptr["epoch"]:
+                break  # no epoch landed mid-pass: state fully scrubbed
+        return n

@@ -48,6 +48,7 @@ from etl_entregas_pyspark_spark.streaming.epoch_store import (
 from etl_entregas_pyspark_spark.streaming.epoch_store import (
     EpochStore,
     commit_pointer as _commit_pointer,
+    pointer_lock as _pointer_lock,
     read_pointer as _read_pointer,
 )
 
@@ -399,9 +400,19 @@ def upsert_batch_bucketed(
         # merge, but the epoch must still be FENCED — commit the pointer
         # with the manifest unchanged so a later re-delivery of this
         # epoch stays a no-op and the epoch sequence never regresses.
-        _commit_pointer(
-            snapshot_dir, epoch_id, ptr["version"], extra={"buckets": manifest}
-        )
+        # The swing re-reads UNDER the lock (r12 ADVICE #5): the fresh
+        # manifest/version carry forward, so even a concurrent commit
+        # landing since entry loses nothing to this no-data epoch.
+        with _pointer_lock(snapshot_dir):
+            fresh = _read_pointer(snapshot_dir)
+            if epoch_id <= fresh["epoch"]:
+                return False
+            _commit_pointer(
+                snapshot_dir,
+                epoch_id,
+                fresh["version"],
+                extra={"buckets": dict(fresh.get("buckets", {}))},
+            )
         return True
     existing_paths = [
         os.path.join(snapshot_dir, f"bucket={b}", f"v{manifest[str(b)]}")
@@ -430,9 +441,27 @@ def upsert_batch_bucketed(
         os.rename(src, dst)
         manifest[str(b)] = new_version
     shutil.rmtree(staging, ignore_errors=True)
-    _commit_pointer(
-        snapshot_dir, epoch_id, new_version, extra={"buckets": manifest}
-    )
+    # Swing under the lock with a re-read fence (r12 ADVICE #5): the
+    # Structured Streaming contract is one writer per checkpoint, but the
+    # maintenance story (a compactor sharing the store) gets the same
+    # check-then-act discipline as EpochStore — untouched buckets carry
+    # the FRESH manifest's versions forward; only this batch's touched
+    # buckets point at the directories written above. (Two writers
+    # upserting the SAME bucket concurrently remain out of contract —
+    # that needs per-bucket fencing, not a pointer race fix.)
+    with _pointer_lock(snapshot_dir):
+        fresh = _read_pointer(snapshot_dir)
+        if epoch_id <= fresh["epoch"]:
+            return False
+        merged_manifest = dict(fresh.get("buckets", {}))
+        merged_manifest.update({str(b): new_version for b in touched})
+        _commit_pointer(
+            snapshot_dir,
+            epoch_id,
+            max(fresh["version"], new_version),
+            extra={"buckets": merged_manifest},
+        )
+        manifest = merged_manifest
     # prune AFTER the swing, per touched bucket: keep the committed
     # version plus keep_last-1 predecessors (crash here costs disk only)
     for b in touched:
