@@ -62,8 +62,8 @@ _PRIORITY = [
     # the IVF lifecycle — deletion propagation RACING live ingest (q229,
     # the scrub→resume interleaving the r12 race fix documents) and the
     # nprobe recall/cost sweep over the persisted inverted file (q230).
-    # Both hash-green locally at sf0.001/sf0.01/sf0.1 (COVERAGE.md
-    # round-13 evidence section).
+    # Both hash-green locally at sf0.001/sf0.01/sf0.1 (COVERAGE.md,
+    # "Verification freshness (rounds 12-13)" round-13 bullets).
     "q229_ivf_scrub_under_ingest",
     "q230_ivf_nprobe_sweep",
     # (b) the r8-cohort remainder (age 4 after the r12 rotation — the

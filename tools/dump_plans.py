@@ -169,6 +169,10 @@ HEADLINE = [
     "q224_ivf_ingest_commit",
     "q225_ivf_reconcile",
     "q226_deletion_propagation",
+    "q227_ivf_deletion_propagation",
+    "q228_live_ivf_probe",
+    "q229_ivf_scrub_under_ingest",
+    "q230_ivf_nprobe_sweep",
 ]
 
 
