@@ -200,6 +200,7 @@ HEADLINE = [
     "q228_live_ivf_probe",
     "q229_ivf_scrub_under_ingest",
     "q230_ivf_nprobe_sweep",
+    "q231_ivf_centroid_refresh",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
@@ -230,7 +231,7 @@ DEMO_BASELINES = {
 #     measured 0.21x) — the valve is insurance priced at ~20% of a cheap
 #     query, paying off 5x on the layout that needs it.
 #   q210/q203 (persisted-index probe vs recompute twin): >1 at toy corpus
-#     sizes (sf0.1 ~2.1-2.4 — the persisted path pays checkpoint/scan stage
+#     sizes (sf0.1 ~2.1-2.6 across r10-r13 — the persisted path pays checkpoint/scan stage
 #     floors while the recompute twin's corpus re-hash is still cheap) and
 #     <1 once the corpus costs real money to re-hash — MEASURED at sf1:
 #     0.576 / 0.561 across two r11 batteries (SCALE.md round-11 section);

@@ -992,3 +992,178 @@ def q230_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# -- q231: centroid refresh + membership migration audit ---------------------
+
+_EMB_DIMS = 64  # embeddings table dimension (TESTDATA.md)
+_REFRESH_SCALE = 10_000_000  # float -> scaled-int for order-independent sums
+
+
+@register(
+    "q231_ivf_centroid_refresh",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1
+    ), dims AS (
+        SELECT a.centroid_id, g.i AS pos,
+               CAST(FLOOR(CAST(a.embedding[g.i] AS DOUBLE) * {_REFRESH_SCALE}) AS BIGINT) AS v
+        FROM assigned a CROSS JOIN generate_series(1, {_EMB_DIMS}) AS g(i)
+    ), newc AS (
+        SELECT centroid_id, pos,
+               CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / {_REFRESH_SCALE} / COUNT(*) AS coord
+        FROM dims GROUP BY centroid_id, pos
+    ), newcent AS (
+        SELECT centroid_id AS new_cid, list(coord ORDER BY pos) AS nc_emb
+        FROM newc GROUP BY centroid_id
+    ), redist AS (
+        SELECT a.vec_id, a.centroid_id AS old_cid, n.new_cid,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(a.embedding, n.nc_emb),
+                            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                   n.new_cid) AS rn
+        FROM assigned a CROSS JOIN newcent n
+    ), moved AS (
+        SELECT vec_id, old_cid, new_cid FROM redist WHERE rn = 1
+    ), stays AS (
+        SELECT old_cid AS centroid_id, COUNT(*) AS n_members,
+               SUM(CASE WHEN new_cid = old_cid THEN 1 ELSE 0 END) AS n_stay
+        FROM moved GROUP BY old_cid
+    ), inflow AS (
+        SELECT new_cid AS centroid_id, COUNT(*) AS n_in
+        FROM moved WHERE new_cid <> old_cid GROUP BY new_cid
+    )
+    SELECT c.centroid_id,
+           CAST(COALESCE(s.n_members, 0) AS BIGINT) AS n_members,
+           CAST(COALESCE(s.n_stay, 0) AS BIGINT) AS n_stay,
+           CAST(COALESCE(s.n_members, 0) - COALESCE(s.n_stay, 0) AS BIGINT) AS n_out,
+           CAST(COALESCE(i.n_in, 0) AS BIGINT) AS n_in,
+           CASE WHEN COALESCE(s.n_members, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(COALESCE(s.n_members, 0) - COALESCE(s.n_stay, 0) AS DOUBLE)
+                     / CAST(s.n_members AS DOUBLE)
+           END AS churn
+    FROM cent c
+    LEFT JOIN stays s ON c.centroid_id = s.centroid_id
+    LEFT JOIN inflow i ON c.centroid_id = i.centroid_id
+    ORDER BY c.centroid_id
+    """,
+    doc="the index RE-TRAIN step that completes the IVF lifecycle (build "
+    "q55/q223 -> ingest q224/q228 -> probe q73/q223 -> audit q215/q225 "
+    "-> scrub q227/q229 -> tune q230 -> REFRESH): each centroid is "
+    "recomputed as the element-wise mean of its COMMITTED inverted "
+    "list (membership read from the epoch-fenced store + an id-keyed "
+    "vector pull — the standing assignment is never recomputed to "
+    "build the refresh), then the corpus is re-assigned against the "
+    "refreshed centroids and the migration is audited per bucket: "
+    "n_members/n_stay/n_out/n_in and the churn fraction — FAISS's "
+    "retrain + add-back decision expressed as a driver-gated table "
+    "(high churn = the ingest drift made the old partition stale; "
+    "near-zero churn = re-clustering would shuffle bytes for "
+    "nothing). Means use scaled-int accumulation (order-independent, "
+    "engine-portable, q75's discipline over all 64 dims); the oracle "
+    "recomputes the standing assignment from scratch, so a drifted or "
+    "double-counted membership list breaks the refresh arithmetic at "
+    "the hash gate. Scale: one skinny store scan + one O(n x C) "
+    "distance pass (the inherent cost of any retrain decision); the "
+    "refreshed centroids are C x D model state, broadcast both ways; "
+    "nothing pairwise in the corpus.",
+)
+def q231_ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = EpochStore(ensure_ivf_commit(spark, sf_dir), IVF_MEMBER_COLS)
+    members = store.read(spark)  # committed (vec_id, centroid_id)
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = members.join(e, "vec_id")
+    dims = assigned.select(
+        "centroid_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_EMB_DIMS))).alias("i"),
+        "embedding",
+    ).select(
+        "centroid_id",
+        F.col("i").alias("pos"),
+        F.floor(
+            F.element_at("embedding", F.col("i")).cast("double")
+            * _REFRESH_SCALE
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    newc = dims.groupBy("centroid_id", "pos").agg(
+        (
+            F.sum("v").cast("double") / _REFRESH_SCALE / F.count(F.lit(1))
+        ).alias("coord")
+    )
+    # C x D model state: assemble the refreshed centroid vectors
+    newcent = (
+        newc.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "coord"))).alias("pc"))
+        .select(
+            F.col("centroid_id").alias("new_cid"),
+            F.transform("pc", lambda s: s["coord"]).alias("nc_emb"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("nc_emb"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("new_cid"))
+    moved = (
+        assigned.withColumnRenamed("centroid_id", "old_cid")
+        .crossJoin(F.broadcast(newcent))
+        .select("vec_id", "old_cid", "new_cid", d2.alias("d2"))
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    stays = moved.groupBy("old_cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("new_cid") == F.col("old_cid"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stay"),
+    )
+    inflow = (
+        moved.filter(F.col("new_cid") != F.col("old_cid"))
+        .groupBy("new_cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+    )
+    cent_ids = spark.read.parquet(
+        os.path.join(ensure_ivf_index(spark, sf_dir), "centroids")
+    ).select("centroid_id")
+    n_members = F.coalesce("n_members", F.lit(0))
+    n_stay = F.coalesce("n_stay", F.lit(0))
+    return (
+        cent_ids.join(
+            stays.withColumnRenamed("old_cid", "centroid_id"),
+            "centroid_id",
+            "left",
+        )
+        .join(
+            inflow.withColumnRenamed("new_cid", "centroid_id"),
+            "centroid_id",
+            "left",
+        )
+        .select(
+            "centroid_id",
+            n_members.cast("bigint").alias("n_members"),
+            n_stay.cast("bigint").alias("n_stay"),
+            (n_members - n_stay).cast("bigint").alias("n_out"),
+            F.coalesce("n_in", F.lit(0)).cast("bigint").alias("n_in"),
+            # ANSI mode: guard the 0-member division (empty bucket)
+            F.when(n_members == 0, F.lit(0.0))
+            .otherwise(
+                (n_members - n_stay).cast("double")
+                / F.col("n_members").cast("double")
+            )
+            .alias("churn"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -58,14 +58,16 @@ _ON_CHANGE_ONLY = {
 
 _PRIORITY = [
     # --- round-13 window (the r12 VERDICT #2 rotation plan) -------------
-    # (a) NEW this round: the two governance/tuning instruments closing
-    # the IVF lifecycle — deletion propagation RACING live ingest (q229,
-    # the scrub→resume interleaving the r12 race fix documents) and the
-    # nprobe recall/cost sweep over the persisted inverted file (q230).
-    # Both hash-green locally at sf0.001/sf0.01/sf0.1 (COVERAGE.md,
+    # (a) NEW this round: the three instruments closing the IVF
+    # lifecycle — deletion propagation RACING live ingest (q229, the
+    # scrub→resume interleaving the r12 race fix documents), the nprobe
+    # recall/cost sweep over the persisted inverted file (q230), and the
+    # centroid refresh + migration audit (q231, the retrain step). All
+    # hash-green locally at sf0.001/sf0.01/sf0.1 (COVERAGE.md,
     # "Verification freshness (rounds 12-13)" round-13 bullets).
     "q229_ivf_scrub_under_ingest",
     "q230_ivf_nprobe_sweep",
+    "q231_ivf_centroid_refresh",
     # (b) the r8-cohort remainder (age 4 after the r12 rotation — the
     # oldest evidence in the registry; exactly the age-4 row set in
     # COVERAGE.md's regenerated freshness histogram), name-order.
@@ -93,9 +95,9 @@ _PRIORITY = [
     "q97_explode_outer",
     "q98_cohort_retention",
     "q99_rfm_segments",
-    # (c) backfill to 50 from the r9 cohort (age 3), name-order; 24 fit.
-    # The cohort's remainder (q201_stream_disordered_tumbling ...
-    # q51_cosine_topk, 26 rows) heads the r14 window together with
+    # (c) backfill to 50 from the r9 cohort (age 3), name-order; 23 fit.
+    # The cohort's remainder (q200_label_noise_auto ...
+    # q51_cosine_topk, 27 rows) heads the r14 window together with
     # whatever r13 registers late.
     "q04_order_priority",
     "q05_region_revenue",
@@ -120,7 +122,6 @@ _PRIORITY = [
     "q18_topk_orders",
     "q199_semdedup_auto",
     "q19_set_ops",
-    "q200_label_noise_auto",
 ]
 
 # checked at import time so every pytest and driver run trips it; an

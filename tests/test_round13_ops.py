@@ -18,6 +18,7 @@ from etl_entregas_pyspark_spark.queries.ivf_index import (
     ensure_govlive_ivf_membership,
     q229_ivf_scrub_under_ingest,
     q230_ivf_nprobe_sweep,
+    q231_ivf_centroid_refresh,
 )
 from etl_entregas_pyspark_spark.streaming.epoch_store import (
     EpochStore,
@@ -83,3 +84,28 @@ class TestQ230NprobeSweep:
         rows = q230_ivf_nprobe_sweep(spark, SF_DIR).collect()
         n_queries = {r.n_queries for r in rows}
         assert n_queries == {8}  # vec_id 8..15 at every level
+
+
+class TestQ231CentroidRefresh:
+    def test_migration_flow_conserves(self, spark):
+        rows = q231_ivf_centroid_refresh(spark, SF_DIR).collect()
+        assert len(rows) == 8  # one audit row per centroid
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        corpus_n = e.filter(F.col("vec_id") >= 16).count()
+        # every committed member appears exactly once on the 'from' side
+        assert sum(r.n_members for r in rows) == corpus_n
+        # a vector leaving one bucket arrives in exactly one other
+        assert sum(r.n_out for r in rows) == sum(r.n_in for r in rows)
+        for r in rows:
+            assert 0 <= r.n_stay <= r.n_members
+            assert r.n_out == r.n_members - r.n_stay
+            assert 0.0 <= r.churn <= 1.0
+            if r.n_members:
+                assert r.churn == r.n_out / r.n_members
+            else:
+                assert r.churn == 0.0
+
+    def test_deterministic_across_runs(self, spark):
+        a = sorted(map(tuple, q231_ivf_centroid_refresh(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, q231_ivf_centroid_refresh(spark, SF_DIR).collect()))
+        assert a == b

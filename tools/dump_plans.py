@@ -173,6 +173,7 @@ HEADLINE = [
     "q228_live_ivf_probe",
     "q229_ivf_scrub_under_ingest",
     "q230_ivf_nprobe_sweep",
+    "q231_ivf_centroid_refresh",
 ]
 
 
