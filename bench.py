@@ -201,6 +201,8 @@ HEADLINE = [
     "q229_ivf_scrub_under_ingest",
     "q230_ivf_nprobe_sweep",
     "q231_ivf_centroid_refresh",
+    "q232_ivf_sq8_rescore",
+    "q233_lsh_band_plan_sweep",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
@@ -247,6 +249,13 @@ DEMO_BASELINES = {
 #     re-assignment is still cheap) and flips once re-assigning the
 #     corpus costs real money — same decade-of-growth argument as
 #     q210/q203, measured there at sf1 (0.58).
+#   q232/q223 (SQ8 quantized-scan + rescore vs full-precision persisted
+#     probe, SAME index): ~1-1.5 expected at toy scale — the quantized
+#     path evaluates BOTH the int8 codes and the shortlist's exact
+#     cosines while the float scan is not yet bandwidth-bound; the win
+#     SQ8 buys (4x scan bytes) is invisible on a warm local[32] page
+#     cache, so the pair guards plan shape (no extra shuffle/scan), not
+#     wall-clock advantage.
 # Emitted into the detail JSON so the driver's BENCH_rN.json carries the
 # instrument, not just the wall clocks.
 CONTRAST_PAIRS = [
@@ -257,6 +266,7 @@ CONTRAST_PAIRS = [
     ("q210_incremental_lsh_probe_persisted", "q203_incremental_lsh_probe"),
     ("q214_span_scrub_apply", "q202_span_dup_profile"),
     ("q228_live_ivf_probe", "q73_ivf_search"),
+    ("q232_ivf_sq8_rescore", "q223_ivf_probe_persisted"),
 ]
 
 

@@ -1167,3 +1167,131 @@ def q231_ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# -- q232: SQ8 quantized candidate scan + exact rescore -----------------------
+
+from etl_entregas_pyspark_spark.queries.similarity import (  # noqa: E402
+    _PROBE_ASSIGN_SQL,
+    _q8_sql,
+    q8_codes,
+)
+
+_SQ8_SHORTLIST = 8  # quantized-scan survivors per query (> _IVF_TOPK)
+
+
+@register(
+    "q232_ivf_sq8_rescore",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), cand AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+            {_PROBE_ASSIGN_SQL}
+        ) WHERE rn <= {_NPROBE}
+    ), scored AS (
+        SELECT p.query_id, p.q_emb, c.vec_id AS neighbor_id, c.embedding,
+               CAST(list_sum(list_transform(
+                   list_zip({_q8_sql('p.q_emb')}, {_q8_sql('c.embedding')}),
+                   x -> x[1] * x[2])) AS BIGINT) AS q8_dot
+        FROM probes p JOIN cand c ON p.centroid_id = c.centroid_id
+    ), short AS (
+        SELECT query_id, q_emb, neighbor_id, embedding, q8_dot FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY q8_dot DESC, neighbor_id) AS srn
+            FROM scored
+        ) WHERE srn <= {_SQ8_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, q8_dot, cosine, rank FROM (
+        SELECT query_id, neighbor_id, q8_dot,
+               list_sum(list_transform(list_zip(q_emb, embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY list_sum(list_transform(list_zip(q_emb, embedding),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC,
+                            neighbor_id) AS rank
+        FROM short
+    ) WHERE rank <= {_IVF_TOPK}
+    ORDER BY query_id, rank
+    """,
+    doc="two-stage ANN over the persisted inverted file: a CHEAP pass "
+    "ranks each probed bucket's vectors by the exact INTEGER dot product "
+    f"of their int8 codes (q68's symmetric ±4σ quantization via the "
+    "shared q8_codes helper — 4x less scan bandwidth, SIMD-friendly "
+    "integer math, and engine-portable bit-for-bit), keeps a "
+    f"{_SQ8_SHORTLIST}-row shortlist per query, and only the shortlist "
+    f"is RESCORED with full-precision cosine for the final top-{_IVF_TOPK} "
+    "— FAISS's IVF-SQ8 + refine pattern as a driver-gated table. The "
+    "emitted rows carry both the quantized score that admitted the "
+    "candidate and the exact cosine that ranked it, so a quantizer or "
+    "shortlist bug shifts admissions and fails the hash gate. Plan: "
+    "probes broadcast into the partition-pruned bucket scan (q223's "
+    "static pruning); the quantized scan is the only corpus-touching "
+    "term and the rescore touches <= shortlist x |queries| rows. Scale: "
+    "at 100 TB the full-precision vectors page in only for ~8 rows per "
+    "query — the scan reads codes, not floats.",
+)
+def q232_ivf_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ivf_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    e = T(spark, sf_dir, "embeddings")
+    probes = (
+        ivf_assign(
+            e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+            cent,
+            keep=_NPROBE,
+        )
+        .drop("d2")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            q8_codes(F.col("embedding")).alias("q8_q"),
+            "centroid_id",
+        )
+    )
+    cand = spark.read.parquet(os.path.join(idx, "cand"))
+    # integer dot over the int8 codes: the cheap admission score
+    q8_dot = F.aggregate(
+        F.zip_with(
+            F.col("q8_q"), q8_codes(F.col("embedding")), lambda a, b: a * b
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("q8_dot").desc(), F.col("neighbor_id")
+    )
+    short = (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .select(
+            "query_id",
+            "q_emb",
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            q8_dot.alias("q8_dot"),
+        )
+        .select("*", F.row_number().over(ws).alias("srn"))
+        .filter(F.col("srn") <= _SQ8_SHORTLIST)
+    )
+    # full-precision rescore over the shortlist only
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.select("query_id", "neighbor_id", "q8_dot", cos.alias("cosine"))
+        .select("*", F.row_number().over(wr).alias("rank"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .orderBy("query_id", "rank")
+    )

@@ -528,14 +528,35 @@ def q55_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q8_SCALE = 127.0 / 4.0  # embeddings are ~N(0,1): clip at ±4σ
 
 
+def q8_codes(a: Column) -> Column:
+    """Symmetric int8 quantization codes (q68's convention): clip at ±4σ,
+    FLOOR(x·s + 0.5) rounding — identical integer arithmetic in Spark and
+    DuckDB, so quantized dot products are exact and engine-portable."""
+    return F.transform(
+        a,
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x.cast("double") * _Q8_SCALE + 0.5).cast("long"),
+            ),
+        ),
+    )
+
+
+def _q8_sql(expr: str) -> str:
+    """DuckDB twin of q8_codes."""
+    return (
+        f"list_transform({expr}, x -> CAST(GREATEST(-127, LEAST(127, "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {_Q8_SCALE} + 0.5) AS BIGINT))) AS BIGINT))"
+    )
+
+
 @register(
     "q68_int8_quantization",
     f"""
     WITH q AS (
-        SELECT vec_id, label,
-               list_transform(embedding,
-                   x -> CAST(GREATEST(-127, LEAST(127,
-                        CAST(FLOOR(CAST(x AS DOUBLE) * {_Q8_SCALE} + 0.5) AS BIGINT))) AS BIGINT)) AS q8
+        SELECT vec_id, label, {_q8_sql('embedding')} AS q8
         FROM embeddings
     )
     SELECT label,
@@ -551,16 +572,7 @@ _Q8_SCALE = 127.0 / 4.0  # embeddings are ~N(0,1): clip at ±4σ
 )
 def q68_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
-    q8 = F.transform(
-        F.col("embedding"),
-        lambda x: F.greatest(
-            F.lit(-127).cast("long"),
-            F.least(
-                F.lit(127).cast("long"),
-                F.floor(x.cast("double") * _Q8_SCALE + 0.5).cast("long"),
-            ),
-        ),
-    )
+    q8 = q8_codes(F.col("embedding"))
     sq = F.aggregate(
         F.transform(F.col("q8"), lambda x: x * x),
         F.lit(0).cast("long"),
@@ -2504,4 +2516,240 @@ def q215_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
         .orderBy("nprobe", "query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q233 — LSH band-plan sweep: cost / precision / recall per (b, r) plan
+# ---------------------------------------------------------------------------
+
+_BAND_PLANS = (1, 2, 3, 6)  # rows-per-band sweep over the 12-hash signature
+
+
+def _q233_oracle() -> str:
+    mh = [
+        f"list_min(list_transform(hs, h -> ({_A[j]} * h + {_B[j]}) % {_P})) AS mh{j}"
+        for j in range(N_HASHES)
+    ]
+    plan_rows = []
+    for r in _BAND_PLANS:
+        for b in range(N_HASHES // r):
+            expr = " || ',' || ".join(
+                f"CAST(mh{b * r + k} AS VARCHAR)" for k in range(r)
+            )
+            plan_rows.append(
+                f"SELECT doc_id, {r} AS rpb, {b} AS band_id, "
+                f"md5({expr}) AS band_hash FROM sigs"
+            )
+    band_rows = " UNION ALL ".join(plan_rows)
+    plan_values = ", ".join(f"({r}, {N_HASHES // r})" for r in _BAND_PLANS)
+    prob = "(1.0 - POW(1.0 - POW(f.jaccard, f.rpb), f.n_bands))"
+    return f"""
+    WITH shf AS (
+        SELECT doc_id, {_sh_sql(3)} AS sh FROM documents
+    ), shd AS (
+        SELECT doc_id, sh FROM shf WHERE len(sh) > 0
+    ), hashed AS (
+        SELECT doc_id, sh, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs
+        FROM shd
+    ), sigs AS (
+        SELECT doc_id, {', '.join(mh)} FROM hashed
+    ), band_long AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.rpb, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_long a JOIN band_long b
+          ON a.rpb = b.rpb AND a.band_id = b.band_id
+         AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), ex AS (
+        SELECT doc_id, unnest(sh) AS s FROM shd
+    ), sizes AS (
+        SELECT doc_id, len(sh) AS n FROM shd
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+        FROM common c JOIN sizes x ON c.doc_a = x.doc_id
+                      JOIN sizes y ON c.doc_b = y.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (x.n + y.n - n_common)
+              >= {JACCARD_THRESHOLD}
+    ), plans AS (
+        SELECT * FROM (VALUES {plan_values}) AS t(rpb, n_bands)
+    ), fan AS (
+        SELECT p.rpb, p.n_bands, t.jaccard,
+               CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM plans p CROSS JOIN truth t
+        LEFT JOIN cand c ON c.rpb = p.rpb AND c.doc_a = t.doc_a
+                        AND c.doc_b = t.doc_b
+    ), stats AS (
+        SELECT f.rpb, f.n_bands,
+               CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+               CAST(SUM(hit) AS BIGINT) AS n_hit,
+               {_rnd_sql('CAST(SUM(hit) AS DOUBLE) / COUNT(*)', 6)} AS recall,
+               {_rnd_sql(f'CAST(SUM(CAST(FLOOR({prob} * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*)', 6)} AS expected_recall
+        FROM fan f GROUP BY f.rpb, f.n_bands
+    ), cc AS (
+        SELECT rpb, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM cand GROUP BY rpb
+    )
+    SELECT s.rpb AS rows_per_band, s.n_bands,
+           CAST(COALESCE(cc.n_candidates, 0) AS BIGINT) AS n_candidates,
+           s.n_true_pairs, s.n_hit,
+           CASE WHEN COALESCE(cc.n_candidates, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE {_rnd_sql('CAST(s.n_hit AS DOUBLE) / cc.n_candidates', 6)}
+           END AS band_precision,
+           s.recall, s.expected_recall
+    FROM stats s LEFT JOIN cc ON s.rpb = cc.rpb
+    ORDER BY s.rpb
+    """
+
+
+@register(
+    "q233_lsh_band_plan_sweep",
+    _q233_oracle(),
+    doc="the LSH tuning instrument (q230's nprobe sweep for the TEXT "
+    "index): every (bands x rows) factorization of the 12-hash MinHash "
+    "signature — 12x1, 6x2, 4x3 (the production plan), 2x6 — is banded, "
+    "bucketed and scored IN ONE PASS against the exhaustive "
+    "shingle-blocked ground truth (q192's truth arm): candidate-pair "
+    "count (the verify-cost axis), hits, precision, observed recall, "
+    "and the theoretical E[recall] = mean of 1-(1-J^r)^b over true "
+    "pairs. More rows/band = tighter buckets = fewer candidates but "
+    "lower recall; the sweep is what picks (b, r) before committing a "
+    "100-TB banding fleet, and an implementation bug surfaces as "
+    "observed-vs-theory divergence at the hash gate. Plan: ONE "
+    "signature stage (shared lsh_candidates checkpoint) feeds all four "
+    "plans via a 24-literal struct explode (narrow, no re-hash of the "
+    "corpus); the plan-tagged band shuffle carries doc ids only; the "
+    "truth arm is the q192 equi-join, reused from the same checkpoint. "
+    "Scale: banding cost is per-plan linear in docs; only the "
+    "audited truth arm tracks shingle co-occurrence, and at 100 TB it "
+    "runs over a sampled stratum exactly as q192 documents.",
+)
+def q233_lsh_band_plan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
+        .withColumn("h", md5_int(F.col("item")) % _P)
+    )
+    # signature stage shared with q53/q192; the default-plan candidate
+    # frame is lazy and never executed here
+    per_doc, _ = lsh_candidates(ex)
+
+    # all four plans band the SAME checkpointed signature: a 24-struct
+    # literal explode (narrow), never a re-shingle of the corpus
+    structs = []
+    for r in _BAND_PLANS:
+        for b in range(N_HASHES // r):
+            structs.append(
+                F.struct(
+                    F.lit(r).alias("rpb"),
+                    F.lit(b).alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * r + k}").cast("string")
+                                for k in range(r)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+            )
+    band_long = per_doc.select(
+        "doc_id", F.explode(F.array(*structs)).alias("e")
+    ).select("doc_id", "e.rpb", "e.band_id", "e.band_hash")
+    buckets = (
+        band_long.groupBy("rpb", "band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    docs = F.col("docs")
+    pair_grid = F.flatten(
+        F.transform(
+            docs,
+            lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))),
+        )
+    )
+    cand = (
+        buckets.select("rpb", F.explode(pair_grid).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select("rpb", F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .dropDuplicates(["rpb", "doc_a", "doc_b"])
+    )
+
+    # truth arm — q192's exhaustive shingle-blocked exact-Jaccard pairs,
+    # re-exploded from the SAME checkpointed signature stage
+    ex2 = per_doc.select("doc_id", F.explode("items").alias("s"))
+    a, b = ex2.alias("a"), ex2.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sizes = per_doc.select("doc_id", F.size("items").alias("n"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    truth = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+    plan_arr = F.array(
+        *[
+            F.struct(F.lit(r).alias("rpb"), F.lit(N_HASHES // r).alias("n_bands"))
+            for r in _BAND_PLANS
+        ]
+    )
+    plans = (
+        spark.range(1)
+        .select(F.explode(plan_arr).alias("p"))
+        .select("p.rpb", "p.n_bands")
+    )
+    fan = truth.crossJoin(F.broadcast(plans)).join(
+        cand.withColumn("hit", F.lit(1)), ["rpb", "doc_a", "doc_b"], "left"
+    )
+    prob = 1.0 - F.pow(
+        1.0 - F.pow(F.col("jaccard"), F.col("rpb")), F.col("n_bands")
+    )
+    hit = F.coalesce("hit", F.lit(0))
+    stats = fan.groupBy("rpb", "n_bands").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum(hit).cast("bigint").alias("n_hit"),
+        rnd(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+        rnd(
+            F.sum(F.floor(prob * 1000000.0).cast("bigint")).cast("double")
+            / 1000000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("expected_recall"),
+    )
+    cc = cand.groupBy("rpb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    n_cand = F.coalesce("n_candidates", F.lit(0))
+    return (
+        stats.join(cc, "rpb", "left")
+        .select(
+            F.col("rpb").alias("rows_per_band"),
+            "n_bands",
+            n_cand.cast("bigint").alias("n_candidates"),
+            "n_true_pairs",
+            "n_hit",
+            # ANSI mode: guard the empty-candidate-set division
+            F.when(n_cand == 0, F.lit(0.0))
+            .otherwise(rnd(F.col("n_hit").cast("double") / n_cand, 6))
+            .alias("band_precision"),
+            "recall",
+            "expected_recall",
+        )
+        .orderBy("rows_per_band")
     )

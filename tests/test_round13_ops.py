@@ -109,3 +109,153 @@ class TestQ231CentroidRefresh:
         a = sorted(map(tuple, q231_ivf_centroid_refresh(spark, SF_DIR).collect()))
         b = sorted(map(tuple, q231_ivf_centroid_refresh(spark, SF_DIR).collect()))
         assert a == b
+
+
+class TestQ232Sq8Rescore:
+    def test_shape_and_rank_contract(self, spark):
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            _SQ8_SHORTLIST,
+            q232_ivf_sq8_rescore,
+        )
+
+        rows = q232_ivf_sq8_rescore(spark, SF_DIR).collect()
+        assert len(rows) == 8 * 3  # 8 queries x top-3
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == [1, 2, 3]
+            # final ranking is by the RESCORED cosine, not the admission dot
+            cosines = [r.cosine for r in rs]
+            assert cosines == sorted(cosines, reverse=True)
+            assert len(rs) <= _SQ8_SHORTLIST
+
+    def test_q8_dot_is_exact_integer_quantized_dot(self, spark):
+        """Recompute the admission score in pure Python for every emitted
+        row: the quantizer convention (±4σ clip, floor(x·s + 0.5)) must
+        match bit-for-bit, or the engine-portability claim is void."""
+        import math
+
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            q232_ivf_sq8_rescore,
+        )
+
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        emb = {r.vec_id: r.embedding for r in e.collect()}
+
+        def q8(v):
+            s = 127.0 / 4.0
+            return [
+                max(-127, min(127, int(math.floor(float(x) * s + 0.5))))
+                for x in v
+            ]
+
+        for r in q232_ivf_sq8_rescore(spark, SF_DIR).collect():
+            want = sum(
+                a * b for a, b in zip(q8(emb[r.query_id]), q8(emb[r.neighbor_id]))
+            )
+            assert r.q8_dot == want
+
+    def test_probe_does_not_rebuild_index_and_is_deterministic(self, spark):
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            IVF_INDEX_BUILDS,
+            _ivf_index_path,
+            ensure_ivf_index,
+            q232_ivf_sq8_rescore,
+        )
+
+        ensure_ivf_index(spark, SF_DIR)
+        path = _ivf_index_path(spark, SF_DIR)
+        builds = IVF_INDEX_BUILDS.get(path, 0)
+        a = sorted(map(tuple, q232_ivf_sq8_rescore(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, q232_ivf_sq8_rescore(spark, SF_DIR).collect()))
+        assert a == b
+        assert IVF_INDEX_BUILDS.get(path, 0) == builds  # probes never rebuild
+
+    def test_neighbors_come_from_probed_buckets_only(self, spark):
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            ensure_ivf_index,
+            q232_ivf_sq8_rescore,
+        )
+        from etl_entregas_pyspark_spark.queries.similarity import (
+            _NPROBE,
+            ivf_assign,
+        )
+
+        idx = ensure_ivf_index(spark, SF_DIR)
+        cent = spark.read.parquet(os.path.join(idx, "centroids"))
+        cand = spark.read.parquet(os.path.join(idx, "cand"))
+        bucket = {r.vec_id: r.centroid_id for r in cand.collect()}
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        probes = ivf_assign(
+            e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+            cent,
+            keep=_NPROBE,
+        )
+        probed: dict[int, set] = {}
+        for r in probes.collect():
+            probed.setdefault(r.vec_id, set()).add(r.centroid_id)
+        for r in q232_ivf_sq8_rescore(spark, SF_DIR).collect():
+            assert bucket[r.neighbor_id] in probed[r.query_id]
+
+
+class TestQ233BandPlanSweep:
+    def test_plan_rows_and_shared_truth(self, spark):
+        from etl_entregas_pyspark_spark.queries.similarity import (
+            q233_lsh_band_plan_sweep,
+        )
+
+        rows = q233_lsh_band_plan_sweep(spark, SF_DIR).collect()
+        assert [(r.rows_per_band, r.n_bands) for r in rows] == [
+            (1, 12), (2, 6), (3, 4), (6, 2),
+        ]
+        # the truth arm is plan-independent
+        assert len({r.n_true_pairs for r in rows}) == 1
+        for r in rows:
+            assert 0 <= r.n_hit <= r.n_true_pairs
+            assert 0.0 <= r.recall <= 1.0
+            assert 0.0 <= r.band_precision <= 1.0
+            assert 0.0 <= r.expected_recall <= 1.0
+
+    def test_nested_plans_are_monotone(self, spark):
+        """Band blocks nest along divisor chains (1|2|6 and 1|3|6): a pair
+        agreeing on a width-6 band agrees on its aligned width-3 and
+        width-2 sub-bands, so candidates/hits/recall are monotone along
+        those chains — more rows per band = fewer candidates, lower
+        recall. Theory (E[recall]) is monotone in r outright."""
+        from etl_entregas_pyspark_spark.queries.similarity import (
+            q233_lsh_band_plan_sweep,
+        )
+
+        by_r = {
+            r.rows_per_band: r
+            for r in q233_lsh_band_plan_sweep(spark, SF_DIR).collect()
+        }
+        for chain in ((1, 2, 6), (1, 3, 6)):
+            for lo, hi in zip(chain, chain[1:]):
+                assert by_r[hi].n_candidates <= by_r[lo].n_candidates
+                assert by_r[hi].n_hit <= by_r[lo].n_hit
+                assert by_r[hi].recall <= by_r[lo].recall
+        exp = [by_r[r].expected_recall for r in (1, 2, 3, 6)]
+        assert exp == sorted(exp, reverse=True)
+
+    def test_production_plan_row_matches_q192_audit(self, spark):
+        """Cross-instrument equality: the (4 bands x 3 rows) row of the
+        sweep must reproduce q192's recall audit exactly — same truth
+        count, same hits (truth ∩ candidates == truth ∩ verified pairs,
+        since truth already passes the Jaccard gate), same theory."""
+        from etl_entregas_pyspark_spark.queries.similarity import (
+            q192_lsh_recall_audit,
+            q233_lsh_band_plan_sweep,
+        )
+
+        audit = q192_lsh_recall_audit(spark, SF_DIR).collect()[0]
+        sweep = {
+            r.rows_per_band: r
+            for r in q233_lsh_band_plan_sweep(spark, SF_DIR).collect()
+        }[3]
+        assert sweep.n_true_pairs == audit.n_true_pairs
+        assert sweep.n_hit == audit.n_hit
+        assert sweep.recall == audit.recall
+        assert sweep.expected_recall == audit.expected_recall
