@@ -203,6 +203,7 @@ HEADLINE = [
     "q231_ivf_centroid_refresh",
     "q232_ivf_sq8_rescore",
     "q233_lsh_band_plan_sweep",
+    "q234_ivf_refresh_apply",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

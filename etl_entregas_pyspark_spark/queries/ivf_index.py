@@ -994,6 +994,51 @@ def q230_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _committed_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed (vec_id, centroid_id, embedding): the shared q224 store's
+    membership joined to the vectors by id — the standing assignment is
+    never recomputed to build a refresh."""
+    store = EpochStore(ensure_ivf_commit(spark, sf_dir), IVF_MEMBER_COLS)
+    members = store.read(spark)  # committed (vec_id, centroid_id)
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return members.join(e, "vec_id")
+
+
+def refreshed_centroids(assigned: DataFrame) -> DataFrame:
+    """Element-wise means of the committed inverted lists as (new_cid,
+    nc_emb) — C x D model state. Scaled-int accumulation over all
+    _EMB_DIMS dimensions (order-independent, engine-portable; q75's
+    discipline), so the refreshed coordinates are bit-identical to the
+    DuckDB oracle's."""
+    dims = assigned.select(
+        "centroid_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_EMB_DIMS))).alias("i"),
+        "embedding",
+    ).select(
+        "centroid_id",
+        F.col("i").alias("pos"),
+        F.floor(
+            F.element_at("embedding", F.col("i")).cast("double")
+            * _REFRESH_SCALE
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    newc = dims.groupBy("centroid_id", "pos").agg(
+        (
+            F.sum("v").cast("double") / _REFRESH_SCALE / F.count(F.lit(1))
+        ).alias("coord")
+    )
+    return (
+        newc.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "coord"))).alias("pc"))
+        .select(
+            F.col("centroid_id").alias("new_cid"),
+            F.transform("pc", lambda s: s["coord"]).alias("nc_emb"),
+        )
+    )
+
+
 # -- q231: centroid refresh + membership migration audit ---------------------
 
 _EMB_DIMS = 64  # embeddings table dimension (TESTDATA.md)
@@ -1075,38 +1120,8 @@ _REFRESH_SCALE = 10_000_000  # float -> scaled-int for order-independent sums
     "nothing pairwise in the corpus.",
 )
 def q231_ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = EpochStore(ensure_ivf_commit(spark, sf_dir), IVF_MEMBER_COLS)
-    members = store.read(spark)  # committed (vec_id, centroid_id)
-    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned = members.join(e, "vec_id")
-    dims = assigned.select(
-        "centroid_id",
-        F.explode(F.sequence(F.lit(1), F.lit(_EMB_DIMS))).alias("i"),
-        "embedding",
-    ).select(
-        "centroid_id",
-        F.col("i").alias("pos"),
-        F.floor(
-            F.element_at("embedding", F.col("i")).cast("double")
-            * _REFRESH_SCALE
-        )
-        .cast("long")
-        .alias("v"),
-    )
-    newc = dims.groupBy("centroid_id", "pos").agg(
-        (
-            F.sum("v").cast("double") / _REFRESH_SCALE / F.count(F.lit(1))
-        ).alias("coord")
-    )
-    # C x D model state: assemble the refreshed centroid vectors
-    newcent = (
-        newc.groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "coord"))).alias("pc"))
-        .select(
-            F.col("centroid_id").alias("new_cid"),
-            F.transform("pc", lambda s: s["coord"]).alias("nc_emb"),
-        )
-    )
+    assigned = _committed_assignment(spark, sf_dir)
+    newcent = refreshed_centroids(assigned)
     d2 = F.aggregate(
         F.zip_with(
             F.col("embedding"),
@@ -1292,6 +1307,154 @@ def q232_ivf_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         short.select("query_id", "neighbor_id", "q8_dot", cos.alias("cosine"))
         .select("*", F.row_number().over(wr).alias("rank"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+# -- q234: centroid refresh APPLY — rebuild the inverted file and probe it ----
+
+_REFRESH_ASSIGN_SQL = """
+        SELECT e.vec_id, e.embedding, n.new_cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.embedding, n.nc_emb),
+                            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                   n.new_cid) AS rn
+        FROM {SRC} e CROSS JOIN newcent n
+"""
+
+
+def _ivf_refresh_index_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"ivf_refresh_{app_id}_{tag}")
+
+
+def ensure_refreshed_ivf_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Apply q231's refresh: write a NEW inverted file under the refreshed
+    centroids (same centroids/ + cand/centroid_id=<b>/ layout as
+    ensure_ivf_index, same _SUCCESS-last fencing). The refreshed
+    coordinates are persisted as exact doubles, and the re-assignment
+    reads them BACK from the persisted model state — the probe and the
+    build see the same bits."""
+    path = _ivf_refresh_index_path(spark, sf_dir)
+    if not force and os.path.exists(
+        os.path.join(path, "cand", "_SUCCESS")
+    ):
+        return path
+    newcent = refreshed_centroids(_committed_assignment(spark, sf_dir)).select(
+        F.col("new_cid").alias("centroid_id"), F.col("nc_emb").alias("c_emb")
+    )
+    newcent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cent = spark.read.parquet(os.path.join(path, "centroids"))
+    corpus = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 16)
+    (
+        ivf_assign(corpus, cent, keep=1)
+        .drop("d2")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "cand"))
+    )
+    IVF_INDEX_BUILDS[path] = IVF_INDEX_BUILDS.get(path, 0) + 1
+    return path
+
+
+@register(
+    "q234_ivf_refresh_apply",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1
+    ), dims AS (
+        SELECT a.centroid_id, g.i AS pos,
+               CAST(FLOOR(CAST(a.embedding[g.i] AS DOUBLE) * {_REFRESH_SCALE}) AS BIGINT) AS v
+        FROM assigned a CROSS JOIN generate_series(1, {_EMB_DIMS}) AS g(i)
+    ), newc AS (
+        SELECT centroid_id, pos,
+               CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / {_REFRESH_SCALE} / COUNT(*) AS coord
+        FROM dims GROUP BY centroid_id, pos
+    ), newcent AS (
+        SELECT centroid_id AS new_cid, list(coord ORDER BY pos) AS nc_emb
+        FROM newc GROUP BY centroid_id
+    ), cand2 AS (
+        SELECT vec_id, embedding, new_cid AS centroid_id FROM (
+            {_REFRESH_ASSIGN_SQL.replace("{SRC}", "(SELECT * FROM embeddings WHERE vec_id >= 16)")}
+        ) WHERE rn = 1
+    ), probes2 AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, new_cid AS centroid_id FROM (
+            {_REFRESH_ASSIGN_SQL.replace("{SRC}", "(SELECT * FROM embeddings WHERE vec_id >= 8 AND vec_id < 16)")}
+        ) WHERE rn <= {_NPROBE}
+    ), scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(p.q_emb, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine
+        FROM probes2 p JOIN cand2 c ON p.centroid_id = c.centroid_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_IVF_TOPK}
+    ORDER BY query_id, rank
+    """,
+    doc="the retrain APPLY that completes q231's refresh decision: the "
+    "refreshed centroids (element-wise means of the COMMITTED inverted "
+    "lists, q231's scaled-int arithmetic) are persisted as the new "
+    "model state, the corpus is re-bucketed against them into a NEW "
+    "partitionBy(centroid_id) inverted file (FAISS retrain + add-back "
+    "as a parquet rewrite), and the q73-style probe runs against the "
+    "REBUILT index — queries assigned to the refreshed centroids, "
+    "partition-pruned bucket scan, cosine top-k. The oracle recomputes "
+    "the whole chain from scratch (standing assignment -> refreshed "
+    "means -> re-assignment -> probe), so a drifted membership list, a "
+    "lossy centroid round-trip, or a stale-bucket rewrite all break "
+    "the hash gate. Scale: the rewrite is one O(n x C) assignment pass "
+    "+ one clustered shuffle write — the inherent retrain cost, paid "
+    "once per refresh decision and amortized over every subsequent "
+    "partition-pruned probe; refreshed centroids are C x D model "
+    "state, broadcast both ways; the old index stays probe-able until "
+    "the new cand/_SUCCESS lands (same fencing as ensure_ivf_index).",
+)
+def q234_ivf_refresh_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_refreshed_ivf_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    e = T(spark, sf_dir, "embeddings")
+    probes = (
+        ivf_assign(
+            e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+            cent,
+            keep=_NPROBE,
+        )
+        .drop("d2")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "centroid_id",
+        )
+    )
+    cand = spark.read.parquet(os.path.join(idx, "cand"))
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= _IVF_TOPK)
         .orderBy("query_id", "rank")
     )

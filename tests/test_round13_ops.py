@@ -259,3 +259,108 @@ class TestQ233BandPlanSweep:
         assert sweep.n_hit == audit.n_hit
         assert sweep.recall == audit.recall
         assert sweep.expected_recall == audit.expected_recall
+
+
+class TestQ234RefreshApply:
+    def test_rebuilt_bucket_sizes_match_q231_audit(self, spark):
+        """The applied index must land exactly where the audit said the
+        members would go: per-centroid size of the rebuilt inverted file
+        == n_stay + n_in from q231's migration table."""
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            ensure_refreshed_ivf_index,
+            q231_ivf_centroid_refresh,
+        )
+
+        audit = {
+            r.centroid_id: r.n_stay + r.n_in
+            for r in q231_ivf_centroid_refresh(spark, SF_DIR).collect()
+        }
+        idx = ensure_refreshed_ivf_index(spark, SF_DIR)
+        cand = spark.read.parquet(os.path.join(idx, "cand"))
+        got = {
+            r.centroid_id: r.n
+            for r in cand.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+        }
+        for cid, want in audit.items():
+            assert got.get(cid, 0) == want
+        # and nothing was lost or duplicated in the rewrite
+        assert sum(got.values()) == sum(
+            r.n_members
+            for r in q231_ivf_centroid_refresh(spark, SF_DIR).collect()
+        )
+
+    def test_layout_and_idempotence(self, spark):
+        import glob
+
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            IVF_INDEX_BUILDS,
+            ensure_refreshed_ivf_index,
+            q234_ivf_refresh_apply,
+        )
+
+        idx = ensure_refreshed_ivf_index(spark, SF_DIR)
+        assert os.path.exists(os.path.join(idx, "cand", "_SUCCESS"))
+        assert glob.glob(os.path.join(idx, "cand", "centroid_id=*"))
+        builds = IVF_INDEX_BUILDS.get(idx, 0)
+        assert ensure_refreshed_ivf_index(spark, SF_DIR) == idx
+        a = sorted(map(tuple, q234_ivf_refresh_apply(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, q234_ivf_refresh_apply(spark, SF_DIR).collect()))
+        assert a == b
+        assert IVF_INDEX_BUILDS.get(idx, 0) == builds  # probes never rebuild
+
+    def test_persisted_probe_equals_recompute(self, spark):
+        """Persisted-vs-recompute equivalence for the REBUILT index: the
+        probe over the parquet round-tripped centroids/buckets must equal
+        the same probe computed straight from the refreshed model state."""
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            _committed_assignment,
+            q234_ivf_refresh_apply,
+            refreshed_centroids,
+        )
+        from etl_entregas_pyspark_spark.queries.similarity import (
+            _IVF_TOPK,
+            _NPROBE,
+            dot,
+            ivf_assign,
+            sq_norm,
+        )
+        from pyspark.sql.window import Window
+
+        cent = refreshed_centroids(_committed_assignment(spark, SF_DIR)).select(
+            F.col("new_cid").alias("centroid_id"), F.col("nc_emb").alias("c_emb")
+        )
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        cand = ivf_assign(e.filter(F.col("vec_id") >= 16), cent, keep=1).drop("d2")
+        probes = (
+            ivf_assign(
+                e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+                cent,
+                keep=_NPROBE,
+            )
+            .drop("d2")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                "centroid_id",
+            )
+        )
+        cos = dot(F.col("q_emb"), F.col("embedding")) / (
+            F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        fresh = (
+            cand.join(F.broadcast(probes), "centroid_id")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+            .select("*", F.row_number().over(w).alias("rank"))
+            .filter(F.col("rank") <= _IVF_TOPK)
+        )
+        want = sorted(
+            (r.query_id, r.neighbor_id, r.rank) for r in fresh.collect()
+        )
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in q234_ivf_refresh_apply(spark, SF_DIR).collect()
+        )
+        assert got == want
