@@ -204,6 +204,7 @@ HEADLINE = [
     "q232_ivf_sq8_rescore",
     "q233_lsh_band_plan_sweep",
     "q234_ivf_refresh_apply",
+    "q235_lsh_replan_from_signatures",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

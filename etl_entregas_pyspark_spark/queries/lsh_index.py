@@ -871,3 +871,180 @@ def q226_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("kv.metric", "kv.n_rows")
         .orderBy("metric")
     )
+
+
+# -- q235: band RE-PLAN from the persisted signature store --------------------
+
+from etl_entregas_pyspark_spark.queries.similarity import (  # noqa: E402
+    _md5_int_sql,
+    _sh_sql,
+)
+
+_REPLAN_ROWS = 2  # the recall-heavy plan picked off q233's sweep
+_REPLAN_BANDS = N_HASHES // _REPLAN_ROWS
+
+# test hook: signature-store builds per path — re-plans must never re-shingle
+SIG_STORE_BUILDS: dict[str, int] = {}
+
+
+def _sig_store_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lsh_sig_store_{app_id}_{tag}")
+
+
+def ensure_signature_store(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Persist the corpus's raw 12-integer MinHash signatures once; return
+    the path. The signature table (doc_id + 12 ints, ~100 bytes/doc) is
+    the artifact that makes band RE-PLANNING cheap: any (bands x rows)
+    factorization can be derived from it with integer concat+md5 — no
+    re-shingle, no re-hash of the text. Docs with no shingles carry no
+    signature (matching every banded oracle's len(sh) > 0 gate).
+    Idempotent per (session, sf_dir) on the parquet _SUCCESS marker."""
+    path = _sig_store_path(spark, sf_dir)
+    if not force and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    ex = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
+        .withColumn("h", md5_int(F.col("item")) % _P)
+    )
+    (
+        ex.groupBy("doc_id")
+        .agg(*_minhash_aggs())
+        .repartition(_INDEX_FILES, "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    SIG_STORE_BUILDS[path] = SIG_STORE_BUILDS.get(path, 0) + 1
+    return path
+
+
+def _q235_oracle() -> str:
+    mh = [
+        f"list_min(list_transform(hs, h -> ({_A[j]} * h + {_B[j]}) % {_P})) AS mh{j}"
+        for j in range(N_HASHES)
+    ]
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_hash FROM mh".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"CAST(mh{b * _REPLAN_ROWS + k} AS VARCHAR)"
+                for k in range(_REPLAN_ROWS)
+            ),
+        )
+        for b in range(_REPLAN_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_sh_sql(SHINGLE_W)} AS sh FROM documents
+    ), hashed AS (
+        SELECT doc_id, sh, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs
+        FROM sh WHERE len(sh) > 0
+    ), mh AS (
+        SELECT doc_id, {', '.join(mh)} FROM hashed
+    ), band_long AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_long a JOIN band_long b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+    FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "q235_lsh_replan_from_signatures",
+    _q235_oracle(),
+    doc=f"the band re-plan APPLY that makes q233's sweep actionable: the "
+    f"corpus's raw 12-int MinHash signatures are PERSISTED once "
+    "(ensure_signature_store — the ~100-byte/doc artifact that turns a "
+    "banding change from a corpus re-hash into an integer-concat pass), "
+    f"then the index is re-banded under the recall-heavy "
+    f"{_REPLAN_BANDS}x{_REPLAN_ROWS} plan straight from the STORED "
+    "signatures — zero re-shingling, zero text reads for the banding "
+    "stage — and near-dup pairs are emitted with exact Jaccard >= "
+    f"{JACCARD_THRESHOLD} verification. The verify arm re-tokenizes "
+    "ONLY the candidate docs (broadcast semi-join into the documents "
+    "scan): candidates << corpus, so the text stage is "
+    "candidate-sized, which is the honest 100-TB path — at scale you "
+    "never ship shingle payloads through the index, you re-derive them "
+    "for the handful of docs that collide. Width-2 bands nest inside "
+    "q53's width-3 bands (aligned blocks), so this plan's verified "
+    "pairs are a SUPERSET of q53's — pinned by test. Oracle recomputes "
+    "signature -> re-band -> verify from the text, so a stale or "
+    "corrupted signature store fails the hash gate.",
+)
+def q235_lsh_replan_from_signatures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sig = spark.read.parquet(ensure_signature_store(spark, sf_dir))
+    # re-band from stored ints: one narrow explode, no corpus re-hash
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * _REPLAN_ROWS + k}").cast("string")
+                        for k in range(_REPLAN_ROWS)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(_REPLAN_BANDS)
+    ]
+    band_long = sig.select(
+        "doc_id", F.explode(F.array(*structs)).alias("e")
+    ).select("doc_id", "e.band_id", "e.band_hash")
+    buckets = (
+        band_long.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    docs = F.col("docs")
+    pair_grid = F.flatten(
+        F.transform(
+            docs,
+            lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_grid).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint()
+    )
+    # verify arm: re-shingle ONLY the colliding docs (candidates << corpus)
+    ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    payload = (
+        T(spark, sf_dir, "documents")
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    )
+    a = payload.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = payload.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (
+        F.size("sh_a") + F.size("sh_b")
+        - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )

@@ -66,17 +66,20 @@ _PRIORITY = [
     # the SQ8 quantized-scan + exact-rescore probe (q232, FAISS's
     # IVF-SQ8+refine over the persisted inverted file) and the LSH
     # band-plan sweep (q233, q230's tuning instrument for the text
-    # index), and the refresh APPLY (q234 — the corpus re-bucketed into
+    # index), the refresh APPLY (q234 — the corpus re-bucketed into
     # a NEW persisted inverted file under q231's refreshed centroids,
-    # probe-proven against a from-scratch oracle). All hash-green
-    # locally at sf0.001/sf0.01/sf0.1 (COVERAGE.md, "Verification
-    # freshness (rounds 12-13)" round-13 bullets).
+    # probe-proven against a from-scratch oracle), and the band
+    # RE-PLAN (q235 — persisted 12-int signature store, re-banded
+    # 6x2 with zero re-shingling, candidate-sized verify). All
+    # hash-green locally at sf0.001/sf0.01/sf0.1 (COVERAGE.md,
+    # "Verification freshness (rounds 12-13)" round-13 bullets).
     "q229_ivf_scrub_under_ingest",
     "q230_ivf_nprobe_sweep",
     "q231_ivf_centroid_refresh",
     "q232_ivf_sq8_rescore",
     "q233_lsh_band_plan_sweep",
     "q234_ivf_refresh_apply",
+    "q235_lsh_replan_from_signatures",
     # (b) the r8-cohort remainder (age 4 after the r12 rotation — the
     # oldest evidence in the registry; exactly the age-4 row set in
     # COVERAGE.md's regenerated freshness histogram), name-order.
@@ -104,11 +107,11 @@ _PRIORITY = [
     "q97_explode_outer",
     "q98_cohort_retention",
     "q99_rfm_segments",
-    # (c) backfill to 50 from the r9 cohort (age 3), name-order; 20 fit
-    # after the late q232/q233/q234 registrations (the names below the
+    # (c) backfill to 50 from the r9 cohort (age 3), name-order; 19 fit
+    # after the late q232–q235 registrations (the names below the
     # 50-cut stay listed so the r14 head is explicit). The cohort's
-    # remainder (q19_set_ops ... q51_cosine_topk, 30 rows) heads the
-    # r14 window together with whatever r14 registers.
+    # remainder (q199_semdedup_auto ... q51_cosine_topk, 31 rows) heads
+    # the r14 window together with whatever r14 registers.
     "q04_order_priority",
     "q05_region_revenue",
     "q07_left_join_counts",

@@ -364,3 +364,73 @@ class TestQ234RefreshApply:
             for r in q234_ivf_refresh_apply(spark, SF_DIR).collect()
         )
         assert got == want
+
+
+class TestQ235ReplanFromSignatures:
+    def test_signature_store_schema_and_idempotence(self, spark):
+        from etl_entregas_pyspark_spark.queries.lsh_index import (
+            SIG_STORE_BUILDS,
+            ensure_signature_store,
+        )
+        from etl_entregas_pyspark_spark.queries.similarity import N_HASHES
+
+        path = ensure_signature_store(spark, SF_DIR)
+        sig = spark.read.parquet(path)
+        assert set(sig.columns) == {"doc_id"} | {
+            f"mh{j}" for j in range(N_HASHES)
+        }
+        builds = SIG_STORE_BUILDS.get(path, 0)
+        assert ensure_signature_store(spark, SF_DIR) == path
+        assert SIG_STORE_BUILDS.get(path, 0) == builds
+
+    def test_replan_never_reshingles(self, spark):
+        """The whole point of the signature store: a banding change must
+        not re-hash the corpus. Re-running the re-plan leaves the store's
+        build counter untouched."""
+        from etl_entregas_pyspark_spark.queries.lsh_index import (
+            SIG_STORE_BUILDS,
+            _sig_store_path,
+            ensure_signature_store,
+            q235_lsh_replan_from_signatures,
+        )
+
+        ensure_signature_store(spark, SF_DIR)
+        path = _sig_store_path(spark, SF_DIR)
+        builds = SIG_STORE_BUILDS.get(path, 0)
+        a = sorted(map(tuple, q235_lsh_replan_from_signatures(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, q235_lsh_replan_from_signatures(spark, SF_DIR).collect()))
+        assert a == b
+        assert SIG_STORE_BUILDS.get(path, 0) == builds
+
+    def test_recall_heavy_plan_is_superset_of_q53(self, spark):
+        """Width-2 bands nest inside q53's aligned width-3 bands, so every
+        q53 candidate collides under the 6x2 plan too; with the identical
+        exact-Jaccard verify, q53's verified pairs are a subset."""
+        from etl_entregas_pyspark_spark.queries.lsh_index import (
+            q235_lsh_replan_from_signatures,
+        )
+        from etl_entregas_pyspark_spark.queries.similarity import (
+            q53_minhash_near_dup,
+        )
+
+        wide = {
+            (r.doc_a, r.doc_b)
+            for r in q235_lsh_replan_from_signatures(spark, SF_DIR).collect()
+        }
+        prod = {
+            (r.doc_a, r.doc_b)
+            for r in q53_minhash_near_dup(spark, SF_DIR).collect()
+        }
+        assert prod <= wide
+
+    def test_all_pairs_pass_threshold(self, spark):
+        from etl_entregas_pyspark_spark.queries.lsh_index import (
+            q235_lsh_replan_from_signatures,
+        )
+        from etl_entregas_pyspark_spark.queries.similarity import (
+            JACCARD_THRESHOLD,
+        )
+
+        for r in q235_lsh_replan_from_signatures(spark, SF_DIR).collect():
+            assert r.jaccard >= JACCARD_THRESHOLD
+            assert r.doc_a < r.doc_b

@@ -174,6 +174,10 @@ HEADLINE = [
     "q229_ivf_scrub_under_ingest",
     "q230_ivf_nprobe_sweep",
     "q231_ivf_centroid_refresh",
+    "q232_ivf_sq8_rescore",
+    "q233_lsh_band_plan_sweep",
+    "q234_ivf_refresh_apply",
+    "q235_lsh_replan_from_signatures",
 ]
 
 
