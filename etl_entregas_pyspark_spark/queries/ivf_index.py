@@ -1458,3 +1458,161 @@ def q234_ivf_refresh_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+# -- q236: SQ8 shortlist-depth sweep — recall/cost per rescore budget ---------
+
+_SQ8_SWEEP_DEPTHS = (3, 4, 6, 8)
+
+
+@register(
+    "q236_sq8_shortlist_sweep",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), cand AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+            {_PROBE_ASSIGN_SQL}
+        ) WHERE rn <= {_NPROBE}
+    ), scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(
+                   list_zip({_q8_sql('p.q_emb')}, {_q8_sql('c.embedding')}),
+                   x -> x[1] * x[2])) AS BIGINT) AS q8_dot,
+               list_sum(list_transform(list_zip(p.q_emb, c.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cosine
+        FROM probes p JOIN cand c ON p.centroid_id = c.centroid_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY q8_dot DESC, neighbor_id) AS srn,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS exact_rank
+        FROM scored
+    ), levels AS (
+        SELECT * FROM (VALUES {', '.join(f'({d})' for d in _SQ8_SWEEP_DEPTHS)}) AS t(shortlist)
+    ), approx AS (
+        SELECT shortlist, query_id, neighbor_id, exact_rank FROM (
+            SELECT l.shortlist, r.query_id, r.neighbor_id, r.exact_rank,
+                   ROW_NUMBER() OVER (PARTITION BY l.shortlist, r.query_id
+                       ORDER BY r.cosine DESC, r.neighbor_id) AS arank
+            FROM levels l JOIN ranked r ON r.srn <= l.shortlist
+        ) WHERE arank <= {_IVF_TOPK}
+    )
+    SELECT a.shortlist,
+           CAST(COUNT(DISTINCT a.query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(DISTINCT a.query_id) * a.shortlist AS BIGINT) AS n_rescored,
+           CAST(SUM(CASE WHEN a.exact_rank <= {_IVF_TOPK} THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           CAST(SUM(CASE WHEN a.exact_rank <= {_IVF_TOPK} THEN 1 ELSE 0 END) AS DOUBLE)
+               / (CAST(COUNT(DISTINCT a.query_id) AS DOUBLE) * {_IVF_TOPK}) AS recall_at_k
+    FROM approx a GROUP BY a.shortlist
+    ORDER BY a.shortlist
+    """,
+    doc="the SQ8 tuning instrument (q230's sweep for the QUANTIZED "
+    "probe): how deep must q232's rescore shortlist be before the "
+    "quantized admission stops costing recall against the "
+    "full-precision probe at the same nprobe? ONE candidate scan "
+    "computes both the int8 admission score and the exact cosine; each "
+    f"shortlist budget in {_SQ8_SWEEP_DEPTHS} keeps its top-R by "
+    "quantized dot, rescores, and its exact-cosine top-3 is checked "
+    "against the full-precision probed ranking (exact_rank <= 3) — "
+    "recall monotone in R by construction, and the R where it hits 1.0 "
+    "is the rescore budget you ship (FAISS's k_factor refine sweep as "
+    "a driver-gated table; n_rescored is the cost axis). The level "
+    "fan-out is a broadcast of 4 literals over the already-ranked "
+    "frame — one scan, no re-probe per level. Scale: the scan term is "
+    "q232's (codes only); everything after the shortlist is "
+    "R x |queries| rows.",
+)
+def q236_sq8_shortlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ivf_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    e = T(spark, sf_dir, "embeddings")
+    probes = (
+        ivf_assign(
+            e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+            cent,
+            keep=_NPROBE,
+        )
+        .drop("d2")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            q8_codes(F.col("embedding")).alias("q8_q"),
+            "centroid_id",
+        )
+    )
+    cand = spark.read.parquet(os.path.join(idx, "cand"))
+    q8_dot = F.aggregate(
+        F.zip_with(
+            F.col("q8_q"), q8_codes(F.col("embedding")), lambda a, b: a * b
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    scored = cand.join(F.broadcast(probes), "centroid_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        q8_dot.alias("q8_dot"),
+        cos.alias("cosine"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("q8_dot").desc(), F.col("neighbor_id")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.row_number().over(ws).alias("srn"),
+        F.row_number().over(we).alias("exact_rank"),
+    )
+    # one ranked frame fans out to every budget: a literal explode, no
+    # re-probe per level
+    fan = ranked.withColumn(
+        "shortlist",
+        F.explode(F.array(*[F.lit(d) for d in _SQ8_SWEEP_DEPTHS])),
+    ).filter(F.col("srn") <= F.col("shortlist"))
+    wa = Window.partitionBy("shortlist", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    approx = fan.select(
+        "shortlist",
+        "query_id",
+        "neighbor_id",
+        "exact_rank",
+        F.row_number().over(wa).alias("arank"),
+    ).filter(F.col("arank") <= _IVF_TOPK)
+    hit = F.when(F.col("exact_rank") <= _IVF_TOPK, 1).otherwise(0)
+    return (
+        approx.groupBy("shortlist")
+        .agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.sum(hit).cast("bigint").alias("hits"),
+        )
+        .select(
+            "shortlist",
+            "n_queries",
+            (F.col("n_queries") * F.col("shortlist"))
+            .cast("bigint")
+            .alias("n_rescored"),
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / (F.col("n_queries").cast("double") * F.lit(_IVF_TOPK))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("shortlist")
+    )

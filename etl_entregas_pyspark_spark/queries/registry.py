@@ -70,7 +70,9 @@ _PRIORITY = [
     # a NEW persisted inverted file under q231's refreshed centroids,
     # probe-proven against a from-scratch oracle), and the band
     # RE-PLAN (q235 — persisted 12-int signature store, re-banded
-    # 6x2 with zero re-shingling, candidate-sized verify). All
+    # 6x2 with zero re-shingling, candidate-sized verify), and the SQ8
+    # shortlist-depth sweep (q236 — recall/cost per rescore budget
+    # against the full-precision probe, q232's tuning instrument). All
     # hash-green locally at sf0.001/sf0.01/sf0.1 (COVERAGE.md,
     # "Verification freshness (rounds 12-13)" round-13 bullets).
     "q229_ivf_scrub_under_ingest",
@@ -80,6 +82,7 @@ _PRIORITY = [
     "q233_lsh_band_plan_sweep",
     "q234_ivf_refresh_apply",
     "q235_lsh_replan_from_signatures",
+    "q236_sq8_shortlist_sweep",
     # (b) the r8-cohort remainder (age 4 after the r12 rotation — the
     # oldest evidence in the registry; exactly the age-4 row set in
     # COVERAGE.md's regenerated freshness histogram), name-order.
@@ -107,11 +110,11 @@ _PRIORITY = [
     "q97_explode_outer",
     "q98_cohort_retention",
     "q99_rfm_segments",
-    # (c) backfill to 50 from the r9 cohort (age 3), name-order; 19 fit
-    # after the late q232–q235 registrations (the names below the
+    # (c) backfill to 50 from the r9 cohort (age 3), name-order; 18 fit
+    # after the late q232–q236 registrations (the names below the
     # 50-cut stay listed so the r14 head is explicit). The cohort's
-    # remainder (q199_semdedup_auto ... q51_cosine_topk, 31 rows) heads
-    # the r14 window together with whatever r14 registers.
+    # remainder (q16_window_lag ... q51_cosine_topk, 32 rows) heads the
+    # r14 window together with whatever r14 registers.
     "q04_order_priority",
     "q05_region_revenue",
     "q07_left_join_counts",

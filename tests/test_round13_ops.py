@@ -434,3 +434,47 @@ class TestQ235ReplanFromSignatures:
         for r in q235_lsh_replan_from_signatures(spark, SF_DIR).collect():
             assert r.jaccard >= JACCARD_THRESHOLD
             assert r.doc_a < r.doc_b
+
+
+class TestQ236ShortlistSweep:
+    def test_monotone_recall_and_cost(self, spark):
+        """Shortlists nest (same quantized ranking, deeper cut), and a
+        probed-top-3 member inside any shortlist always survives its
+        exact-cosine rescore — so hits and recall are monotone in R."""
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            q236_sq8_shortlist_sweep,
+        )
+
+        rows = q236_sq8_shortlist_sweep(spark, SF_DIR).collect()
+        assert [r.shortlist for r in rows] == [3, 4, 6, 8]
+        hits = [r.hits for r in rows]
+        recalls = [r.recall_at_k for r in rows]
+        assert hits == sorted(hits)
+        assert recalls == sorted(recalls)
+        for r in rows:
+            assert r.n_rescored == r.n_queries * r.shortlist
+            assert 0.0 <= r.recall_at_k <= 1.0
+
+    def test_top_budget_row_matches_q232_vs_q223(self, spark):
+        """Cross-instrument equality: the R=8 row's hit count must equal
+        the overlap between q232's rescored top-3 (shortlist 8) and the
+        full-precision persisted probe's top-3 (q223), counted directly."""
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            q223_ivf_probe_persisted,
+            q232_ivf_sq8_rescore,
+            q236_sq8_shortlist_sweep,
+        )
+
+        sq8 = {
+            (r.query_id, r.neighbor_id)
+            for r in q232_ivf_sq8_rescore(spark, SF_DIR).collect()
+        }
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in q223_ivf_probe_persisted(spark, SF_DIR).collect()
+        }
+        row8 = {
+            r.shortlist: r
+            for r in q236_sq8_shortlist_sweep(spark, SF_DIR).collect()
+        }[8]
+        assert row8.hits == len(sq8 & exact)

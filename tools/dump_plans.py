@@ -178,6 +178,7 @@ HEADLINE = [
     "q233_lsh_band_plan_sweep",
     "q234_ivf_refresh_apply",
     "q235_lsh_replan_from_signatures",
+    "q236_sq8_shortlist_sweep",
 ]
 
 
