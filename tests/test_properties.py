@@ -106,3 +106,40 @@ def test_single_pass_metrics_equal_sequential_counts(spark_prop, rows):
 @pytest.fixture(scope="module")
 def spark_prop(spark):
     return spark
+
+
+# float32-representable values spanning the ±4σ clamp boundary of the
+# shared int8 quantizer (similarity._Q8_SCALE): the SQ8 surfaces
+# (q68/q232/q236) depend on Spark and DuckDB producing IDENTICAL codes
+f32 = st.floats(
+    min_value=-100.0, max_value=100.0,
+    allow_nan=False, allow_infinity=False, width=32,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(f32, min_size=1, max_size=64), min_size=1, max_size=16))
+def test_q8_codes_match_duckdb(spark_prop, vectors):
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+    from etl_entregas_pyspark_spark.queries.similarity import _q8_sql, q8_codes
+
+    schema = StructType([
+        StructField("i", IntegerType()),
+        StructField("v", ArrayType(FloatType())),
+    ])
+    df = spark_prop.createDataFrame(list(enumerate(vectors)), schema)
+    got = {
+        r.i: list(r.q8)
+        for r in df.select("i", q8_codes(F.col("v")).alias("q8")).collect()
+    }
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(i INT, v FLOAT[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vectors)))
+    want = {
+        r[0]: list(r[1])
+        for r in con.sql(f"SELECT i, {_q8_sql('v')} FROM t").fetchall()
+    }
+    assert got == want  # bitwise code equality, every vector, every dim
+    for codes in got.values():
+        assert all(-127 <= c <= 127 for c in codes)
