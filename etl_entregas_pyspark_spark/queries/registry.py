@@ -57,87 +57,76 @@ _ON_CHANGE_ONLY = {
 # drifting apart (r11 ADVICE #4).
 
 _PRIORITY = [
-    # --- round-13 window (the r12 VERDICT #2 rotation plan) -------------
-    # (a) NEW this round: the three instruments closing the IVF
-    # lifecycle — deletion propagation RACING live ingest (q229, the
-    # scrub→resume interleaving the r12 race fix documents), the nprobe
-    # recall/cost sweep over the persisted inverted file (q230), the
-    # centroid refresh + migration audit (q231, the retrain step) — plus
-    # the SQ8 quantized-scan + exact-rescore probe (q232, FAISS's
-    # IVF-SQ8+refine over the persisted inverted file) and the LSH
-    # band-plan sweep (q233, q230's tuning instrument for the text
-    # index), the refresh APPLY (q234 — the corpus re-bucketed into
-    # a NEW persisted inverted file under q231's refreshed centroids,
-    # probe-proven against a from-scratch oracle), and the band
-    # RE-PLAN (q235 — persisted 12-int signature store, re-banded
-    # 6x2 with zero re-shingling, candidate-sized verify), and the SQ8
-    # shortlist-depth sweep (q236 — recall/cost per rescore budget
-    # against the full-precision probe, q232's tuning instrument). All
-    # hash-green locally at sf0.001/sf0.01/sf0.1 (COVERAGE.md,
-    # "Verification freshness (rounds 12-13)" round-13 bullets).
-    "q229_ivf_scrub_under_ingest",
-    "q230_ivf_nprobe_sweep",
-    "q231_ivf_centroid_refresh",
-    "q232_ivf_sq8_rescore",
-    "q233_lsh_band_plan_sweep",
-    "q234_ivf_refresh_apply",
-    "q235_lsh_replan_from_signatures",
-    "q236_sq8_shortlist_sweep",
-    # (b) the r8-cohort remainder (age 4 after the r12 rotation — the
-    # oldest evidence in the registry; exactly the age-4 row set in
-    # COVERAGE.md's regenerated freshness histogram), name-order.
-    "q124_hourly_churn",
-    "q125_inverted_index",
-    "q126_copurchase_triangles",
-    "q127_quantile_bucketize",
-    "q128_bm25_scoring",
-    "q129_multimodal_embed",
-    "q12_rollup",
-    "q130_zorder_layout",
-    "q132_bloom_semi_join",
-    "q134_pareto_skyline",
-    "q135_power_iteration",
-    "q137_association_rules",
-    "q197_label_noise_scaled",
-    "q198_triangles_adaptive_support",
-    "q35_approx_quantiles",
-    "q38_array_funcs",
-    "q58_asof_join",
-    "q59_range_join",
-    "q83_sessionization",
-    "q93_dedup_pipeline",
-    "q96_map_funcs",
-    "q97_explode_outer",
-    "q98_cohort_retention",
-    "q99_rfm_segments",
-    # (c) backfill to 50 from the r9 cohort (age 3), name-order; 18 fit
-    # after the late q232–q236 registrations (the names below the
-    # 50-cut stay listed so the r14 head is explicit). The cohort's
-    # remainder (q16_window_lag ... q51_cosine_topk, 32 rows) heads the
-    # r14 window together with whatever r14 registers.
-    "q04_order_priority",
-    "q05_region_revenue",
-    "q07_left_join_counts",
-    "q08_anti_join",
-    "q09_semi_join",
-    "q10_full_outer",
-    "q11_broadcast_brand",
-    "q131_global_index",
-    "q133_interval_islands",
-    "q136_chisq_drift",
-    "q138_auc_rank",
-    "q139_ks_drift",
-    "q13_cube",
-    "q140_split_gain",
-    "q141_bigram_perplexity",
-    "q142_country_filter",
-    "q14_window_topn",
-    "q15_window_running",
+    # --- round-14 window (the r13 registry plan executed: new r14
+    # registrations first, then the full r9-cohort remainder — the
+    # oldest evidence in the registry after the r13 rotation — then
+    # backfill to 50 from the r10 cohort) ------------------------------
+    # (a) NEW this round: the LSH band-bucket size VALVE proven at the
+    # driver gate on a degenerate replica corpus (q237 — the workload
+    # class r13 VERDICT weak #2 said would OOM the un-valved pair grid;
+    # the oracle mirrors the derived-cap + dup-class-star semantics so
+    # both engines must agree on cap, valved bucket count, and pair
+    # set) and the derived IVF centroid count (q238 — C = f(corpus)
+    # model state, cross-engine formula sync).
+    "q237_lsh_bucket_valve",
+    "q238_ivf_centroid_plan",
+    # (b) the r9-cohort remainder (age 5 — exactly the last=r9 rows in
+    # the CORRECTNESS_r1..r13 union, minus the on-change-only demos),
+    # name-order.
     "q16_window_lag",
     "q17_window_rank_ntile",
     "q18_topk_orders",
     "q199_semdedup_auto",
     "q19_set_ops",
+    "q200_label_noise_auto",
+    "q201_stream_disordered_tumbling",
+    "q202_span_dup_profile",
+    "q203_incremental_lsh_probe",
+    "q204_source_divergence",
+    "q205_join_skew_plan",
+    "q206_tokenizer_fertility",
+    "q207_centroid_drift",
+    "q20_distinct",
+    "q21_string_funcs",
+    "q22_date_funcs",
+    "q23_null_handling",
+    "q24_case_buckets",
+    "q25_map_lookup",
+    "q28_having",
+    "q30_events_tumbling",
+    "q31_events_sliding",
+    "q32_events_session",
+    "q36_exact_percentiles",
+    "q41_lang_profile",
+    "q42_fingerprint_dedup",
+    "q44_quality_score",
+    "q45_word_jaccard_pairs",
+    "q46_regex_tokens",
+    "q47_rolling_fingerprint",
+    "q50_vector_norms",
+    "q51_cosine_topk",
+    # (c) backfill to 50 from the r10 cohort (age 4), name-order; 16
+    # fit after the two r14 registrations (names below the 50-cut stay
+    # listed so the r15 head is explicit — the r10 cohort's remainder
+    # q159_linear_attribution … q99 continues there).
+    "q143_fk_integrity",
+    "q144_decay_score",
+    "q145_count_min_sketch",
+    "q146_last_touch_attribution",
+    "q147_distinct_n",
+    "q148_rrf_fusion",
+    "q149_seasonal_anomaly",
+    "q150_bucketed_dedup_chain",
+    "q151_stream_upsert_sink",
+    "q152_setjoin_prefix_filter",
+    "q153_sliding_distinct",
+    "q154_calibration_bins",
+    "q155_psi_drift",
+    "q156_feature_matrix",
+    "q157_negative_sampling",
+    "q158_containment_join",
+    "q159_linear_attribution",
+    "q160_interval_overlap_join",
 ]
 
 # checked at import time so every pytest and driver run trips it; an

@@ -49,7 +49,7 @@ def _q152_oracle() -> str:
     )
     return f"""
     WITH docs AS (
-        SELECT doc_id, {_sh_sql(3)} AS toks
+        SELECT doc_id, {_sh_sql()} AS toks
         FROM documents WHERE doc_id % {_SUBSET_MOD} = 0
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -210,7 +210,7 @@ def _q158_oracle() -> str:
     )
     return f"""
     WITH docs AS (
-        SELECT doc_id, {_sh_sql(3)} AS toks
+        SELECT doc_id, {_sh_sql()} AS toks
         FROM documents
     )
     SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,

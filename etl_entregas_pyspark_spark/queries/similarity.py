@@ -341,7 +341,7 @@ def _q53_oracle(source: str = "documents") -> str:
     )
     return f"""
     WITH sh AS (
-        SELECT doc_id, {_sh_sql(3)} AS sh FROM {source}
+        SELECT doc_id, {_sh_sql()} AS sh FROM {source}
     ), hashed AS (
         SELECT doc_id, sh, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs
         FROM sh WHERE len(sh) > 0
@@ -1475,7 +1475,7 @@ def _q189_oracle() -> str:
     )
     return f"""
     WITH sh AS (
-        SELECT doc_id, {_sh_sql(3)} AS sh FROM documents
+        SELECT doc_id, {_sh_sql()} AS sh FROM documents
     ), hashed AS (
         SELECT doc_id, sh, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs
         FROM sh WHERE len(sh) > 0
@@ -1723,7 +1723,7 @@ def _q192_oracle() -> str:
     prob = f"(1.0 - POW(1.0 - POW(t.jaccard, {ROWS_PER_BAND}), {N_BANDS}))"
     return f"""
     WITH shf AS (
-        SELECT doc_id, {_sh_sql(3)} AS sh FROM documents
+        SELECT doc_id, {_sh_sql()} AS sh FROM documents
     ), shd AS (
         SELECT doc_id, sh FROM shf WHERE len(sh) > 0
     ), ex AS (
@@ -2546,7 +2546,7 @@ def _q233_oracle() -> str:
     prob = "(1.0 - POW(1.0 - POW(f.jaccard, f.rpb), f.n_bands))"
     return f"""
     WITH shf AS (
-        SELECT doc_id, {_sh_sql(3)} AS sh FROM documents
+        SELECT doc_id, {_sh_sql()} AS sh FROM documents
     ), shd AS (
         SELECT doc_id, sh FROM shf WHERE len(sh) > 0
     ), hashed AS (

@@ -198,7 +198,9 @@ def main() -> None:
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     out = [
-        "# PLANS — formatted physical plans for the headline queries",
+        f"# PLANS — formatted physical plans for the {len(HEADLINE)} headline"
+        " queries (of the full registry; scoped by tools/dump_plans.py"
+        " HEADLINE — a curated review set, not the whole corpus)",
         "",
         f"Generated by `python tools/dump_plans.py {sf_dir}`. Reviewed properties:",
         "`PushedFilters`/`ReadSchema` (pushdown + pruning), `BroadcastHashJoin`",
