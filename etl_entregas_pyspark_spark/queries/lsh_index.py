@@ -878,6 +878,8 @@ def q226_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_entregas_pyspark_spark.queries.similarity import (  # noqa: E402
     _md5_int_sql,
     _sh_sql,
+    banded_pairs,
+    sig_from_minhash,
 )
 
 _REPLAN_ROWS = 2  # the recall-heavy plan picked off q233's sweep
@@ -987,7 +989,7 @@ def _q235_oracle() -> str:
 def q235_lsh_replan_from_signatures(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    sig = spark.read.parquet(ensure_signature_store(spark, sf_dir))
+    sigs = spark.read.parquet(ensure_signature_store(spark, sf_dir))
     # re-band from stored ints: one narrow explode, no corpus re-hash
     structs = [
         F.struct(
@@ -1004,28 +1006,16 @@ def q235_lsh_replan_from_signatures(
         )
         for b in range(_REPLAN_BANDS)
     ]
-    band_long = sig.select(
+    band_long = sigs.select(
         "doc_id", F.explode(F.array(*structs)).alias("e")
     ).select("doc_id", "e.band_id", "e.band_hash")
-    buckets = (
-        band_long.groupBy("band_id", "band_hash")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") > 1)
+    # bucket pair stage through the shared derived-size valve (r13
+    # VERDICT weak #2); the dup-class key comes from the SAME persisted
+    # 12-int signatures the re-band reads — still zero re-shingling
+    cand, _ = banded_pairs(
+        band_long, ("band_id", "band_hash"), sig_from_minhash(sigs)
     )
-    docs = F.col("docs")
-    pair_grid = F.flatten(
-        F.transform(
-            docs,
-            lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_grid).alias("p"))
-        .filter(F.col("p.a") < F.col("p.b"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint()
-    )
+    cand = cand.localCheckpoint()
     # verify arm: re-shingle ONLY the colliding docs (candidates << corpus)
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")

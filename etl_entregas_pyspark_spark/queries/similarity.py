@@ -102,6 +102,25 @@ def _md5_int_sql(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}),1,15)) AS BIGINT)"
 
 
+def ipow(x, n: int):
+    """x**n for a small integer exponent as a LEFT-ASSOCIATED
+    multiplication chain. Every step is a correctly-rounded IEEE
+    multiply, so Spark and DuckDB produce bit-identical doubles —
+    library pow() is NOT guaranteed correctly rounded in both engines,
+    and a probability landing within an ULP of a FLOOR(p*1e6) boundary
+    could flip the hash gate (r13 ADVICE #1). Used by every banding
+    expected-recall column (q192/q233)."""
+    r = x
+    for _ in range(int(n) - 1):
+        r = r * x
+    return r
+
+
+def _ipow_sql(expr: str, n: int) -> str:
+    """DuckDB twin of ``ipow`` — the same left-associated product chain."""
+    return "(" + " * ".join([expr] * int(n)) + ")"
+
+
 # ---------------------------------------------------------------------------
 # q50 — vector plumbing: exact norms over the embedding column
 # ---------------------------------------------------------------------------
@@ -247,6 +266,171 @@ def _band_hashes(prefix: str = "mh") -> list[Column]:
     ]
 
 
+# --- band-bucket size valve (r13 VERDICT weak #2) ---------------------------
+# Every band-bucket candidate stage used to collect_list the bucket and
+# build the pair grid IN-ROW: a verbatim-duplicate-heavy corpus (the LLM
+# dedup norm) puts every copy of a document in the SAME bucket of EVERY
+# band, and a 10^6-copy hot bucket materializes a 10^12-struct array
+# inside one task. The valve is q194's derived-cap discipline with one
+# twist: the reference quantile is the MEDIAN of colliding-bucket sizes,
+# not a high percentile — a degenerate corpus poisons exactly the tail a
+# p99 reads (four hot buckets among ~90 colliding ones ARE the top 1%,
+# so a p99-derived cap chases the pathology it exists to stop), while
+# the median tracks the healthy dup-group scale and is immovable until
+# most buckets are hot (at which point class-collapse is the right
+# semantics anyway). Buckets above max(floor, mult x median) route to
+# dup-CLASS handling (identical full signatures form one transitive
+# class -> linear star pairs to the class representative;
+# representatives pair among themselves), so per-task memory is bounded
+# by cap^2 structs while healthy corpora never hit the valve (max
+# observed colliding bucket: 19 at sf0.1, ~190 at the sf1
+# 10x-identical-duplication layout; the floor alone clears both).
+_BUCKET_VALVE_FLOOR = 256
+_BUCKET_VALVE_MULT = 8
+_BUCKET_VALVE_Q = 0.5  # tail-robust reference quantile (median)
+
+
+def _derived_bucket_cap(sizes: DataFrame) -> DataFrame:
+    """1-row ``(bucket_cap)`` frame from a colliding-bucket ``(bn)`` size
+    frame: max(floor, mult x exact-median), the median computed from the
+    bucket-size HISTOGRAM via the cumulative-count self-join (q194's
+    recipe — model-state-sized, no sort of data-scale rows)."""
+    hist = sizes.groupBy(F.col("bn").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    m = hist.agg(F.sum("cnt").cast("bigint").alias("m"))
+    ha, hb = hist.alias("ha"), hist.alias("hb")
+    cum = (
+        ha.join(F.broadcast(hb), F.col("hb.v") <= F.col("ha.v"))
+        .groupBy(F.col("ha.v").alias("v"))
+        .agg(F.sum("hb.cnt").cast("bigint").alias("cle"))
+    )
+    med = (
+        cum.crossJoin(F.broadcast(m))
+        .filter(
+            F.col("cle") >= F.ceil(_BUCKET_VALVE_Q * F.col("m")).cast("bigint")
+        )
+        .agg(F.min("v").cast("bigint").alias("med"))
+    )
+    return med.select(
+        F.greatest(
+            F.lit(_BUCKET_VALVE_FLOOR).cast("bigint"),
+            F.coalesce(F.col("med"), F.lit(0)).cast("bigint")
+            * _BUCKET_VALVE_MULT,
+        ).alias("bucket_cap")
+    )
+
+
+def _grid_pairs(buckets: DataFrame, out_cols: list[str], id_col: str = "docs") -> DataFrame:
+    """In-row pair grid over a ``(…, docs array)`` bucket frame — only
+    ever fed arrays bounded by the valve cap."""
+    docs = F.col(id_col)
+    pair_grid = F.flatten(
+        F.transform(docs, lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))))
+    )
+    return (
+        buckets.select(*out_cols, F.explode(pair_grid).alias("p"))
+        .filter(F.col("p.a") < F.col("p.b"))
+        .select(*out_cols, F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    )
+
+
+def banded_pairs(
+    band_long: DataFrame,
+    key_cols: tuple[str, ...],
+    sig: DataFrame,
+    out_cols: tuple[str, ...] = (),
+    valve: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs from band buckets with the derived size valve.
+
+    ``band_long``: (doc_id, *key_cols) — one row per (doc, band).
+    ``key_cols``: the bucket key (e.g. band_id, band_hash [+ plan/block
+    tags]). ``sig``: (doc_id, sig) full-signature frame, consumed ONLY
+    for overflow rows (identical sig == transitive dup class).
+    ``out_cols``: key columns to carry into the output pairs.
+
+    Returns ``(cand, stats)`` where cand has (*out_cols, doc_a, doc_b),
+    deduped, and stats is a 1-row diagnostic frame (bucket_cap,
+    n_buckets_valved, n_overflow_rows) — lazy, free unless consumed.
+
+    Plan: bucket sizes first (map-side-combined count — no arrays), so
+    a hot bucket is NEVER collect_list'ed; normal buckets (2 <= size <=
+    cap) take the exact in-row grid; oversized buckets group by full
+    signature — star pairs member->representative are linear in the
+    bucket, and representatives (distinct classes, themselves
+    cap-checked) pair via the grid, preserving candidate-graph
+    connectivity without the quadratic grid. ``valve=False`` keeps the
+    pre-r14 unbounded grid for measured contrasts only."""
+    key = list(key_cols)
+    outsel = list(out_cols)
+    sizes = (
+        band_long.groupBy(*key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bn"))
+        .filter(F.col("bn") > 1)
+    )
+    if not valve:
+        buckets = (
+            band_long.join(sizes.select(*key), key)
+            .groupBy(*key)
+            .agg(F.collect_list("doc_id").alias("docs"))
+        )
+        cand = _grid_pairs(buckets, outsel).dropDuplicates(
+            outsel + ["doc_a", "doc_b"]
+        )
+        empty = band_long.sparkSession.range(1).select(
+            F.lit(None).cast("bigint").alias("bucket_cap"),
+            F.lit(0).cast("bigint").alias("n_buckets_valved"),
+            F.lit(0).cast("bigint").alias("n_overflow_rows"),
+        )
+        return cand, empty
+    cap = _derived_bucket_cap(sizes)
+    # inner join on colliding buckets only: singleton rows never reach
+    # the pair stage, and the 1-row cap broadcasts into the size tag
+    tagged = band_long.join(sizes, key).crossJoin(F.broadcast(cap))
+    normal = tagged.filter(F.col("bn") <= F.col("bucket_cap"))
+    over = tagged.filter(F.col("bn") > F.col("bucket_cap"))
+    buckets = normal.groupBy(*key).agg(F.collect_list("doc_id").alias("docs"))
+    normal_pairs = _grid_pairs(buckets, outsel)
+    # overflow: dup-class star pairs (rep = min doc id per identical full
+    # signature) + a cap-checked representative-level grid
+    osig = over.select("doc_id", *key).join(sig, "doc_id")
+    classes = osig.groupBy(*key, "sig").agg(F.min("doc_id").alias("rep"))
+    star = (
+        osig.join(classes, key + ["sig"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(*outsel, F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    rsz = (
+        classes.groupBy(*key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rn_"))
+        .filter(F.col("rn_") > 1)
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("rn_") <= F.col("bucket_cap"))
+    )
+    rbuckets = (
+        classes.join(rsz.select(*key), key)
+        .groupBy(*key)
+        .agg(F.collect_list("rep").alias("docs"))
+    )
+    rep_pairs = _grid_pairs(rbuckets, outsel)
+    cand = (
+        normal_pairs.unionByName(star)
+        .unionByName(rep_pairs)
+        .dropDuplicates(outsel + ["doc_a", "doc_b"])
+    )
+    stats = (
+        over.groupBy()
+        .agg(
+            F.countDistinct(*key).cast("bigint").alias("n_buckets_valved"),
+            F.count(F.lit(1)).cast("bigint").alias("n_overflow_rows"),
+        )
+        .crossJoin(F.broadcast(cap))
+        .select("bucket_cap", "n_buckets_valved", "n_overflow_rows")
+    )
+    return cand, stats
+
+
 def lsh_candidates(ex: DataFrame, block_cols: tuple[str, ...] = ()) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash-LSH pipeline over an exploded item stream.
 
@@ -262,9 +446,11 @@ def lsh_candidates(ex: DataFrame, block_cols: tuple[str, ...] = ()) -> tuple[Dat
       so eager-vs-lazy changes nothing; a plan dump of an LSH query costs
       one stage-1 execution.)
     - ``cand`` — deduped candidate pairs (doc_a < doc_b) from
-      ``(block_cols, band_id, band_hash)`` buckets. The band shuffle
-      carries doc ids only, never the payload; in-bucket pair explosion is
-      O(collisions), never an O(n²) self-join.
+      ``(block_cols, band_id, band_hash)`` buckets via ``banded_pairs``:
+      the band shuffle carries doc ids only, never the payload; the
+      in-bucket pair grid is bounded by the derived bucket-size valve
+      (oversized buckets degrade to dup-class star pairs), so per-task
+      memory survives a verbatim-duplicate-heavy corpus.
 
     Minhash math runs on the exploded stream: one md5 per (doc, item) and
     12 integer universal-hash mixes reduced by groupBy/min — all
@@ -296,22 +482,23 @@ def lsh_candidates(ex: DataFrame, block_cols: tuple[str, ...] = ()) -> tuple[Dat
         )
         .select("doc_id", *block, "band.band_id", "band.band_hash")
     )
-    buckets = (
-        band_long.groupBy(*block, "band_id", "band_hash")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") > 1)
-    )
-    docs = F.col("docs")
-    pair_grid = F.flatten(
-        F.transform(docs, lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))))
-    )
-    cand = (
-        buckets.select(F.explode(pair_grid).alias("p"))
-        .filter(F.col("p.a") < F.col("p.b"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand, _ = banded_pairs(
+        band_long,
+        (*block, "band_id", "band_hash"),
+        sig_from_minhash(per_doc),
     )
     return per_doc, cand
+
+
+def sig_from_minhash(per_doc: DataFrame) -> DataFrame:
+    """(doc_id, sig): the full 12-hash signature collapsed to one md5 —
+    the dup-class key the valve's overflow path groups by."""
+    return per_doc.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(",", *[F.col(f"mh{j}").cast("string") for j in range(N_HASHES)])
+        ).alias("sig"),
+    )
 
 
 def jaccard_verify(
@@ -1720,7 +1907,8 @@ def label_noise_flags(
 
 def _q192_oracle() -> str:
     lsh = _q53_oracle()
-    prob = f"(1.0 - POW(1.0 - POW(t.jaccard, {ROWS_PER_BAND}), {N_BANDS}))"
+    inner = f"(1.0 - {_ipow_sql('t.jaccard', ROWS_PER_BAND)})"
+    prob = f"(1.0 - {_ipow_sql(inner, N_BANDS)})"
     return f"""
     WITH shf AS (
         SELECT doc_id, {_sh_sql()} AS sh FROM documents
@@ -1836,7 +2024,7 @@ def q192_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = truth.join(lsh, ["doc_a", "doc_b"], "left").select(
         "jaccard", F.coalesce("hit", F.lit(0)).alias("hit")
     )
-    prob = 1.0 - F.pow(1.0 - F.pow(F.col("jaccard"), ROWS_PER_BAND), N_BANDS)
+    prob = 1.0 - ipow(1.0 - ipow(F.col("jaccard"), ROWS_PER_BAND), N_BANDS)
     stats = joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
         F.sum("hit").cast("bigint").alias("n_hit"),
@@ -2543,7 +2731,18 @@ def _q233_oracle() -> str:
             )
     band_rows = " UNION ALL ".join(plan_rows)
     plan_values = ", ".join(f"({r}, {N_HASHES // r})" for r in _BAND_PLANS)
-    prob = "(1.0 - POW(1.0 - POW(f.jaccard, f.rpb), f.n_bands))"
+    # per-plan integer-exponent product chains (bit-identical across
+    # engines; r13 ADVICE #1) — the exponents are compile-time literals
+    prob_cases = " ".join(
+        "WHEN {r} THEN (1.0 - {outer})".format(
+            r=r,
+            outer=_ipow_sql(
+                f"(1.0 - {_ipow_sql('f.jaccard', r)})", N_HASHES // r
+            ),
+        )
+        for r in _BAND_PLANS
+    )
+    prob = f"(CASE f.rpb {prob_cases} END)"
     return f"""
     WITH shf AS (
         SELECT doc_id, {_sh_sql()} AS sh FROM documents
@@ -2664,23 +2863,13 @@ def q233_lsh_band_plan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_long = per_doc.select(
         "doc_id", F.explode(F.array(*structs)).alias("e")
     ).select("doc_id", "e.rpb", "e.band_id", "e.band_hash")
-    buckets = (
-        band_long.groupBy("rpb", "band_id", "band_hash")
-        .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") > 1)
-    )
-    docs = F.col("docs")
-    pair_grid = F.flatten(
-        F.transform(
-            docs,
-            lambda x: F.transform(docs, lambda y: F.struct(x.alias("a"), y.alias("b"))),
-        )
-    )
-    cand = (
-        buckets.select("rpb", F.explode(pair_grid).alias("p"))
-        .filter(F.col("p.a") < F.col("p.b"))
-        .select("rpb", F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .dropDuplicates(["rpb", "doc_a", "doc_b"])
+    # plan-tagged buckets through the shared valve (r13 VERDICT weak #2):
+    # the rpb=1 plan is the widest-bucket one and the first to need it
+    cand, _ = banded_pairs(
+        band_long,
+        ("rpb", "band_id", "band_hash"),
+        sig_from_minhash(per_doc),
+        out_cols=("rpb",),
     )
 
     # truth arm — q192's exhaustive shingle-blocked exact-Jaccard pairs,
@@ -2717,9 +2906,16 @@ def q233_lsh_band_plan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan = truth.crossJoin(F.broadcast(plans)).join(
         cand.withColumn("hit", F.lit(1)), ["rpb", "doc_a", "doc_b"], "left"
     )
-    prob = 1.0 - F.pow(
-        1.0 - F.pow(F.col("jaccard"), F.col("rpb")), F.col("n_bands")
-    )
+    # per-plan product chains, dispatched on the rpb literal — the same
+    # left-associated multiplies as the oracle's CASE (r13 ADVICE #1)
+    prob = None
+    for r_ in _BAND_PLANS:
+        p_ = 1.0 - ipow(1.0 - ipow(F.col("jaccard"), r_), N_HASHES // r_)
+        prob = (
+            F.when(F.col("rpb") == r_, p_)
+            if prob is None
+            else prob.when(F.col("rpb") == r_, p_)
+        )
     hit = F.coalesce("hit", F.lit(0))
     stats = fan.groupBy("rpb", "n_bands").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
@@ -2752,4 +2948,221 @@ def q233_lsh_band_plan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_recall",
         )
         .orderBy("rows_per_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237 — the band-bucket valve PROVEN on a degenerate replica corpus
+# ---------------------------------------------------------------------------
+
+_VALVE_DEMO_REPLICAS = 2000  # verbatim copies of one seed doc
+_VALVE_DEMO_ID_BASE = 10_000_000  # replica ids sit far above real doc_ids
+
+
+def _q237_oracle() -> str:
+    mh = [
+        f"list_min(list_transform(hs, h -> ({_A[j]} * h + {_B[j]}) % {_P})) AS mh{j}"
+        for j in range(N_HASHES)
+    ]
+    bands = [
+        "md5(" + " || ',' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ) + f") AS band_{b}"
+        for b in range(N_BANDS)
+    ]
+    sig12 = "md5(" + " || ',' || ".join(
+        f"CAST(mh{j} AS VARCHAR)" for j in range(N_HASHES)
+    ) + ")"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band_id, band_{b} AS band_hash FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH seed AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_W}
+        ORDER BY doc_id LIMIT 1
+    ), corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT {_VALVE_DEMO_ID_BASE} + g.i AS doc_id, s.text
+        FROM seed s CROSS JOIN generate_series(1, {_VALVE_DEMO_REPLICAS}) AS g(i)
+    ), sh AS (
+        SELECT doc_id, {_sh_sql()} AS sh FROM corpus
+    ), hashed AS (
+        SELECT doc_id, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs
+        FROM sh WHERE len(sh) > 0
+    ), mh AS (
+        SELECT doc_id, {', '.join(mh)} FROM hashed
+    ), sigs AS (
+        SELECT doc_id, {sig12} AS sig, {', '.join(bands)} FROM mh
+    ), band_long AS (
+        {band_rows}
+    ), sizes AS (
+        SELECT band_id, band_hash, CAST(COUNT(*) AS BIGINT) AS bn
+        FROM band_long GROUP BY band_id, band_hash
+        HAVING COUNT(*) > 1
+    ), hist AS (
+        SELECT bn AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM sizes GROUP BY bn
+    ), m AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS m FROM hist
+    ), cum AS (
+        SELECT ha.v, CAST(SUM(hb.cnt) AS BIGINT) AS cle
+        FROM hist ha JOIN hist hb ON hb.v <= ha.v GROUP BY ha.v
+    ), med AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS med FROM cum, m
+        WHERE cle >= CEIL({_BUCKET_VALVE_Q} * m)
+    ), cap AS (
+        SELECT GREATEST(CAST({_BUCKET_VALVE_FLOOR} AS BIGINT),
+                        COALESCE(med, 0) * {_BUCKET_VALVE_MULT}) AS bucket_cap
+        FROM med
+    ), tagged AS (
+        SELECT b.doc_id, b.sig, b.band_id, b.band_hash, s.bn
+        FROM band_long b JOIN sizes s
+          ON b.band_id = s.band_id AND b.band_hash = s.band_hash
+    ), normal_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM tagged a JOIN tagged b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.bn <= (SELECT bucket_cap FROM cap)
+    ), over AS (
+        SELECT * FROM tagged WHERE bn > (SELECT bucket_cap FROM cap)
+    ), classes AS (
+        SELECT band_id, band_hash, sig, MIN(doc_id) AS rep
+        FROM over GROUP BY band_id, band_hash, sig
+    ), star AS (
+        SELECT c.rep AS doc_a, o.doc_id AS doc_b
+        FROM over o JOIN classes c
+          ON o.band_id = c.band_id AND o.band_hash = c.band_hash
+         AND o.sig = c.sig
+        WHERE o.doc_id <> c.rep
+    ), rsz AS (
+        SELECT band_id, band_hash, CAST(COUNT(*) AS BIGINT) AS rn_
+        FROM classes GROUP BY band_id, band_hash
+        HAVING COUNT(*) > 1
+    ), rep_pairs AS (
+        SELECT a.rep AS doc_a, b.rep AS doc_b
+        FROM classes a JOIN classes b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.rep < b.rep
+        JOIN rsz r ON a.band_id = r.band_id AND a.band_hash = r.band_hash
+        WHERE r.rn_ <= (SELECT bucket_cap FROM cap)
+    ), cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT * FROM normal_pairs
+            UNION ALL SELECT * FROM star
+            UNION ALL SELECT * FROM rep_pairs
+        )
+    ), pairstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_total,
+               CAST(SUM(CASE WHEN doc_a >= {_VALVE_DEMO_ID_BASE}
+                              OR doc_b >= {_VALVE_DEMO_ID_BASE}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_replica_pairs,
+               CAST(SUM(CASE WHEN doc_a < {_VALVE_DEMO_ID_BASE}
+                             AND doc_b < {_VALVE_DEMO_ID_BASE}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_base_pairs
+        FROM cand
+    ), overstats AS (
+        SELECT CAST(COUNT(DISTINCT band_id || '|' || band_hash) AS BIGINT)
+                   AS n_buckets_valved,
+               CAST(COUNT(*) AS BIGINT) AS n_overflow_rows
+        FROM over
+    )
+    SELECT c.bucket_cap, o.n_buckets_valved, o.n_overflow_rows,
+           p.n_pairs_total, p.n_replica_pairs, p.n_base_pairs
+    FROM cap c, overstats o, pairstats p
+    """
+
+
+@register(
+    "q237_lsh_bucket_valve",
+    _q237_oracle(),
+    doc="the band-bucket size valve PROVEN at the driver gate on the "
+    "workload class that used to be fatal (r13 VERDICT weak #2): one "
+    f"seed document verbatim-replicated {_VALVE_DEMO_REPLICAS}x — the "
+    "LLM-dedup norm — lands every copy in the SAME bucket of EVERY "
+    "band; the pre-valve pair grid would materialize ~4 x R^2/2 = 8M "
+    "structs inside single rows (and 10^12 at a 10^6-copy production "
+    "hot key), while the valved stage detects the four hot buckets "
+    "from the SIZE aggregate (never collect_list'ing them), derives "
+    "the cap (q194's histogram recipe over the tail-robust MEDIAN of "
+    "colliding-bucket sizes — max(256, 8 x median) stays "
+    "far above every healthy bucket, so q53/q192/q233/q235 hashes are "
+    "untouched), and degrades those buckets to dup-CLASS star pairs: "
+    "each replica pairs once with the class representative (linear), "
+    "and distinct-signature representatives pair among themselves "
+    "(cap-checked grid), preserving candidate-graph connectivity. The "
+    "emitted row pins the whole mechanism cross-engine: the derived "
+    "cap, the valved bucket count, the overflow row count, and the "
+    "pair split (replica star pairs == R; base-corpus pairs still "
+    "emitted). Scale: bucket sizes are a map-side-combined count; the "
+    "hot class moves as skinny (doc_id, sig) rows through hash "
+    "aggregates — per-task memory is bounded by cap^2 structs "
+    "regardless of replica multiplicity.",
+)
+def q237_lsh_bucket_valve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = (
+        docs.filter(F.size(F.split("text", " ")) >= SHINGLE_W)
+        .orderBy("doc_id")
+        .limit(1)
+        .select(F.col("text").alias("seed_text"))
+    )
+    reps = (
+        spark.range(1, _VALVE_DEMO_REPLICAS + 1)
+        .crossJoin(F.broadcast(seed))
+        .select(
+            (F.lit(_VALVE_DEMO_ID_BASE) + F.col("id")).alias("doc_id"),
+            F.col("seed_text").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(reps)
+    ex = corpus.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("item")
+    ).withColumn("h", md5_int(F.col("item")) % _P)
+    per_doc = (
+        ex.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
+                for j in range(N_HASHES)
+            ]
+        )
+        .localCheckpoint()  # two consumers: band explode + dup-class sigs
+    )
+    band_long = (
+        per_doc.select("doc_id", *_band_hashes())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band_{b}").alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ])
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
+    cand, stats = banded_pairs(
+        band_long, ("band_id", "band_hash"), sig_from_minhash(per_doc)
+    )
+    is_rep = (F.col("doc_a") >= _VALVE_DEMO_ID_BASE) | (
+        F.col("doc_b") >= _VALVE_DEMO_ID_BASE
+    )
+    pairstats = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_total"),
+        F.sum(F.when(is_rep, 1).otherwise(0)).cast("bigint").alias("n_replica_pairs"),
+        F.sum(F.when(~is_rep, 1).otherwise(0)).cast("bigint").alias("n_base_pairs"),
+    )
+    return stats.crossJoin(pairstats).select(
+        "bucket_cap",
+        "n_buckets_valved",
+        "n_overflow_rows",
+        "n_pairs_total",
+        "n_replica_pairs",
+        "n_base_pairs",
     )
