@@ -206,6 +206,9 @@ HEADLINE = [
     "q234_ivf_refresh_apply",
     "q235_lsh_replan_from_signatures",
     "q236_sq8_shortlist_sweep",
+    "q237_lsh_bucket_valve",
+    "q238_ivf_centroid_plan",
+    "q239_lsh_valve_off_demo",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
@@ -217,10 +220,12 @@ HEADLINE = [
 #   q171 uncapped link prediction  -> guarded twins q173 (fixed cap) / q194 (adaptive)
 #   q182 SemDeDup at fixed K=8     -> K-scaled twin q196
 #   q191 label noise at fixed K=8  -> K-scaled twin q197
+#   q239 un-valved band-bucket grid -> valved twin q237 (r14 valve)
 DEMO_BASELINES = {
     "q171_link_prediction",
     "q182_semdedup",
     "q191_label_noise",
+    "q239_lsh_valve_off_demo",
 }
 
 # Declared contrast pairs (scaled-twin / demo-baseline): the sandbox swings
@@ -253,12 +258,17 @@ DEMO_BASELINES = {
 #     corpus costs real money — same decade-of-growth argument as
 #     q210/q203, measured there at sf1 (0.58).
 #   q232/q223 (SQ8 quantized-scan + rescore vs full-precision persisted
-#     probe, SAME index): ~1-1.5 expected at toy scale — the quantized
-#     path evaluates BOTH the int8 codes and the shortlist's exact
-#     cosines while the float scan is not yet bandwidth-bound; the win
-#     SQ8 buys (4x scan bytes) is invisible on a warm local[32] page
-#     cache, so the pair guards plan shape (no extra shuffle/scan), not
-#     wall-clock advantage.
+#     probe, SAME index): since r14 the admission scan reads the
+#     PERSISTED int8 codes only (no float column, no vectors in the
+#     shortlist shuffle) — expect ~0.7-1.2 at toy scale (the scan-bytes
+#     win is real but a warm local[32] page cache hides most of it; the
+#     shortlist rescore join adds a stage the old inline form lacked).
+#     The pair guards plan shape; the ReadSchema test guards the claim.
+#   q237/q239 (valved vs un-valved band-bucket stage on the SAME
+#     degenerate 2000-replica corpus): <1 expected and shrinking with
+#     R — the un-valved twin pays the 4 x C(R+1,2) in-row pair grid +
+#     ~2M-pair dedup the valve exists to avoid; at a production 10^6-
+#     copy hot key the denominator never finishes (SCALE.md r14).
 # Emitted into the detail JSON so the driver's BENCH_rN.json carries the
 # instrument, not just the wall clocks.
 CONTRAST_PAIRS = [
@@ -270,6 +280,7 @@ CONTRAST_PAIRS = [
     ("q214_span_scrub_apply", "q202_span_dup_profile"),
     ("q228_live_ivf_probe", "q73_ivf_search"),
     ("q232_ivf_sq8_rescore", "q223_ivf_probe_persisted"),
+    ("q237_lsh_bucket_valve", "q239_lsh_valve_off_demo"),
 ]
 
 

@@ -66,10 +66,13 @@ _PRIORITY = [
     # class r13 VERDICT weak #2 said would OOM the un-valved pair grid;
     # the oracle mirrors the derived-cap + dup-class-star semantics so
     # both engines must agree on cap, valved bucket count, and pair
-    # set) and the derived IVF centroid count (q238 — C = f(corpus)
-    # model state, cross-engine formula sync).
+    # set), the derived IVF centroid count (q238 — C = f(corpus)
+    # model state, cross-engine formula sync), and the un-valved demo
+    # baseline (q239 — prices the valve; enters the demo tier once its
+    # first driver row lands).
     "q237_lsh_bucket_valve",
     "q238_ivf_centroid_plan",
+    "q239_lsh_valve_off_demo",
     # (b) the r9-cohort remainder (age 5 — exactly the last=r9 rows in
     # the CORRECTNESS_r1..r13 union, minus the on-change-only demos),
     # name-order.
@@ -105,10 +108,10 @@ _PRIORITY = [
     "q47_rolling_fingerprint",
     "q50_vector_norms",
     "q51_cosine_topk",
-    # (c) backfill to 50 from the r10 cohort (age 4), name-order; 16
-    # fit after the two r14 registrations (names below the 50-cut stay
-    # listed so the r15 head is explicit — the r10 cohort's remainder
-    # q159_linear_attribution … q99 continues there).
+    # (c) backfill to 50 from the r10 cohort (age 4), name-order; 15
+    # fit after the three r14 registrations (names below the 50-cut
+    # stay listed so the r15 head is explicit — the r10 cohort's
+    # remainder q158_containment_join … q99 continues there).
     "q143_fk_integrity",
     "q144_decay_score",
     "q145_count_min_sketch",

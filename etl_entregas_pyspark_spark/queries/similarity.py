@@ -3233,3 +3233,130 @@ def q237_lsh_bucket_valve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_replica_pairs",
         "n_base_pairs",
     )
+
+
+def _q239_oracle() -> str:
+    mh = [
+        f"list_min(list_transform(hs, h -> ({_A[j]} * h + {_B[j]}) % {_P})) AS mh{j}"
+        for j in range(N_HASHES)
+    ]
+    bands = [
+        "md5(" + " || ',' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ) + f") AS band_{b}"
+        for b in range(N_BANDS)
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band_{b} AS band_hash FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH seed AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split(text, ' ')) >= {SHINGLE_W}
+        ORDER BY doc_id LIMIT 1
+    ), corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT {_VALVE_DEMO_ID_BASE} + g.i AS doc_id, s.text
+        FROM seed s CROSS JOIN generate_series(1, {_VALVE_DEMO_REPLICAS}) AS g(i)
+    ), sh AS (
+        SELECT doc_id, {_sh_sql()} AS sh FROM corpus
+    ), hashed AS (
+        SELECT doc_id, list_transform(sh, s -> {_md5_int_sql('s')} % {_P}) AS hs
+        FROM sh WHERE len(sh) > 0
+    ), mh AS (
+        SELECT doc_id, {', '.join(mh)} FROM hashed
+    ), sigs AS (
+        SELECT doc_id, {', '.join(bands)} FROM mh
+    ), band_long AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band_long a JOIN band_long b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_total,
+           CAST(SUM(CASE WHEN doc_a >= {_VALVE_DEMO_ID_BASE}
+                          OR doc_b >= {_VALVE_DEMO_ID_BASE}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_replica_pairs,
+           CAST(SUM(CASE WHEN doc_a < {_VALVE_DEMO_ID_BASE}
+                         AND doc_b < {_VALVE_DEMO_ID_BASE}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_base_pairs
+    FROM cand
+    """
+
+
+@register(
+    "q239_lsh_valve_off_demo",
+    _q239_oracle(),
+    doc="q237's degenerate replica corpus through the PRE-r14 un-valved "
+    "pair grid (banded_pairs valve=False) — the deliberately-unguarded "
+    "demo baseline (q171/q182/q191's tier) that PRICES the valve: at "
+    f"R={_VALVE_DEMO_REPLICAS} replicas the grid materializes "
+    "4 x C(R+1,2) ~ 8M pair structs inside four rows and emits ~2M "
+    "quadratic candidate pairs where the valved twin emits R star "
+    "pairs; the bench contrast q237/q239 is the measured insurance "
+    "premium, and the SCALE.md r14 table extrapolates the 10^6-copy "
+    "hot key where this baseline simply never finishes. Runs at demo "
+    "scale only because R is small — that is the point.",
+)
+def q239_lsh_valve_off_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = (
+        docs.filter(F.size(F.split("text", " ")) >= SHINGLE_W)
+        .orderBy("doc_id")
+        .limit(1)
+        .select(F.col("text").alias("seed_text"))
+    )
+    reps = (
+        spark.range(1, _VALVE_DEMO_REPLICAS + 1)
+        .crossJoin(F.broadcast(seed))
+        .select(
+            (F.lit(_VALVE_DEMO_ID_BASE) + F.col("id")).alias("doc_id"),
+            F.col("seed_text").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(reps)
+    ex = corpus.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("item")
+    ).withColumn("h", md5_int(F.col("item")) % _P)
+    per_doc = (
+        ex.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
+                for j in range(N_HASHES)
+            ]
+        )
+        .localCheckpoint()
+    )
+    band_long = (
+        per_doc.select("doc_id", *_band_hashes())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band_{b}").alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ])
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
+    cand, _ = banded_pairs(
+        band_long, ("band_id", "band_hash"), sig_from_minhash(per_doc),
+        valve=False,
+    )
+    is_rep = (F.col("doc_a") >= _VALVE_DEMO_ID_BASE) | (
+        F.col("doc_b") >= _VALVE_DEMO_ID_BASE
+    )
+    return cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_total"),
+        F.sum(F.when(is_rep, 1).otherwise(0)).cast("bigint").alias("n_replica_pairs"),
+        F.sum(F.when(~is_rep, 1).otherwise(0)).cast("bigint").alias("n_base_pairs"),
+    )
