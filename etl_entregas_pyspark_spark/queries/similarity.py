@@ -290,35 +290,35 @@ _BUCKET_VALVE_MULT = 8
 _BUCKET_VALVE_Q = 0.5  # tail-robust reference quantile (median)
 
 
-def _derived_bucket_cap(sizes: DataFrame) -> DataFrame:
-    """1-row ``(bucket_cap)`` frame from a colliding-bucket ``(bn)`` size
-    frame: max(floor, mult x exact-median), the median computed from the
-    bucket-size HISTOGRAM via the cumulative-count self-join (q194's
-    recipe — model-state-sized, no sort of data-scale rows)."""
-    hist = sizes.groupBy(F.col("bn").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+def _derived_bucket_cap(sizes: DataFrame) -> tuple[int, int]:
+    """(bucket_cap, max_bucket) from a colliding-bucket ``(bn)`` size
+    frame: cap = max(floor, mult x exact-median). The median comes from
+    the bucket-size HISTOGRAM (distinct sizes — model-state-sized, one
+    map-side-combined aggregate over the checkpointed sizes frame),
+    folded on the driver in exact integer arithmetic — the same
+    cumulative-count rule q237's DuckDB oracle evaluates (CEIL(q*m) is
+    exact for m < 2^52 in both), so the engines agree bit-for-bit.
+    max_bucket rides along so the overflow decision costs no extra
+    job."""
+    hist = (
+        sizes.groupBy(F.col("bn").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .collect()
     )
-    m = hist.agg(F.sum("cnt").cast("bigint").alias("m"))
-    ha, hb = hist.alias("ha"), hist.alias("hb")
-    cum = (
-        ha.join(F.broadcast(hb), F.col("hb.v") <= F.col("ha.v"))
-        .groupBy(F.col("ha.v").alias("v"))
-        .agg(F.sum("hb.cnt").cast("bigint").alias("cle"))
-    )
-    med = (
-        cum.crossJoin(F.broadcast(m))
-        .filter(
-            F.col("cle") >= F.ceil(_BUCKET_VALVE_Q * F.col("m")).cast("bigint")
-        )
-        .agg(F.min("v").cast("bigint").alias("med"))
-    )
-    return med.select(
-        F.greatest(
-            F.lit(_BUCKET_VALVE_FLOOR).cast("bigint"),
-            F.coalesce(F.col("med"), F.lit(0)).cast("bigint")
-            * _BUCKET_VALVE_MULT,
-        ).alias("bucket_cap")
-    )
+    import math
+
+    m = sum(r["cnt"] for r in hist)
+    med = 0
+    if m:
+        need = math.ceil(_BUCKET_VALVE_Q * m)
+        acc = 0
+        for r in sorted(hist, key=lambda r: r["v"]):
+            acc += r["cnt"]
+            if acc >= need:
+                med = r["v"]
+                break
+    cap = max(_BUCKET_VALVE_FLOOR, med * _BUCKET_VALVE_MULT)
+    return cap, max((r["v"] for r in hist), default=0)
 
 
 def _grid_pairs(buckets: DataFrame, out_cols: list[str], id_col: str = "docs") -> DataFrame:
@@ -369,6 +369,13 @@ def banded_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("bn"))
         .filter(F.col("bn") > 1)
     )
+    if valve:
+        # colliding buckets only — ~|dup groups| rows, hundreds of bytes
+        # each. Checkpointed because THREE consumers derive from it (the
+        # cap histogram, the size-tag join, the rep-grid check): without
+        # this the corpus-scale band_long aggregation re-executes per
+        # consumer (measured 2.5x on q233's 24-band stage).
+        sizes = sizes.localCheckpoint()
     if not valve:
         buckets = (
             band_long.join(sizes.select(*key), key)
@@ -384,12 +391,33 @@ def banded_pairs(
             F.lit(0).cast("bigint").alias("n_overflow_rows"),
         )
         return cand, empty
-    cap = _derived_bucket_cap(sizes)
+    # cap + overflow decision from ONE model-state histogram pull over
+    # the checkpointed sizes (the q223 bucket-id-pull discipline): the
+    # healthy-corpus fast path skips the dup-class machinery entirely,
+    # so the valve's steady-state price is one skinny aggregate + one
+    # join, not six empty overflow stages per query.
+    cap, max_bucket = _derived_bucket_cap(sizes)
+    spark = band_long.sparkSession
+    if max_bucket <= cap:
+        buckets = (
+            band_long.join(sizes.select(*key), key)
+            .groupBy(*key)
+            .agg(F.collect_list("doc_id").alias("docs"))
+        )
+        cand = _grid_pairs(buckets, outsel).dropDuplicates(
+            outsel + ["doc_a", "doc_b"]
+        )
+        stats = spark.range(1).select(
+            F.lit(cap).cast("bigint").alias("bucket_cap"),
+            F.lit(0).cast("bigint").alias("n_buckets_valved"),
+            F.lit(0).cast("bigint").alias("n_overflow_rows"),
+        )
+        return cand, stats
     # inner join on colliding buckets only: singleton rows never reach
-    # the pair stage, and the 1-row cap broadcasts into the size tag
-    tagged = band_long.join(sizes, key).crossJoin(F.broadcast(cap))
-    normal = tagged.filter(F.col("bn") <= F.col("bucket_cap"))
-    over = tagged.filter(F.col("bn") > F.col("bucket_cap"))
+    # the pair stage; the derived cap is a literal in both filters
+    tagged = band_long.join(sizes, key)
+    normal = tagged.filter(F.col("bn") <= cap)
+    over = tagged.filter(F.col("bn") > cap)
     buckets = normal.groupBy(*key).agg(F.collect_list("doc_id").alias("docs"))
     normal_pairs = _grid_pairs(buckets, outsel)
     # overflow: dup-class star pairs (rep = min doc id per identical full
@@ -404,9 +432,7 @@ def banded_pairs(
     rsz = (
         classes.groupBy(*key)
         .agg(F.count(F.lit(1)).cast("bigint").alias("rn_"))
-        .filter(F.col("rn_") > 1)
-        .crossJoin(F.broadcast(cap))
-        .filter(F.col("rn_") <= F.col("bucket_cap"))
+        .filter((F.col("rn_") > 1) & (F.col("rn_") <= cap))
     )
     rbuckets = (
         classes.join(rsz.select(*key), key)
@@ -425,8 +451,11 @@ def banded_pairs(
             F.countDistinct(*key).cast("bigint").alias("n_buckets_valved"),
             F.count(F.lit(1)).cast("bigint").alias("n_overflow_rows"),
         )
-        .crossJoin(F.broadcast(cap))
-        .select("bucket_cap", "n_buckets_valved", "n_overflow_rows")
+        .select(
+            F.lit(cap).cast("bigint").alias("bucket_cap"),
+            "n_buckets_valved",
+            "n_overflow_rows",
+        )
     )
     return cand, stats
 
@@ -2038,11 +2067,17 @@ def q192_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_lsh, _ = banded_pairs(
         _band_long(sigs), ("band_id", "band_hash"), sig_from_minhash(sigs)
     )
+    # explode-then-collect, not a checkpointed shingle ARRAY column:
+    # exploding a checkpointed HOF-built array measured 3x slower than
+    # re-collecting from the exploded stream (r14 session, SCALE.md
+    # local-mode caveats) — and docs with no shingles drop out of the
+    # groupBy exactly like the oracle's len(sh) > 0 gate
     per_doc = (
         T(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", word_shingles(F.col("text")).alias("items"))
-        .filter(F.size("items") > 0)
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("item").alias("items"))
         .localCheckpoint()
     )
 
@@ -2057,6 +2092,9 @@ def q192_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = (
         pairs.filter(l_inter / l_union >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+        # two consumers (the recall join and the n_lsh_pairs count):
+        # materialize the banded+verified arm once
+        .localCheckpoint()
     )
 
     # truth arm — exhaustive shingle-blocked: shingles are distinct per
@@ -2930,15 +2968,20 @@ def q233_lsh_band_plan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig_from_minhash(sigs),
         out_cols=("rpb",),
     )
+    # two consumers (the hit join and the per-plan cost aggregate): the
+    # valved stage is worth materializing once, not re-running
+    cand = cand.localCheckpoint()
 
     # truth arm — q192's exhaustive shingle-blocked exact-Jaccard pairs:
-    # the audit arm owns the single text pass (checkpointed, exact same
-    # shingle sets the store was built from)
+    # the audit arm owns the single text pass (explode-then-collect
+    # checkpoint — q192's shape; the exact same shingle sets the store
+    # was built from)
     per_doc = (
         T(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", word_shingles(F.col("text")).alias("items"))
-        .filter(F.size("items") > 0)
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("item").alias("items"))
         .localCheckpoint()
     )
     ex2 = per_doc.select("doc_id", F.explode("items").alias("s"))
