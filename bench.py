@@ -260,10 +260,12 @@ DEMO_BASELINES = {
 #   q232/q223 (SQ8 quantized-scan + rescore vs full-precision persisted
 #     probe, SAME index): since r14 the admission scan reads the
 #     PERSISTED int8 codes only (no float column, no vectors in the
-#     shortlist shuffle) — expect ~0.7-1.2 at toy scale (the scan-bytes
-#     win is real but a warm local[32] page cache hides most of it; the
-#     shortlist rescore join adds a stage the old inline form lacked).
-#     The pair guards plan shape; the ReadSchema test guards the claim.
+#     shortlist shuffle). At sf0.1 both rows are sub-second and the
+#     rescore's extra broadcast-join stage dominates — measured ~1.5;
+#     sf1 is the authoritative decade (r13 read 0.949 with inline
+#     codes; the persisted-codes form should hold <= that as the
+#     scan-bytes term grows). The pair guards plan shape; the
+#     ReadSchema test guards the claim.
 #   q237/q239 (valved vs un-valved band-bucket stage on the SAME
 #     degenerate 2000-replica corpus): <1 expected and shrinking with
 #     R — the un-valved twin pays the 4 x C(R+1,2) in-row pair grid +

@@ -179,6 +179,8 @@ HEADLINE = [
     "q234_ivf_refresh_apply",
     "q235_lsh_replan_from_signatures",
     "q236_sq8_shortlist_sweep",
+    "q237_lsh_bucket_valve",
+    "q238_ivf_centroid_plan",
 ]
 
 
@@ -223,6 +225,14 @@ def main() -> None:
 
         return _q215_parts(spark, sf_dir)[0]
 
+    def _q232_admission(spark, sf_dir):
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            _SQ8_SHORTLIST,
+            _sq8_admission,
+        )
+
+        return _sq8_admission(spark, sf_dir, _SQ8_SHORTLIST)[1]
+
     extras = {
         "q210_incremental_lsh_probe_persisted": [
             ("probe stage (pre-checkpoint): saved-index scan, no corpus text", _q210_probe)
@@ -232,6 +242,13 @@ def main() -> None:
                 "scoring stage (pre-checkpoint): ONE candidate×probe join at "
                 "max(nprobe); per-nprobe curves are rank filters over it",
                 _q215_scored,
+            )
+        ],
+        "q232_ivf_sq8_rescore": [
+            (
+                "admission stage (pre-checkpoint): codes-only inverted-file "
+                "scan — ReadSchema must NOT contain the embedding column",
+                _q232_admission,
             )
         ],
     }
