@@ -209,6 +209,8 @@ HEADLINE = [
     "q237_lsh_bucket_valve",
     "q238_ivf_centroid_plan",
     "q239_lsh_valve_off_demo",
+    "q240_pq_adc_search",
+    "q241_pq_shortlist_sweep",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

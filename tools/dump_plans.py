@@ -181,6 +181,8 @@ HEADLINE = [
     "q236_sq8_shortlist_sweep",
     "q237_lsh_bucket_valve",
     "q238_ivf_centroid_plan",
+    "q240_pq_adc_search",
+    "q241_pq_shortlist_sweep",
 ]
 
 
