@@ -1737,3 +1737,365 @@ def q238_ivf_centroid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.lit(_NPROBE).cast("double") / c, 6).alias("probe_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q242 — IVF-PQ: q223's partition-pruned probe composed over q240's ADC
+#         scan (the composition both docstrings promise), with RESIDUAL
+#         product-quantization codes persisted in the inverted file.
+# ---------------------------------------------------------------------------
+
+from etl_entregas_pyspark_spark.queries.similarity import (  # noqa: E402
+    _PQ_K,
+    _PQ_M,
+    _PQ_SCALE,
+    _PQ_SHORTLIST,
+    _PQ_SUB,
+    _pq_subspaces,
+)
+
+# test hook: (re)build count per index path — probes must never rebuild
+IVFPQ_INDEX_BUILDS: dict[str, int] = {}
+
+
+def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"ivfpq_index_{app_id}_{tag}")
+
+
+def _ivfpq_residuals(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Corpus residuals r = x − c(x) in ``_pq_subspaces``-sliceable form:
+    (vec_id, centroid_id, embedding) where ``embedding`` IS the residual
+    (array<double>). PQ on residuals beats PQ on raw vectors because the
+    centroid already explains the coarse position — the codebook only has
+    to cover the within-bucket spread (FAISS's IVFPQ contract)."""
+    return (
+        ivf_assign(e.filter(F.col("vec_id") >= 16), cent, keep=1)
+        .drop("d2")
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(
+                "embedding",
+                "c_emb",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("embedding"),
+        )
+    )
+
+
+def ensure_ivfpq_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Write the IVF-PQ index once per (session, sf_dir); return its root.
+
+    Layout (all three written at build time, probes read-only):
+    - ``centroids/`` — (centroid_id, c_emb), the broadcastable coarse
+      quantizer (same shape as ensure_ivf_index's).
+    - ``codebook/`` — (m, k, cw): per-subspace residual codewords — the
+      deterministic sample convention (vec_id 16..16+K's residual
+      subvectors), M x K x SUB doubles of model state, broadcast
+      everywhere.
+    - ``cand/centroid_id=<b>/`` — (vec_id, codes array<tinyint>): each
+      corpus vector as M 4-bit PQ codes over its RESIDUAL, one physical
+      partition per inverted list. No float column at all — this file is
+      M bytes/vector (vs 256 for floats): the layout that lets a 100-TB
+      corpus's entire search structure fit on a fraction of the nodes.
+
+    Gated on ``cand/_SUCCESS`` written LAST, so a half-built index is
+    rebuilt, never probed (ensure_ivf_index's discipline)."""
+    path = _ivfpq_index_path(spark, sf_dir)
+    if not force and os.path.exists(os.path.join(path, "cand", "_SUCCESS")):
+        return path
+    e = T(spark, sf_dir, "embeddings")
+    cent = ivf_centroids(e)
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    # residuals feed BOTH the codebook and the encode pass
+    resid = _ivfpq_residuals(e, cent).localCheckpoint()
+    (
+        _pq_subspaces(
+            resid.filter(F.col("vec_id") < 16 + _PQ_K), "cb_vec", "cw"
+        )
+        .select("m", (F.col("cb_vec") - 16).alias("k"), "cw")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "codebook"))
+    )
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cw"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wenc = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("k"))
+    codes_long = (
+        _pq_subspaces(resid, "vec_id", "sv")
+        .join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "k", d2.alias("d2"))
+        .select("*", F.row_number().over(wenc).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    (
+        codes_long.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"],
+            )
+            .cast("array<tinyint>")
+            .alias("codes")
+        )
+        .join(resid.select("vec_id", "centroid_id"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "cand"))
+    )
+    IVFPQ_INDEX_BUILDS[path] = IVFPQ_INDEX_BUILDS.get(path, 0) + 1
+    return path
+
+
+def _ivfpq_admission(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF-PQ ADMISSION stage, pre-checkpoint so its plan is
+    testable: returns ``(probes, scored)``.
+
+    - ``probes``: the query batch assigned against the persisted coarse
+      quantizer, one row per (query, probed centroid), carrying q_emb
+      plus the floor-scaled integer dot(q, centroid) — the per-bucket
+      ADC offset (dot(q,x) = dot(q,c) + dot(q,r) exactly, so the
+      residual LUT sum needs the centroid term added back once).
+    - ``scored``: (query_id, neighbor_id, adc) for every candidate in a
+      probed partition. The inverted-file scan reads (vec_id,
+      centroid_id, codes) — there IS no float column in the candidate
+      file; vectors never enter until the shortlist rescore."""
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    cb = spark.read.parquet(os.path.join(idx, "codebook"))
+    e = T(spark, sf_dir, "embeddings")
+    qset = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    probes = (
+        ivf_assign(qset, cent, _NPROBE)
+        .drop("d2")
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "centroid_id",
+            F.floor(dot(F.col("embedding"), F.col("c_emb")) * _PQ_SCALE)
+            .cast("long")
+            .alias("cdot"),
+        )
+        .localCheckpoint()  # consumers: bucket pull, scan join, rescore
+    )
+    # <= C-row model-state pull: which inverted lists to open
+    buckets = [
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    # per-query LUT over the residual codebook: exact subspace dots,
+    # floor-scaled to ints (order-independent, engine-portable sums)
+    pdot = F.floor(
+        F.aggregate(
+            F.zip_with(
+                F.col("qsv"),
+                F.col("cw"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * _PQ_SCALE
+    ).cast("long")
+    lut = (
+        _pq_subspaces(qset, "query_id", "qsv")
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", F.col("k").alias("code"), pdot.alias("pdot"))
+    )
+    codes_long = (
+        spark.read.parquet(os.path.join(idx, "cand"))
+        .filter(F.col("centroid_id").isin(buckets))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.posexplode(F.col("codes").cast("array<long>")).alias(
+                "m", "code"
+            ),
+        )
+    )
+    scored = (
+        codes_long.join(
+            F.broadcast(probes.select("query_id", "centroid_id", "cdot")),
+            "centroid_id",
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg((F.min("cdot") + F.sum("pdot")).cast("long").alias("adc"))
+    )
+    return probes, scored
+
+
+def _ivfpq_oracle() -> str:
+    sl = f"m.m * {_PQ_SUB} + 1, m.m * {_PQ_SUB} + {_PQ_SUB}"
+    d2 = (
+        "list_sum(list_transform(list_zip(s.sv, b.cw), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    qdot = (
+        "list_sum(list_transform(list_zip(s.qsv, b.cw), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    cdot = (
+        "list_sum(list_transform(list_zip(p.q_emb, c.c_emb), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    cosine = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), cand AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1
+    ), resid AS (
+        SELECT a.vec_id, a.centroid_id,
+               list_transform(list_zip(a.embedding, c.c_emb),
+                   p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rv
+        FROM cand a JOIN cent c ON a.centroid_id = c.centroid_id
+    ), cb AS (
+        SELECT m.m, r.vec_id - 16 AS k, list_slice(r.rv, {sl}) AS cw
+        FROM (SELECT * FROM resid WHERE vec_id < {16 + _PQ_K}) r
+        CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), rsub AS (
+        SELECT r.vec_id, r.centroid_id, m.m, list_slice(r.rv, {sl}) AS sv
+        FROM resid r CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), codes AS (
+        SELECT vec_id, centroid_id, m, k AS code FROM (
+            SELECT s.vec_id, s.centroid_id, s.m, b.k,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {d2}, b.k) AS rn
+            FROM rsub s JOIN cb b ON s.m = b.m
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT p.query_id, p.q_emb, p.centroid_id,
+               CAST(FLOOR({cdot} * {_PQ_SCALE}.0) AS BIGINT) AS cdot
+        FROM (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+              FROM ({_PROBE_ASSIGN_SQL}) WHERE rn <= {_NPROBE}) p
+        JOIN cent c ON p.centroid_id = c.centroid_id
+    ), qsub AS (
+        SELECT q.vec_id AS query_id, m.m, list_slice(q.embedding, {sl}) AS qsv
+        FROM (SELECT * FROM embeddings WHERE vec_id >= 8 AND vec_id < 16) q
+        CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), lut AS (
+        SELECT s.query_id, s.m, b.k AS code,
+               CAST(FLOOR({qdot} * {_PQ_SCALE}.0) AS BIGINT) AS pdot
+        FROM qsub s JOIN cb b ON s.m = b.m
+    ), scores AS (
+        SELECT p.query_id, co.vec_id AS neighbor_id,
+               CAST(MIN(p.cdot) + SUM(l.pdot) AS BIGINT) AS adc
+        FROM codes co
+        JOIN probes p ON co.centroid_id = p.centroid_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.m = co.m AND l.code = co.code
+        GROUP BY p.query_id, co.vec_id
+    ), short AS (
+        SELECT query_id, neighbor_id, adc FROM (
+            SELECT query_id, neighbor_id, adc,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, neighbor_id) AS srn
+            FROM scores
+        ) WHERE srn <= {_PQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, adc, cosine, rank FROM (
+        SELECT sh.query_id, sh.neighbor_id, sh.adc, {cosine} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY sh.query_id
+                   ORDER BY {cosine} DESC, sh.neighbor_id) AS rank
+        FROM short sh
+        JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 8 AND vec_id < 16) q ON sh.query_id = q.vec_id
+        JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 16) c ON sh.neighbor_id = c.vec_id
+    ) WHERE rank <= {_IVF_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "q242_ivfpq_search",
+    _ivfpq_oracle(),
+    doc="IVF-PQ — the composition q223 and q240 both promise in their "
+    "docstrings, now a driver-gated table (FAISS's IVFPQ layout as a "
+    "parquet partition grid): the coarse quantizer routes each corpus "
+    "vector to its nearest centroid, the vector's RESIDUAL r = x - c "
+    f"encodes as {_PQ_M} 4-bit PQ codes (residual codebooks — the "
+    "centroid explains the coarse position, so the codebook only covers "
+    "within-bucket spread), and the inverted file persists (vec_id, "
+    "codes) partitioned by centroid_id with NO float column at all — "
+    f"{_PQ_M} bytes/vector vs 256, the 32x compression that lets a "
+    "100-TB corpus's whole search structure live on a fraction of the "
+    "nodes. A probe composes BOTH prunings: partition pruning opens "
+    f"only the {_NPROBE} probed centroid_id= lists (~nprobe/C of the "
+    "corpus, q223's axis) and the scan over them touches only codes "
+    "(q240's axis). ADC is exact on the decomposition dot(q,x) = "
+    "dot(q,c) + dot(q,r): per (query, probed centroid) ONE floor-scaled "
+    f"integer offset, per query ONE {_PQ_M}x{_PQ_K} LUT of residual "
+    "subspace dots, and the scan term is a broadcast-hash-join of the "
+    "skinny code rows against both — map-side partial sums, no vector "
+    f"in the shuffle. The ADC top-{_PQ_SHORTLIST} shortlist is rescored "
+    f"with exact cosine for the final top-{_IVF_TOPK} (q232's refine "
+    "contract); emitted rows carry both the admitting ADC score and "
+    "the ranking cosine, so a codebook, residual, offset, or LUT bug "
+    "shifts admissions and fails the hash gate.",
+)
+def q242_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    probes, scored = _ivfpq_admission(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.select("*", F.row_number().over(ws).alias("srn"))
+        .filter(F.col("srn") <= _PQ_SHORTLIST)
+        .drop("srn")
+    )
+    # exact rescore over the shortlist only — floats page in for
+    # <= shortlist x |queries| rows
+    resc = (
+        e.filter(F.col("vec_id") >= 16)
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(short), "neighbor_id")
+        .join(
+            F.broadcast(
+                probes.select("query_id", "q_emb").dropDuplicates(
+                    ["query_id"]
+                )
+            ),
+            "query_id",
+        )
+    )
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        resc.select("query_id", "neighbor_id", "adc", cos.alias("cosine"))
+        .select("*", F.row_number().over(wr).alias("rank"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .orderBy("query_id", "rank")
+    )

@@ -342,3 +342,82 @@ class TestPqAdc:
             assert r["n_rescored"] >= prev_c
             assert r["n_rescored"] <= r["n_queries"] * r["shortlist"]
             prev_r, prev_c = r["recall_at_k"], r["n_rescored"]
+
+
+# -- Part 5: q242 IVF-PQ — the q223 x q240 composition ------------------------
+
+from etl_entregas_pyspark_spark.queries.ivf_index import (  # noqa: E402
+    IVFPQ_INDEX_BUILDS,
+    _ivfpq_admission,
+    ensure_ivfpq_index,
+    q242_ivfpq_search,
+)
+
+
+class TestIvfPq:
+    def test_inverted_file_has_no_float_column(self, spark):
+        """The IVF-PQ candidate file is (vec_id, codes, centroid_id) —
+        there is NO embedding column to mis-scan: the 32x compression
+        is structural, not a plan property that could regress."""
+        idx = ensure_ivfpq_index(spark, SF_DIR)
+        cand = spark.read.parquet(os.path.join(idx, "cand"))
+        assert set(cand.columns) == {"vec_id", "codes", "centroid_id"}
+        assert cand.schema["codes"].dataType.simpleString() == "array<tinyint>"
+
+    def test_probe_scan_is_codes_only_and_partition_pruned(self, spark):
+        ensure_ivfpq_index(spark, SF_DIR)
+        df = q242_ivfpq_search(spark, SF_DIR)
+        schemas = _scan_read_schemas(df, "cand")
+        assert schemas, "no candidate-file scan found in q242's plan"
+        for rs in schemas:
+            assert "embedding" not in rs, f"index scan reads floats: {rs}"
+            assert "codes" in rs, f"index scan misses codes: {rs}"
+
+    def test_index_built_once_across_probes(self, spark):
+        idx = ensure_ivfpq_index(spark, SF_DIR)
+        before = IVFPQ_INDEX_BUILDS[idx]
+        q242_ivfpq_search(spark, SF_DIR).collect()
+        q242_ivfpq_search(spark, SF_DIR).collect()
+        assert IVFPQ_INDEX_BUILDS[idx] == before
+
+    def test_codes_are_4bit_and_complete(self, spark):
+        from etl_entregas_pyspark_spark.queries.similarity import _PQ_K, _PQ_M
+
+        idx = ensure_ivfpq_index(spark, SF_DIR)
+        cand = spark.read.parquet(os.path.join(idx, "cand"))
+        bad = cand.filter(
+            (F.size("codes") != _PQ_M)
+            | F.exists(
+                "codes", lambda c: (c < 0) | (c >= F.lit(_PQ_K))
+            )
+        ).count()
+        assert bad == 0
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        assert cand.count() == e.filter(F.col("vec_id") >= 16).count()
+
+    def test_admission_scores_only_probed_buckets(self, spark):
+        """Every scored candidate sits in a partition its query probed —
+        the composition prunes, it doesn't rescan the corpus."""
+        probes, scored = _ivfpq_admission(spark, SF_DIR)
+        idx = ensure_ivfpq_index(spark, SF_DIR)
+        member = (
+            spark.read.parquet(os.path.join(idx, "cand"))
+            .select(F.col("vec_id").alias("neighbor_id"), "centroid_id")
+        )
+        probed = probes.select("query_id", "centroid_id").distinct()
+        stray = (
+            scored.join(member, "neighbor_id")
+            .join(probed, ["query_id", "centroid_id"], "left_anti")
+            .count()
+        )
+        assert stray == 0
+
+    def test_q242_ranks_are_dense_and_distinct(self, spark):
+        rows = q242_ivfpq_search(spark, SF_DIR).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert per_q, "q242 emitted no rows"
+        for rs in per_q.values():
+            assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+            assert len({r["neighbor_id"] for r in rs}) == len(rs)
