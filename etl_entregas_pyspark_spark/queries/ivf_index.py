@@ -1764,14 +1764,16 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"ivfpq_index_{app_id}_{tag}")
 
 
-def _ivfpq_residuals(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """Corpus residuals r = x − c(x) in ``_pq_subspaces``-sliceable form:
+def _ivfpq_residuals(src: DataFrame, cent: DataFrame) -> DataFrame:
+    """Residuals r = x − c(x) in ``_pq_subspaces``-sliceable form:
     (vec_id, centroid_id, embedding) where ``embedding`` IS the residual
     (array<double>). PQ on residuals beats PQ on raw vectors because the
     centroid already explains the coarse position — the codebook only has
-    to cover the within-bucket spread (FAISS's IVFPQ contract)."""
+    to cover the within-bucket spread (FAISS's IVFPQ contract). ``src``
+    is any (vec_id, embedding) slice — the full corpus at build time, an
+    arriving batch at ingest time (q243)."""
     return (
-        ivf_assign(e.filter(F.col("vec_id") >= 16), cent, keep=1)
+        ivf_assign(src, cent, keep=1)
         .drop("d2")
         .join(F.broadcast(cent), "centroid_id")
         .select(
@@ -1813,7 +1815,9 @@ def ensure_ivfpq_index(
     cent = ivf_centroids(e)
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     # residuals feed BOTH the codebook and the encode pass
-    resid = _ivfpq_residuals(e, cent).localCheckpoint()
+    resid = _ivfpq_residuals(
+        e.filter(F.col("vec_id") >= 16), cent
+    ).localCheckpoint()
     (
         _pq_subspaces(
             resid.filter(F.col("vec_id") < 16 + _PQ_K), "cb_vec", "cw"
@@ -1823,6 +1827,22 @@ def ensure_ivfpq_index(
         .parquet(os.path.join(path, "codebook"))
     )
     cb = spark.read.parquet(os.path.join(path, "codebook"))
+    (
+        _ivfpq_encode(resid, cb)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "cand"))
+    )
+    IVFPQ_INDEX_BUILDS[path] = IVFPQ_INDEX_BUILDS.get(path, 0) + 1
+    return path
+
+
+def _ivfpq_encode(resid: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode residual rows against a FROZEN codebook: per subspace the
+    nearest codeword (exact L2², deterministic k tie-break), re-packed
+    as one array<tinyint> per vector. Returns (vec_id, codes,
+    centroid_id) — shared by the bulk build (ensure_ivfpq_index) and
+    the O(batch) ingest path (q243), so the two can never drift."""
     d2 = F.aggregate(
         F.zip_with(
             F.col("sv"),
@@ -1842,7 +1862,7 @@ def ensure_ivfpq_index(
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", F.col("k").alias("code"))
     )
-    (
+    return (
         codes_long.groupBy("vec_id")
         .agg(
             F.transform(
@@ -1853,16 +1873,11 @@ def ensure_ivfpq_index(
             .alias("codes")
         )
         .join(resid.select("vec_id", "centroid_id"), "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(os.path.join(path, "cand"))
     )
-    IVFPQ_INDEX_BUILDS[path] = IVFPQ_INDEX_BUILDS.get(path, 0) + 1
-    return path
 
 
 def _ivfpq_admission(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, cand_codes: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The IVF-PQ ADMISSION stage, pre-checkpoint so its plan is
     testable: returns ``(probes, scored)``.
@@ -1875,7 +1890,11 @@ def _ivfpq_admission(
     - ``scored``: (query_id, neighbor_id, adc) for every candidate in a
       probed partition. The inverted-file scan reads (vec_id,
       centroid_id, codes) — there IS no float column in the candidate
-      file; vectors never enter until the shortlist rescore."""
+      file; vectors never enter until the shortlist rescore.
+
+    ``cand_codes`` overrides the candidate source (q243 probes the
+    live epoch-fenced codes store instead of the bulk-built file); the
+    bucket restriction applies either way."""
     idx = ensure_ivfpq_index(spark, sf_dir)
     cent = spark.read.parquet(os.path.join(idx, "centroids"))
     cb = spark.read.parquet(os.path.join(idx, "codebook"))
@@ -1919,9 +1938,13 @@ def _ivfpq_admission(
         .join(F.broadcast(cb), "m")
         .select("query_id", "m", F.col("k").alias("code"), pdot.alias("pdot"))
     )
-    codes_long = (
+    cand_src = (
         spark.read.parquet(os.path.join(idx, "cand"))
-        .filter(F.col("centroid_id").isin(buckets))
+        if cand_codes is None
+        else cand_codes
+    )
+    codes_long = (
+        cand_src.filter(F.col("centroid_id").isin(buckets))
         .select(
             "vec_id",
             "centroid_id",
@@ -2064,6 +2087,16 @@ def _ivfpq_oracle() -> str:
 def q242_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     probes, scored = _ivfpq_admission(spark, sf_dir)
+    return _ivfpq_finish(e, probes, scored)
+
+
+def _ivfpq_finish(
+    e: DataFrame, probes: DataFrame, scored: DataFrame
+) -> DataFrame:
+    """Shortlist + exact rescore shared by q242 (bulk index) and q243
+    (live store): ADC top-``_PQ_SHORTLIST`` per query, floats joined
+    back for <= shortlist x |queries| rescore rows, cosine
+    top-``_IVF_TOPK``."""
     ws = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id")
     )
@@ -2099,3 +2132,89 @@ def q242_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — IVF-PQ ingest commit + live probe: the frozen-codebook add() path.
+#         q224 proved epoch-fenced ingest for the MEMBERSHIP table; the PQ
+#         index additionally carries codes, and the production question is
+#         whether a batch encoded LIVE (against the persisted model state,
+#         never re-encoding the standing corpus) probes identically to a
+#         full rebuild. q228's equivalence contract, applied to IVF-PQ.
+# ---------------------------------------------------------------------------
+
+IVFPQ_CODE_COLS = ["vec_id", "centroid_id", "codes"]
+
+
+def _ivfpq_store_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"ivfpq_store_{app_id}_{tag}")
+
+
+def ensure_ivfpq_commit(spark: SparkSession, sf_dir: str) -> str:
+    """Build the epoch-fenced PQ codes store and commit one arriving
+    batch into it, exactly once per (session, sf_dir).
+
+    Epoch 0 bulk-loads the STANDING corpus's (vec_id, centroid_id,
+    codes) rows from the persisted index; epoch 1 encodes the arriving
+    batch against the FROZEN model state — the persisted coarse
+    quantizer and residual codebook, via the same ``_ivfpq_encode``
+    the bulk build runs, so live and rebuilt codes can never drift —
+    and lands it with EpochStore's write-first / swing-last commit.
+    The standing corpus is never re-assigned or re-encoded: ingest is
+    O(batch x C) assignment + O(batch x M x K) encode, FAISS's
+    IVFPQ add() as a table commit."""
+    path = _ivfpq_store_path(spark, sf_dir)
+    store = EpochStore(path, IVFPQ_CODE_COLS)
+    if store.pointer()["epoch"] >= 1:
+        return path
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    cand = spark.read.parquet(os.path.join(idx, "cand"))
+    # the bulk file's partition column reads back as int32: normalize
+    # both epochs to bigint so the store's schema is uniform
+    store.seed(
+        cand.filter(F.col("vec_id") % _VEC_BATCH_MOD != 0).select(
+            "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"), "codes"
+        )
+    )
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    cb = spark.read.parquet(os.path.join(idx, "codebook"))
+    batch = T(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") % _VEC_BATCH_MOD == 0)
+    )
+    live = _ivfpq_encode(_ivfpq_residuals(batch, cent), cb)
+    store.append(live.select(*IVFPQ_CODE_COLS), 1)  # fenced: re-runs skip
+    return path
+
+
+@register(
+    "q243_ivfpq_ingest_probe",
+    REGISTRY["q242_ivfpq_search"].oracle,
+    doc="the IVF-PQ ingest path proven at the probe (q228's "
+    "live-vs-batch equivalence contract for the PQ index): one corpus "
+    f"slice (vec_id %% {_VEC_BATCH_MOD} == 0) plays an arriving batch "
+    "that is encoded LIVE against the FROZEN persisted model state — "
+    "coarse quantizer + residual codebook, through the same "
+    "_ivfpq_encode the bulk build runs — and committed into an "
+    "epoch-fenced codes store (EpochStore's write-first / swing-last "
+    "pointer, exactly-once under re-runs); the standing corpus's codes "
+    "bulk-load at epoch 0 and are never re-encoded. The probe then "
+    "runs q242's full admission + rescore over the STORE instead of "
+    "the bulk file, and the oracle is VERBATIM q242's full-rebuild "
+    "recomputation — so a dropped epoch, a double commit, or any "
+    "drift between the live encoder and the build encoder shifts "
+    "admissions and fails the driver hash gate. Scale: ingest moves "
+    f"O(batch) skinny code rows ({_PQ_M} bytes/vector) into the "
+    "arriving vectors' buckets only; nothing corpus-sized is touched "
+    "— the operational property that makes a standing 100-TB PQ index "
+    "maintainable between rebuilds (q231/q234 govern WHEN to retrain; "
+    "this governs what happens every hour in between).",
+)
+def q243_ivfpq_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    store = EpochStore(ensure_ivfpq_commit(spark, sf_dir), IVFPQ_CODE_COLS)
+    probes, scored = _ivfpq_admission(
+        spark, sf_dir, cand_codes=store.read(spark)
+    )
+    return _ivfpq_finish(e, probes, scored)

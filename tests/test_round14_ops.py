@@ -421,3 +421,65 @@ class TestIvfPq:
         for rs in per_q.values():
             assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
             assert len({r["neighbor_id"] for r in rs}) == len(rs)
+
+
+# -- Part 6: q243 IVF-PQ ingest — frozen-codebook add() path ------------------
+
+from etl_entregas_pyspark_spark.queries.ivf_index import (  # noqa: E402
+    IVFPQ_CODE_COLS,
+    _VEC_BATCH_MOD,
+    ensure_ivfpq_commit,
+    q243_ivfpq_ingest_probe,
+)
+from etl_entregas_pyspark_spark.streaming.epoch_store import EpochStore
+
+
+class TestIvfPqIngest:
+    def test_commit_is_exactly_once(self, spark):
+        path = ensure_ivfpq_commit(spark, SF_DIR)
+        store = EpochStore(path, IVFPQ_CODE_COLS)
+        ptr = store.pointer()
+        assert ptr["epoch"] == 1
+        ensure_ivfpq_commit(spark, SF_DIR)  # re-run: fenced no-op
+        assert EpochStore(path, IVFPQ_CODE_COLS).pointer() == ptr
+
+    def test_epochs_partition_the_corpus(self, spark):
+        """Epoch 1 holds exactly the arriving slice; together the epochs
+        cover the corpus once — no drop, no double-commit."""
+        path = ensure_ivfpq_commit(spark, SF_DIR)
+        store = EpochStore(path, IVFPQ_CODE_COLS)
+        e0 = store.read_epoch(spark, 0)
+        e1 = store.read_epoch(spark, 1)
+        assert e1.filter(F.col("vec_id") % _VEC_BATCH_MOD != 0).count() == 0
+        assert e0.filter(F.col("vec_id") % _VEC_BATCH_MOD == 0).count() == 0
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        n_corpus = e.filter(F.col("vec_id") >= 16).count()
+        assert e0.count() + e1.count() == n_corpus
+        assert store.read(spark).select("vec_id").distinct().count() == n_corpus
+
+    def test_live_codes_equal_bulk_codes(self, spark):
+        """The batch encoded LIVE against the frozen model state is
+        bit-identical to what the bulk build produced for the same
+        vectors — the no-drift contract _ivfpq_encode exists for."""
+        path = ensure_ivfpq_commit(spark, SF_DIR)
+        idx = ensure_ivfpq_index(spark, SF_DIR)
+        live = EpochStore(path, IVFPQ_CODE_COLS).read_epoch(spark, 1)
+        bulk = (
+            spark.read.parquet(os.path.join(idx, "cand"))
+            .filter(F.col("vec_id") % _VEC_BATCH_MOD == 0)
+            .select(
+                "vec_id",
+                F.col("centroid_id").cast("long").alias("centroid_id"),
+                "codes",
+            )
+        )
+        assert live.exceptAll(bulk).count() == 0
+        assert bulk.exceptAll(live).count() == 0
+
+    def test_probe_equals_bulk_probe(self, spark):
+        got = {
+            tuple(r)
+            for r in q243_ivfpq_ingest_probe(spark, SF_DIR).collect()
+        }
+        want = {tuple(r) for r in q242_ivfpq_search(spark, SF_DIR).collect()}
+        assert got == want
