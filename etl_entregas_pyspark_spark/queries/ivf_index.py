@@ -2218,3 +2218,211 @@ def q243_ivfpq_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, cand_codes=store.read(spark)
     )
     return _ivfpq_finish(e, probes, scored)
+
+
+# ---------------------------------------------------------------------------
+# q244 — the ANN engine decision MATRIX: every index family the engine
+#         ships (IVF-flat, IVF-SQ8+refine, flat PQ/ADC, IVF-PQ), one table,
+#         same queries, same truth arm — recall@k against brute force and
+#         the two cost axes (candidates scored, bytes per scanned vector)
+#         that actually pick an engine at 100 TB.
+# ---------------------------------------------------------------------------
+
+# admission bytes per scanned vector: 64 floats / 64 int8 codes /
+# 8 x 4-bit PQ codes — the literal decision axis, identical across engines
+_ANN_BYTES = {"ivf_flat": 256, "ivf_sq8": 64, "pq_adc": 4, "ivfpq": 4}
+
+
+def _q244_oracle() -> str:
+    cosine = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+    engines = {
+        "ivf_flat": REGISTRY["q223_ivf_probe_persisted"].oracle,
+        "ivf_sq8": REGISTRY["q232_ivf_sq8_rescore"].oracle,
+        "pq_adc": REGISTRY["q240_pq_adc_search"].oracle,
+        "ivfpq": REGISTRY["q242_ivfpq_search"].oracle,
+    }
+    pairs = "\n        UNION ALL ".join(
+        f"SELECT '{eng}' AS engine, query_id, neighbor_id FROM ({sql})"
+        for eng, sql in engines.items()
+    )
+    return f"""
+    WITH qn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM embeddings
+        WHERE vec_id >= 8 AND vec_id < 16
+    ), truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {cosine} DESC, c.vec_id) AS xr
+            FROM (SELECT * FROM embeddings WHERE vec_id >= 8 AND vec_id < 16) q
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 16) c
+        ) WHERE xr <= {_IVF_TOPK}
+    ), cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), cand AS (
+        SELECT vec_id, centroid_id FROM ({_CAND_ASSIGN_SQL}) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, centroid_id
+        FROM ({_PROBE_ASSIGN_SQL}) WHERE rn <= {_NPROBE}
+    ), probed AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM probes p JOIN cand c ON p.centroid_id = c.centroid_id
+    ), fullg AS (
+        SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id >= 16)
+                    * (SELECT n_queries FROM qn) AS BIGINT) AS n
+    ), costs AS (
+        SELECT 'ivf_flat' AS engine, (SELECT n FROM probed) AS candidates_scored,
+               CAST({_ANN_BYTES['ivf_flat']} AS BIGINT) AS scan_bytes_per_vec
+        UNION ALL SELECT 'ivf_sq8', (SELECT n FROM probed),
+               CAST({_ANN_BYTES['ivf_sq8']} AS BIGINT)
+        UNION ALL SELECT 'pq_adc', (SELECT n FROM fullg),
+               CAST({_ANN_BYTES['pq_adc']} AS BIGINT)
+        UNION ALL SELECT 'ivfpq', (SELECT n FROM probed),
+               CAST({_ANN_BYTES['ivfpq']} AS BIGINT)
+    ), pairs AS (
+        {pairs}
+    ), hits AS (
+        SELECT p.engine, CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits
+        FROM pairs p LEFT JOIN truth t
+          ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        GROUP BY p.engine
+    )
+    SELECT c.engine, qn.n_queries, c.candidates_scored, c.scan_bytes_per_vec,
+           h.hits,
+           CAST(h.hits AS DOUBLE)
+               / (CAST(qn.n_queries AS DOUBLE) * {_IVF_TOPK}) AS recall_at_k
+    FROM costs c CROSS JOIN qn JOIN hits h ON c.engine = h.engine
+    ORDER BY c.engine
+    """
+
+
+@register(
+    "q244_ann_engine_matrix",
+    _q244_oracle(),
+    doc="the pre-ship ANN DECISION as one driver-gated table: all four "
+    "index engines the repo ships — ivf_flat (q223: partition-pruned "
+    "probe, full-precision scan), ivf_sq8 (q232: codes-only admission "
+    "+ refine), pq_adc (q240: flat code-space scan, no vectors), and "
+    "ivfpq (q242: both prunings composed) — run the SAME query batch "
+    "and are judged against the SAME brute-force truth arm, emitting "
+    f"recall@{_IVF_TOPK} plus the two axes that actually choose an "
+    "engine at 100 TB: candidates_scored (the probed-pair count — "
+    "~nprobe/C of the corpus for the IVF engines, the full grid for "
+    "the flat ADC scan) and scan_bytes_per_vec (256 float / 64 int8 / "
+    "4 PQ — admission bandwidth per candidate). Every engine branch "
+    "is the REGISTERED operator's own logic and every oracle branch "
+    "is that operator's registered SQL verbatim, so this row cannot "
+    "drift from the operators it summarizes — a recall or cost change "
+    "in any family shifts this table and fails the driver hash gate. "
+    "The judgment the table encodes (demo scale, isotropic synthetic "
+    "embeddings): SQ8 holds recall at 4x less admission bandwidth; "
+    "PQ buys 64x compression at a real recall price (its honest "
+    "worst case — no cluster structure); IVF-PQ recovers most of it "
+    "back by quantizing residuals. Scale: three aggregates over "
+    "already-skinny frames; the truth arm is the only corpus x query "
+    "term (the audit's necessary full-precision leg, q230's "
+    "brute-leg contract).",
+)
+def q244_ann_engine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        q240_pq_adc_search,
+        q73_ivf_search,  # noqa: F401  (truth shape documented there)
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 16)
+    qset = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    # truth arm: brute-force exact top-k
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .crossJoin(
+            F.broadcast(
+                qset.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                )
+            )
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("*", F.row_number().over(wt).alias("xr"))
+        .filter(F.col("xr") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", F.lit(True).alias("is_true"))
+    )
+    engines = {
+        "ivf_flat": q223_ivf_probe_persisted,
+        "ivf_sq8": q232_ivf_sq8_rescore,
+        "pq_adc": q240_pq_adc_search,
+        "ivfpq": q242_ivfpq_search,
+    }
+    pairs = None
+    for eng, fn in engines.items():
+        p = fn(spark, sf_dir).select(
+            F.lit(eng).alias("engine"), "query_id", "neighbor_id"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hits = (
+        pairs.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("engine")
+        .agg(F.count("is_true").cast("bigint").alias("hits"))
+    )
+    # cost axes: probed-pair count (shared coarse quantizer, so one
+    # count serves all three IVF engines) and the flat scan's full grid
+    cent = ivf_centroids(e)
+    probed_n = (
+        ivf_assign(corpus, cent, keep=1)
+        .select("vec_id", "centroid_id")
+        .join(
+            F.broadcast(
+                ivf_assign(qset, cent, keep=_NPROBE).select(
+                    F.col("vec_id").alias("query_id"), "centroid_id"
+                )
+            ),
+            "centroid_id",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("probed_n"))
+    )
+    full_n = (
+        corpus.agg(F.count(F.lit(1)).alias("c_n"))
+        .crossJoin(qset.agg(F.count(F.lit(1)).alias("q_n")))
+        .select((F.col("c_n") * F.col("q_n")).cast("bigint").alias("full_n"))
+    )
+    qn = qset.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    costs = None
+    for eng, bytes_ in _ANN_BYTES.items():
+        src = full_n.select(F.col("full_n").alias("candidates_scored")) \
+            if eng == "pq_adc" \
+            else probed_n.select(F.col("probed_n").alias("candidates_scored"))
+        row = src.select(
+            F.lit(eng).alias("engine"),
+            "candidates_scored",
+            F.lit(bytes_).cast("bigint").alias("scan_bytes_per_vec"),
+        )
+        costs = row if costs is None else costs.unionByName(row)
+    return (
+        costs.crossJoin(F.broadcast(qn))
+        .join(hits, "engine")
+        .select(
+            "engine",
+            "n_queries",
+            "candidates_scored",
+            "scan_bytes_per_vec",
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / (F.col("n_queries").cast("double") * F.lit(_IVF_TOPK))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("engine")
+    )

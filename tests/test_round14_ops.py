@@ -483,3 +483,40 @@ class TestIvfPqIngest:
         }
         want = {tuple(r) for r in q242_ivfpq_search(spark, SF_DIR).collect()}
         assert got == want
+
+
+# -- Part 7: q244 — the ANN engine decision matrix ----------------------------
+
+from etl_entregas_pyspark_spark.queries.ivf_index import (  # noqa: E402
+    _ANN_BYTES,
+    q244_ann_engine_matrix,
+)
+
+
+class TestAnnEngineMatrix:
+    def test_matrix_structure_and_bounds(self, spark):
+        rows = {r["engine"]: r for r in q244_ann_engine_matrix(spark, SF_DIR).collect()}
+        assert set(rows) == set(_ANN_BYTES)
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        n_corpus = e.filter(F.col("vec_id") >= 16).count()
+        n_queries = e.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+        ).count()
+        for eng, r in rows.items():
+            assert r["n_queries"] == n_queries
+            assert r["scan_bytes_per_vec"] == _ANN_BYTES[eng]
+            assert 0.0 <= r["recall_at_k"] <= 1.0
+        # the flat ADC scan touches the full grid; the IVF engines share
+        # one probed-pair count strictly below it
+        assert rows["pq_adc"]["candidates_scored"] == n_corpus * n_queries
+        probed = rows["ivf_flat"]["candidates_scored"]
+        assert rows["ivf_sq8"]["candidates_scored"] == probed
+        assert rows["ivfpq"]["candidates_scored"] == probed
+        assert probed < n_corpus * n_queries
+
+    def test_flat_dominates_its_own_probed_pool(self, spark):
+        """ivf_flat ranks the probed pool by exact cosine, so no engine
+        restricted to the same pool can beat it."""
+        rows = {r["engine"]: r for r in q244_ann_engine_matrix(spark, SF_DIR).collect()}
+        assert rows["ivf_flat"]["recall_at_k"] >= rows["ivf_sq8"]["recall_at_k"]
+        assert rows["ivf_flat"]["recall_at_k"] >= rows["ivfpq"]["recall_at_k"]
