@@ -1965,7 +1965,12 @@ def _ivfpq_admission(
     return probes, scored
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(scan_pred: str = "") -> str:
+    """q242's full-rebuild recomputation. ``scan_pred`` optionally
+    restricts the CANDIDATE SCAN only (q245's forget contract: the
+    codebook and centroids stay frozen — deletion never retrains model
+    state — but denied vectors must not be scored)."""
+    scan_where = f"WHERE {scan_pred}" if scan_pred else ""
     sl = f"m.m * {_PQ_SUB} + 1, m.m * {_PQ_SUB} + {_PQ_SUB}"
     d2 = (
         "list_sum(list_transform(list_zip(s.sv, b.cw), "
@@ -2034,6 +2039,7 @@ def _ivfpq_oracle() -> str:
         JOIN probes p ON co.centroid_id = p.centroid_id
         JOIN lut l ON l.query_id = p.query_id
                   AND l.m = co.m AND l.code = co.code
+        {scan_where}
         GROUP BY p.query_id, co.vec_id
     ), short AS (
         SELECT query_id, neighbor_id, adc FROM (
@@ -2426,3 +2432,71 @@ def q244_ann_engine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("engine")
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 — forget-request propagation into the PQ index, proven at the PROBE:
+#         q227 proves the membership table forgets; the user-visible
+#         contract is that SEARCH forgets — a denied vector must stop
+#         surfacing as a neighbor, without retraining any model state.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_scrub_store_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"ivfpq_scrub_store_{app_id}_{tag}"
+    )
+
+
+def ensure_ivfpq_scrub(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a dedicated PQ codes store from q243's COMMITTED state and
+    execute the deletion compaction on it, once per (session, sf_dir).
+    EpochStore.scrub's filtered-compaction recipe: anti-join against the
+    broadcast request set, rewrite as one base, swing the pointer last.
+    The shared ingest store stays untouched (q243 keeps its contract)."""
+    path = _ivfpq_scrub_store_path(spark, sf_dir)
+    store = EpochStore(path, IVFPQ_CODE_COLS)
+    if store.pointer().get("base_version") is not None:
+        return path
+    shared = EpochStore(ensure_ivfpq_commit(spark, sf_dir), IVFPQ_CODE_COLS)
+    store.seed(shared.read(spark))
+    deny = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _VEC_DENY_MOD == 2)
+        .select("vec_id")
+    )
+    store.scrub(spark, deny, "vec_id")
+    return path
+
+
+@register(
+    "q245_ivfpq_forget_probe",
+    _ivfpq_oracle(scan_pred=f"co.vec_id % {_VEC_DENY_MOD} <> 2"),
+    doc="right-to-be-forgotten proven at the SEARCH result for the PQ "
+    "index (q227 proves the membership table forgets; this proves the "
+    f"probe does): the request set (vec_id %% {_VEC_DENY_MOD} == 2) is "
+    "scrubbed from the epoch-fenced PQ codes store via EpochStore's "
+    "filtered compaction — anti-join against the broadcast denylist, "
+    "one rewritten base, pointer swung last, interrupted scrubs "
+    "re-runnable — and then q242's FULL admission + rescore runs over "
+    "the scrubbed store. The oracle is q242's rebuild recomputation "
+    "with ONLY the candidate scan restricted: centroids and the "
+    "residual codebook stay FROZEN (deletion never retrains model "
+    "state — even codewords sampled from now-denied vectors remain "
+    "valid quantizer geometry, the production semantics), so a scrub "
+    "that dropped too much, too little, or touched the codebook "
+    "shifts admissions and fails the driver hash gate. Scale: one "
+    "scan of the skinny codes table + a request-sized broadcast "
+    "anti-join; embeddings are never read by the scrub, nothing "
+    "corpus-sized shuffles — the forget path costs O(index), not "
+    "O(corpus).",
+)
+def q245_ivfpq_forget_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    store = EpochStore(ensure_ivfpq_scrub(spark, sf_dir), IVFPQ_CODE_COLS)
+    probes, scored = _ivfpq_admission(
+        spark, sf_dir, cand_codes=store.read(spark)
+    )
+    return _ivfpq_finish(e, probes, scored)

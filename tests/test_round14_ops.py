@@ -520,3 +520,46 @@ class TestAnnEngineMatrix:
         rows = {r["engine"]: r for r in q244_ann_engine_matrix(spark, SF_DIR).collect()}
         assert rows["ivf_flat"]["recall_at_k"] >= rows["ivf_sq8"]["recall_at_k"]
         assert rows["ivf_flat"]["recall_at_k"] >= rows["ivfpq"]["recall_at_k"]
+
+
+# -- Part 8: q245 — PQ-index forget probe -------------------------------------
+
+from etl_entregas_pyspark_spark.queries.ivf_index import (  # noqa: E402
+    _VEC_DENY_MOD,
+    ensure_ivfpq_scrub,
+    q245_ivfpq_forget_probe,
+)
+
+
+class TestIvfPqForget:
+    def test_denied_vectors_never_surface(self, spark):
+        rows = q245_ivfpq_forget_probe(spark, SF_DIR).collect()
+        assert rows, "q245 emitted no rows"
+        for r in rows:
+            assert r["neighbor_id"] % _VEC_DENY_MOD != 2
+
+    def test_scrubbed_store_dropped_exactly_the_request_set(self, spark):
+        path = ensure_ivfpq_scrub(spark, SF_DIR)
+        left = EpochStore(path, IVFPQ_CODE_COLS).read(spark)
+        assert left.filter(F.col("vec_id") % _VEC_DENY_MOD == 2).count() == 0
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        expect = e.filter(
+            (F.col("vec_id") >= 16) & (F.col("vec_id") % _VEC_DENY_MOD != 2)
+        ).count()
+        assert left.count() == expect
+
+    def test_model_state_untouched_by_scrub(self, spark):
+        """The scrub rewrites the codes store only — the persisted
+        centroids and codebook (frozen quantizer geometry) are the
+        same files the bulk build wrote."""
+        ensure_ivfpq_scrub(spark, SF_DIR)
+        idx = ensure_ivfpq_index(spark, SF_DIR)
+        from etl_entregas_pyspark_spark.queries.similarity import _PQ_K, _PQ_M
+
+        cb = spark.read.parquet(os.path.join(idx, "codebook"))
+        assert cb.count() == _PQ_M * min(
+            _PQ_K,
+            spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+            .filter(F.col("vec_id") >= 16)
+            .count(),
+        )
