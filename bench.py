@@ -211,6 +211,10 @@ HEADLINE = [
     "q239_lsh_valve_off_demo",
     "q240_pq_adc_search",
     "q241_pq_shortlist_sweep",
+    "q242_ivfpq_search",
+    "q243_ivfpq_ingest_probe",
+    "q244_ann_engine_matrix",
+    "q245_ivfpq_forget_probe",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
@@ -273,6 +277,20 @@ DEMO_BASELINES = {
 #     R — the un-valved twin pays the 4 x C(R+1,2) in-row pair grid +
 #     ~2M-pair dedup the valve exists to avoid; at a production 10^6-
 #     copy hot key the denominator never finishes (SCALE.md r14).
+#   q242/q223 (IVF-PQ probe vs full-precision probe, SAME coarse
+#     quantizer): the composed engine adds the codebook/LUT stages and
+#     the posexplode of the code arrays on top of the probe q223 runs
+#     directly — at sf0.1 both are fixed-overhead-dominated, so ~1-2.5
+#     expected (measured 2.33 in the r14 session battery; q223's row is
+#     0.66 s, so the ratio prices LUT/posexplode stage floors, not
+#     bytes); the decision q244 records is that the PQ scan's
+#     admission bytes are 64x smaller, which no toy-scale wall clock
+#     shows (q232/q223's documented caveat, one family over).
+#   q243/q242 (live-maintained PQ store probe vs bulk-file probe):
+#     q228/q73's live-vs-batch shape for the PQ index — near 1
+#     expected (same admission plan over a store read instead of a
+#     partition-pruned file; the store pays a pointer resolve, the
+#     file pays partition discovery).
 # Emitted into the detail JSON so the driver's BENCH_rN.json carries the
 # instrument, not just the wall clocks.
 CONTRAST_PAIRS = [
@@ -285,6 +303,8 @@ CONTRAST_PAIRS = [
     ("q228_live_ivf_probe", "q73_ivf_search"),
     ("q232_ivf_sq8_rescore", "q223_ivf_probe_persisted"),
     ("q237_lsh_bucket_valve", "q239_lsh_valve_off_demo"),
+    ("q242_ivfpq_search", "q223_ivf_probe_persisted"),
+    ("q243_ivfpq_ingest_probe", "q242_ivfpq_search"),
 ]
 
 

@@ -183,6 +183,10 @@ HEADLINE = [
     "q238_ivf_centroid_plan",
     "q240_pq_adc_search",
     "q241_pq_shortlist_sweep",
+    "q242_ivfpq_search",
+    "q243_ivfpq_ingest_probe",
+    "q244_ann_engine_matrix",
+    "q245_ivfpq_forget_probe",
 ]
 
 
