@@ -215,6 +215,7 @@ HEADLINE = [
     "q243_ivfpq_ingest_probe",
     "q244_ann_engine_matrix",
     "q245_ivfpq_forget_probe",
+    "q246_semantic_decontamination",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

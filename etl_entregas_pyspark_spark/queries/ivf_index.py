@@ -2500,3 +2500,82 @@ def q245_ivfpq_forget_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, cand_codes=store.read(spark)
     )
     return _ivfpq_finish(e, probes, scored)
+
+
+# ---------------------------------------------------------------------------
+# q246 — semantic decontamination AT INDEX SPEED: the embedding-side member
+#         of the decontamination family (q64 is n-gram/lexical; published
+#         practice also scrubs train docs EMBEDDING-near the eval set), with
+#         the scrub set DERIVED by probing the standing IVF index instead of
+#         an eval x corpus brute-force sweep.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q246_semantic_decontamination",
+    f"""
+    WITH hits AS (
+        SELECT DISTINCT neighbor_id FROM (
+            {REGISTRY["q73_ivf_search"].oracle}
+        )
+    ), train AS (
+        SELECT vec_id, label FROM embeddings WHERE vec_id >= 16
+    )
+    SELECT t.label,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_flagged,
+           CAST(COUNT(*) - COUNT(h.neighbor_id) AS BIGINT) AS n_after,
+           {_rnd_sql('CAST(COUNT(h.neighbor_id) AS DOUBLE) / COUNT(*)', 6)}
+               AS flag_rate
+    FROM train t LEFT JOIN hits h ON t.vec_id = h.neighbor_id
+    GROUP BY t.label ORDER BY t.label
+    """,
+    doc="embedding-side decontamination (q64's lexical n-gram scrub "
+    "has a semantic blind spot: a paraphrased or re-tokenized eval "
+    "item shares no 8-gram with its training-set near-duplicate but "
+    "sits next to it in embedding space): the held-out eval batch "
+    f"(vec_id 8..16) probes the PERSISTED IVF index (q223's partition-"
+    f"pruned scan, nprobe={_NPROBE}) and every train vector surfacing "
+    f"in any eval vector's cosine top-{_IVF_TOPK} becomes the scrub "
+    "set — the denylist is DERIVED by the index, not supplied (q227 "
+    "propagates a given list; this is where such a list comes from). "
+    "Emitted per source label: train size, flagged count, post-scrub "
+    "size, flag rate — the per-source accounting a mixture rebalance "
+    "(q220) consumes after a scrub. Scale: this is THE argument for "
+    "standing indexes in a data pipeline — brute-force eval-vs-corpus "
+    "decontamination is |eval| x n cosine terms PER RELEASE, while the "
+    "probe reads ~nprobe/C of the corpus from the inverted file and "
+    "the scrub set moves as a skinny broadcast; the eval set changes "
+    "far more often than the corpus, so the index amortizes across "
+    "releases. The oracle recomputes the probe + scrub arithmetic "
+    "from scratch, so an index staleness or dedup bug in the derived "
+    "set fails the driver hash gate.",
+)
+def q246_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    top = q223_ivf_probe_persisted(spark, sf_dir)
+    flagged = top.select("neighbor_id").distinct()
+    train = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= 16)
+        .select("vec_id", "label")
+    )
+    joined = train.join(
+        F.broadcast(flagged),
+        train.vec_id == flagged.neighbor_id,
+        "left",
+    ).select("label", F.col("neighbor_id").isNotNull().alias("fl"))
+    n_flagged = F.sum(F.when(F.col("fl"), 1).otherwise(0)).cast("bigint")
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            n_flagged.alias("n_flagged"),
+            (F.count(F.lit(1)) - n_flagged).cast("bigint").alias("n_after"),
+            rnd(
+                n_flagged.cast("double") / F.count(F.lit(1)), 6
+            ).alias("flag_rate"),
+        )
+        .orderBy("label")
+    )

@@ -82,6 +82,7 @@ _PRIORITY = [
     "q243_ivfpq_ingest_probe",
     "q244_ann_engine_matrix",
     "q245_ivfpq_forget_probe",
+    "q246_semantic_decontamination",
     # (b) the r9-cohort remainder (age 5 — exactly the last=r9 rows in
     # the CORRECTNESS_r1..r13 union, minus the on-change-only demos),
     # name-order.

@@ -563,3 +563,35 @@ class TestIvfPqForget:
             .filter(F.col("vec_id") >= 16)
             .count(),
         )
+
+
+# -- Part 9: q246 — semantic decontamination via the standing index -----------
+
+from etl_entregas_pyspark_spark.queries.ivf_index import (  # noqa: E402
+    q223_ivf_probe_persisted,
+    q246_semantic_decontamination,
+)
+
+
+class TestSemanticDecontamination:
+    def test_accounting_is_exact(self, spark):
+        rows = q246_semantic_decontamination(spark, SF_DIR).collect()
+        assert rows
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        n_train = e.filter(F.col("vec_id") >= 16).count()
+        assert sum(r["n_train"] for r in rows) == n_train
+        for r in rows:
+            assert r["n_train"] == r["n_flagged"] + r["n_after"]
+            assert abs(
+                r["flag_rate"] - round(r["n_flagged"] / r["n_train"], 6)
+            ) < 1e-9
+
+    def test_flagged_total_matches_probe_hits(self, spark):
+        rows = q246_semantic_decontamination(spark, SF_DIR).collect()
+        hits = (
+            q223_ivf_probe_persisted(spark, SF_DIR)
+            .select("neighbor_id")
+            .distinct()
+            .count()
+        )
+        assert sum(r["n_flagged"] for r in rows) == hits

@@ -187,6 +187,7 @@ HEADLINE = [
     "q243_ivfpq_ingest_probe",
     "q244_ann_engine_matrix",
     "q245_ivfpq_forget_probe",
+    "q246_semantic_decontamination",
 ]
 
 
