@@ -72,7 +72,12 @@ _PRIORITY = [
     # first driver row lands), plus the PQ/ADC family (q240 — product
     # quantization search: 4-bit-per-subspace codes, per-query LUT,
     # vectors never enter the scan; q241 — its k_factor rescore-budget
-    # sweep against brute-force truth).
+    # sweep against brute-force truth), and the session-2 batch: the
+    # IVF-PQ composition (q242 — residual PQ codes persisted per
+    # centroid partition, both prunings composed; q243 — its
+    # frozen-codebook ingest proven at the probe; q245 — its forget
+    # probe), the four-engine ANN decision matrix (q244), and
+    # index-derived semantic decontamination (q246).
     "q237_lsh_bucket_valve",
     "q238_ivf_centroid_plan",
     "q239_lsh_valve_off_demo",

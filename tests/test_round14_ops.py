@@ -595,3 +595,61 @@ class TestSemanticDecontamination:
             .count()
         )
         assert sum(r["n_flagged"] for r in rows) == hits
+
+
+class TestIvfPqAdcArithmetic:
+    def test_adc_reconstruction_exact(self, spark):
+        """Every (query, candidate) ADC score reconstructs EXACTLY in
+        Python from the persisted artifacts: adc = floor(dot(q,c)*S) +
+        sum_m floor(dot(q_m, cw[m, code_m])*S). Pins the whole chain —
+        assignment, codebook layout, code packing, LUT scaling, offset
+        addition — against an independent scalar evaluation."""
+        import math
+
+        from etl_entregas_pyspark_spark.queries.similarity import (
+            _PQ_M,
+            _PQ_SCALE,
+            _PQ_SUB,
+        )
+
+        idx = ensure_ivfpq_index(spark, SF_DIR)
+        cent = {
+            r["centroid_id"]: [float(x) for x in r["c_emb"]]
+            for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+        }
+        cb = {
+            (r["m"], r["k"]): [float(x) for x in r["cw"]]
+            for r in spark.read.parquet(os.path.join(idx, "codebook")).collect()
+        }
+        cand = {
+            r["vec_id"]: (r["centroid_id"], list(r["codes"]))
+            for r in spark.read.parquet(os.path.join(idx, "cand")).collect()
+        }
+        e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        qvec = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in e.filter(
+                (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+            ).collect()
+        }
+        probes, scored = _ivfpq_admission(spark, SF_DIR)
+        rows = scored.collect()
+        assert rows
+        for r in rows:
+            q = qvec[r["query_id"]]
+            c_id, codes = cand[r["neighbor_id"]]
+            cdot = math.floor(
+                sum(a * b for a, b in zip(q, cent[c_id])) * _PQ_SCALE
+            )
+            lut_sum = 0
+            for m, code in enumerate(codes):
+                cw = cb[(m, code)]
+                sub = q[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                lut_sum += math.floor(
+                    sum(a * b for a, b in zip(sub, cw)) * _PQ_SCALE
+                )
+            assert r["adc"] == cdot + lut_sum, (
+                r["query_id"],
+                r["neighbor_id"],
+            )
+            assert len(codes) == _PQ_M
