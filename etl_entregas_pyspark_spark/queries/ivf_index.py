@@ -2467,7 +2467,9 @@ def ensure_ivfpq_scrub(spark: SparkSession, sf_dir: str) -> str:
         .filter(F.col("vec_id") % _VEC_DENY_MOD == 2)
         .select("vec_id")
     )
-    store.scrub(spark, deny, "vec_id")
+    # centroid-clustered rewrite: the surviving base keeps bucket
+    # locality so post-scrub probes stay prunable (q227's discipline)
+    store.scrub(spark, deny, "vec_id", shuffle_cols=("centroid_id",))
     return path
 
 
