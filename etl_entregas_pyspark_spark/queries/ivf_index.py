@@ -2338,7 +2338,6 @@ def _q244_oracle() -> str:
 def q244_ann_engine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_entregas_pyspark_spark.queries.similarity import (
         q240_pq_adc_search,
-        q73_ivf_search,  # noqa: F401  (truth shape documented there)
     )
 
     e = T(spark, sf_dir, "embeddings")
