@@ -216,6 +216,7 @@ HEADLINE = [
     "q244_ann_engine_matrix",
     "q245_ivfpq_forget_probe",
     "q246_semantic_decontamination",
+    "q247_length_bucket_plan",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

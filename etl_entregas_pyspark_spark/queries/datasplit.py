@@ -1382,3 +1382,117 @@ def q208_pps_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err_pct"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q247 — length-bucket batching plan: padding waste per equi-depth length
+#         bucket vs the unbucketed baseline (the pre-training batching
+#         decision: a batch pads every sequence to its longest member, so
+#         bucketing by length is the single cheapest throughput lever)
+# ---------------------------------------------------------------------------
+
+_LB_BUCKETS = 4
+_LB_FRACS = "[" + ", ".join(
+    str(i / _LB_BUCKETS) for i in range(1, _LB_BUCKETS)
+) + "]"
+
+
+@register(
+    "q247_length_bucket_plan",
+    f"""
+    WITH lens AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), th AS (
+        SELECT quantile_cont(n_tokens, {_LB_FRACS}) AS t FROM lens
+    ), tagged AS (
+        SELECT CAST(len(list_filter(th.t, x -> l.n_tokens > x)) AS BIGINT)
+                   AS bucket,
+               l.n_tokens
+        FROM lens l CROSS JOIN th
+    ), per AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n_tokens) AS BIGINT) AS cap_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS actual_tokens,
+               CAST(COUNT(*) * MAX(n_tokens) AS BIGINT) AS padded_tokens
+        FROM tagged GROUP BY bucket
+    ), base AS (
+        SELECT CAST(-1 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n_tokens) AS BIGINT) AS cap_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS actual_tokens,
+               CAST(COUNT(*) * MAX(n_tokens) AS BIGINT) AS padded_tokens
+        FROM lens
+    )
+    SELECT bucket, n_docs, cap_tokens, actual_tokens, padded_tokens,
+           {_rnd_sql('CAST(padded_tokens - actual_tokens AS DOUBLE) / padded_tokens', 6)}
+               AS waste_frac
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM base)
+    ORDER BY bucket
+    """,
+    doc=f"the sequence-batching DECISION table: a training batch pads "
+    "every sequence to its longest member, so tokens-per-second is "
+    "bought or lost at batch composition time. Documents bucket into "
+    f"{_LB_BUCKETS} equi-depth LENGTH buckets (exact quantile "
+    "thresholds — q127's windowless discipline: one aggregate, "
+    "broadcast the tiny threshold array, JVM-side threshold-count "
+    "assignment; ntile would serialize the corpus through one sort "
+    "partition) and the table prices each bucket's padding waste "
+    "(n_docs x bucket max - actual tokens) next to the bucket=-1 "
+    "UNBUCKETED baseline, where every document pads to the global "
+    "max. The waste_frac delta between the -1 row and the bucketed "
+    "rows IS the throughput headroom bucketed batching buys before "
+    "any packing (q82 packs WITHIN a budget; this chooses the "
+    "budgets). Exactness: token counts and padded sums are pure "
+    "integers; one rounded division per row; Spark percentile and "
+    "DuckDB quantile_cont interpolate bitwise-identically (q36/q127's "
+    "contract). Plan: one token-count scan, one exact-percentile "
+    "aggregate, one broadcast, one grouped aggregate — two exchanges "
+    "total, no window, linear in corpus tokens at any scale.",
+)
+def q247_length_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lens = (
+        T(spark, sf_dir, "documents")
+        .select(
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+        )
+        .localCheckpoint()  # two consumers: thresholds + assignment
+    )
+    fracs = F.array(
+        *[F.lit(i / _LB_BUCKETS) for i in range(1, _LB_BUCKETS)]
+    )
+    th = lens.agg(F.percentile("n_tokens", fracs).alias("t"))
+    bucket = (
+        F.size(F.filter("t", lambda x: F.col("n_tokens") > x))
+        .cast("long")
+        .alias("bucket")
+    )
+    def stats(df: DataFrame, bucket_col) -> DataFrame:
+        return df.groupBy(bucket_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("cap_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("actual_tokens"),
+            (F.count(F.lit(1)) * F.max("n_tokens"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+        )
+    per = stats(lens.crossJoin(F.broadcast(th)), bucket)
+    base = stats(lens, F.lit(-1).cast("long").alias("bucket"))
+    waste = rnd(
+        (F.col("padded_tokens") - F.col("actual_tokens")).cast("double")
+        / F.col("padded_tokens"),
+        6,
+    )
+    return (
+        per.unionByName(base)
+        .select(
+            "bucket",
+            "n_docs",
+            "cap_tokens",
+            "actual_tokens",
+            "padded_tokens",
+            waste.alias("waste_frac"),
+        )
+        .orderBy("bucket")
+    )

@@ -88,6 +88,7 @@ _PRIORITY = [
     "q244_ann_engine_matrix",
     "q245_ivfpq_forget_probe",
     "q246_semantic_decontamination",
+    "q247_length_bucket_plan",
     # (b) the r9-cohort remainder (age 5 — exactly the last=r9 rows in
     # the CORRECTNESS_r1..r13 union, minus the on-change-only demos),
     # name-order.

@@ -653,3 +653,38 @@ class TestIvfPqAdcArithmetic:
                 r["neighbor_id"],
             )
             assert len(codes) == _PQ_M
+
+
+# -- Part 10: q247 — length-bucket batching plan -------------------------------
+
+from etl_entregas_pyspark_spark.queries.datasplit import (  # noqa: E402
+    _LB_BUCKETS,
+    q247_length_bucket_plan,
+)
+
+
+class TestLengthBucketPlan:
+    def test_buckets_partition_the_corpus_and_waste_shrinks(self, spark):
+        rows = {r["bucket"]: r for r in q247_length_bucket_plan(spark, SF_DIR).collect()}
+        base = rows.pop(-1)
+        assert set(rows) <= set(range(_LB_BUCKETS))
+        assert sum(r["n_docs"] for r in rows.values()) == base["n_docs"]
+        assert sum(r["actual_tokens"] for r in rows.values()) == base["actual_tokens"]
+        # bucketed padding can never exceed the single-bucket baseline,
+        # per bucket or in total (each bucket's cap <= the global cap)
+        assert all(r["cap_tokens"] <= base["cap_tokens"] for r in rows.values())
+        total_padded = sum(r["padded_tokens"] for r in rows.values())
+        assert total_padded <= base["padded_tokens"]
+        for r in list(rows.values()) + [base]:
+            assert r["padded_tokens"] == r["n_docs"] * r["cap_tokens"]
+            assert 0.0 <= r["waste_frac"] < 1.0
+
+    def test_buckets_are_length_ordered(self, spark):
+        """Equi-depth on length: every doc in bucket b is no longer than
+        any doc in bucket b+1 (caps are non-decreasing in b)."""
+        rows = sorted(
+            (r for r in q247_length_bucket_plan(spark, SF_DIR).collect() if r["bucket"] >= 0),
+            key=lambda r: r["bucket"],
+        )
+        caps = [r["cap_tokens"] for r in rows]
+        assert caps == sorted(caps)

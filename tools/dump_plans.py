@@ -188,6 +188,7 @@ HEADLINE = [
     "q244_ann_engine_matrix",
     "q245_ivfpq_forget_probe",
     "q246_semantic_decontamination",
+    "q247_length_bucket_plan",
 ]
 
 
