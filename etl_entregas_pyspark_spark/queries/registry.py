@@ -124,10 +124,12 @@ _PRIORITY = [
     "q47_rolling_fingerprint",
     "q50_vector_norms",
     "q51_cosine_topk",
-    # (c) backfill to 50 from the r10 cohort (age 4), name-order; 13
-    # fit after the five r14 registrations (names below the 50-cut
-    # stay listed so the r15 head is explicit — the r10 cohort's
-    # remainder q156_feature_matrix … q99 continues there).
+    # (c) backfill to 50 from the r10 cohort (age 4), name-order; with
+    # the session-2 registrations the r14 head grew to ELEVEN new rows
+    # (q237–q247), so only 7 of these fit the 50-cut — the cut lands
+    # after q149_seasonal_anomaly, and q150_bucketed_dedup_chain …
+    # q160_interval_overlap_join below it spill to the r15 head (the
+    # r10 cohort's remainder q156 … q99 continues there).
     "q143_fk_integrity",
     "q144_decay_score",
     "q145_count_min_sketch",
