@@ -334,15 +334,44 @@ def _prev_round_times() -> tuple[str | None, dict[str, float], object]:
             rec = json.load(f)
         parsed = rec.get("parsed") or {}
         blob = json.dumps(parsed) + (rec.get("tail") or "")
-        sf_vals = {
-            m.group(1)
-            for m in re.finditer(r'"sf":\s*([0-9.]+)', blob)
-        }
-        rec_sf = float(sf_vals.pop()) if len(sf_vals) == 1 else None
-        return path, {
+        # the driver stamps the battery's sf at the record's top level;
+        # fall back to the embedded JSON lines for hand-rolled records
+        rec_sf = rec.get("sf")
+        if rec_sf is None:
+            sf_vals = {
+                m.group(1)
+                for m in re.finditer(r'"sf":\s*([0-9.]+)', blob)
+            }
+            rec_sf = float(sf_vals.pop()) if len(sf_vals) == 1 else None
+        else:
+            rec_sf = float(rec_sf)
+        pairs = {
             m.group(1): float(m.group(2))
             for m in re.finditer(r'"(q\d+[a-z0-9_]*)":\s*([0-9.]+)', blob)
-        }, rec_sf
+        }
+        # The driver's tail buffer truncates the 200-query detail line to
+        # ~2 KB, so the record alone exposes only the tail fragment plus
+        # the top-5 summary (9 rows in r14 — exactly how the q233
+        # regression hid). bench.py now writes its FULL detail to
+        # BENCH_DETAIL_LAST.json on every run; when that file and the
+        # driver record came from the SAME run (same sf and every
+        # overlapping per-query value identical — both sides are
+        # round(.,3) of the same floats), use it to restore the full
+        # battery. A stale or in-round file fails the value match and is
+        # ignored.
+        try:
+            with open(os.path.join(here, "BENCH_DETAIL_LAST.json")) as f:
+                full = json.load(f)
+            fq = {k: float(v) for k, v in (full.get("queries") or {}).items()}
+            if (
+                float(full.get("sf", -1)) == rec_sf
+                and pairs
+                and all(fq.get(k) == v for k, v in pairs.items())
+            ):
+                pairs = fq
+        except (OSError, json.JSONDecodeError, ValueError, TypeError):
+            pass
+        return path, pairs, rec_sf
     except (OSError, json.JSONDecodeError, ValueError):
         return path, {}, None
 
@@ -438,17 +467,18 @@ def main() -> None:
     # round-over-round drift guardrail: flag queries >1.3x slower than
     # the last driver-recorded battery (r8's 9-query uniform drift was
     # only caught by the judge; this surfaces it inside the round).
-    # Only meaningful when both runs are at the same sf — the sf1 path
-    # (SPARK_GRAFT_SF_DIR override) skips it.
-    prev_name, prev, prev_sf = (
-        (None, {}, None)
-        if os.environ.get("SPARK_GRAFT_SF_DIR")
-        else _prev_round_times()
-    )
-    if prev_sf is not None and prev_sf != sf_val:
-        # last recorded battery ran at a different scale — ratios would be
-        # cross-scale nonsense, so skip the guard (same as the sf1 path).
-        prev_name, prev = None, {}
+    # ALWAYS harvest the prior record — the r14 q233 regression shipped
+    # unseen because an env-var check skipped the guard whenever the
+    # driver set SPARK_GRAFT_SF_DIR, even at the default sf0.1. The only
+    # legitimate skip is a genuine scale mismatch, judged from the
+    # record's own sf stamp, never from how the path was supplied.
+    prev_name, prev, prev_sf = _prev_round_times()
+    if prev_sf != sf_val:
+        # last recorded battery ran at a different (or unknown) scale —
+        # ratios would be cross-scale nonsense, so skip the guard but
+        # still NAME the record so the skip is visible in the artifact.
+        prev_name = f"{prev_name} (skipped: sf {prev_sf} != {sf_val})" if prev_name else None
+        prev = {}
     regressions = {
         n: {"prev": prev[n], "now": t, "ratio": round(t / prev[n], 2)}
         for n, t in times.items()
@@ -460,9 +490,7 @@ def main() -> None:
         if times.get(a) and times.get(b)
     }
     # detailed per-query record first (humans / round-over-round diffing) ...
-    print(
-        json.dumps(
-            {
+    detail = {
                 "metric": "headline_queries_detail",
                 "value": total,
                 "unit": "sec",
@@ -476,8 +504,20 @@ def main() -> None:
                 "contrasts": contrasts,
                 "sf": sf_val,
             }
-        )
-    )
+    print(json.dumps(detail))
+    # persist the FULL detail beside the repo's BENCH_r*.json records: the
+    # driver captures only a truncated stdout tail, and _prev_round_times
+    # restores the complete battery from this file when the values prove
+    # it is the same run (see there). Best-effort — a read-only checkout
+    # must not fail the bench.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_LAST.json"), "w"
+        ) as f:
+            json.dump(detail, f)
+            f.write("\n")
+    except OSError:
+        pass
     # ... then a SHORT summary LAST: r02's 68-query detail line overflowed
     # the driver's tail buffer (BENCH_r02 "parsed": null), so the line the
     # driver's tail-parser sees must stay small. Top-5 costs only.

@@ -1802,9 +1802,11 @@ def ensure_ivfpq_index(
       everywhere.
     - ``cand/centroid_id=<b>/`` — (vec_id, codes array<tinyint>): each
       corpus vector as M 4-bit PQ codes over its RESIDUAL, one physical
-      partition per inverted list. No float column at all — this file is
-      M bytes/vector (vs 256 for floats): the layout that lets a 100-TB
-      corpus's entire search structure fit on a fraction of the nodes.
+      partition per inverted list. No float column at all — M/2 bytes
+      per vector packed (the logical 4-bit layout; the demo's
+      array<tinyint> spends a byte per code) vs 256 for floats: the
+      layout that lets a 100-TB corpus's entire search structure fit on
+      a fraction of the nodes.
 
     Gated on ``cand/_SUCCESS`` written LAST, so a half-built index is
     rebuilt, never probed (ensure_ivf_index's discipline)."""
@@ -2074,8 +2076,9 @@ def _ivfpq_oracle(scan_pred: str = "") -> str:
     "centroid explains the coarse position, so the codebook only covers "
     "within-bucket spread), and the inverted file persists (vec_id, "
     "codes) partitioned by centroid_id with NO float column at all — "
-    f"{_PQ_M} bytes/vector vs 256, the 32x compression that lets a "
-    "100-TB corpus's whole search structure live on a fraction of the "
+    f"{_PQ_M // 2} bytes/vector packed (array<tinyint> on disk in the "
+    "demo) vs 256, the 64x compression that lets a 100-TB corpus's "
+    "whole search structure live on a fraction of the "
     "nodes. A probe composes BOTH prunings: partition pruning opens "
     f"only the {_NPROBE} probed centroid_id= lists (~nprobe/C of the "
     "corpus, q223's axis) and the scan over them touches only codes "
@@ -2234,9 +2237,17 @@ def q243_ivfpq_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #         that actually pick an engine at 100 TB.
 # ---------------------------------------------------------------------------
 
-# admission bytes per scanned vector: 64 floats / 64 int8 codes /
-# 8 x 4-bit PQ codes — the literal decision axis, identical across engines
-_ANN_BYTES = {"ivf_flat": 256, "ivf_sq8": 64, "pq_adc": 4, "ivfpq": 4}
+# admission bytes per scanned vector — the literal decision axis, one
+# convention everywhere (r15 ADVICE #2): 64 float32 = 256, 64 int8 = 64,
+# _PQ_M 4-bit codes packed = _PQ_M/2 (the logical layout; the demo's
+# array<tinyint> persistence spends a byte per code, which the SCALE.md
+# footer measurements price separately).
+_ANN_BYTES = {
+    "ivf_flat": _EMB_DIMS * 4,
+    "ivf_sq8": _EMB_DIMS,
+    "pq_adc": _PQ_M // 2,
+    "ivfpq": _PQ_M // 2,
+}
 
 
 def _q244_oracle() -> str:
@@ -2383,10 +2394,18 @@ def q244_ann_engine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("is_true").cast("bigint").alias("hits"))
     )
     # cost axes: probed-pair count (shared coarse quantizer, so one
-    # count serves all three IVF engines) and the flat scan's full grid
-    cent = ivf_centroids(e)
+    # count serves all three IVF engines) and the flat scan's full grid.
+    # The corpus side reads (vec_id, centroid_id) from the PERSISTED
+    # index's cand/ membership — the engines above just probed that
+    # exact assignment, so re-deriving it with a fresh ivf_centroids
+    # (corpus count) plus a corpus x C assignment cross-join was
+    # duplicate corpus-sized work (r15 ADVICE #3); only the 8-query
+    # probe assignment (model-state-sized) recomputes, against the
+    # persisted centroids.
+    idx = ensure_ivf_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
     probed_n = (
-        ivf_assign(corpus, cent, keep=1)
+        spark.read.parquet(os.path.join(idx, "cand"))
         .select("vec_id", "centroid_id")
         .join(
             F.broadcast(
@@ -2467,8 +2486,12 @@ def ensure_ivfpq_scrub(spark: SparkSession, sf_dir: str) -> str:
         .select("vec_id")
     )
     # centroid-clustered rewrite: the surviving base keeps bucket
-    # locality so post-scrub probes stay prunable (q227's discipline)
-    store.scrub(spark, deny, "vec_id", shuffle_cols=("centroid_id",))
+    # locality so post-scrub probes stay prunable (q227's discipline).
+    # n_files is REQUIRED for the clustering to apply — _rewrite_base
+    # only repartitions when a file count is given (r15 ADVICE #1)
+    store.scrub(
+        spark, deny, "vec_id", n_files=_MEMBER_FILES, shuffle_cols=("centroid_id",)
+    )
     return path
 
 

@@ -3579,8 +3579,10 @@ def _pq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vec_id 16..31's subvectors; TRAINING is q231's scaled-int retrain "
     "arithmetic applied per subspace, composable and deliberately not "
     "duplicated here), and every corpus vector encodes as "
-    f"{_PQ_M} 4-bit codes — {_PQ_M} bytes/vec vs 256 for floats, the "
-    "32x compression that lets a 100-TB corpus's index live in memory. "
+    f"{_PQ_M} 4-bit codes — {_PQ_M // 2} bytes/vec packed (the logical "
+    "layout; the demo persists array<tinyint>, one byte per code) vs "
+    "256 for floats: the 64x compression that lets a 100-TB corpus's "
+    "index live in memory. "
     "A probe never touches vectors in the scan: per query, ONE "
     f"{_PQ_M}x{_PQ_K} lookup table of exact subspace dots (scaled to "
     "int — order-independent, engine-portable sums) broadcasts into "

@@ -65,6 +65,14 @@ def _rung(spark: SparkSession, replicas: int) -> dict:
 
     out_dir = tempfile.mkdtemp(prefix=f"ivfpq_ladder_{replicas}x_")
     e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    # replica id-shifts must not collide with source ids — a SRC larger
+    # than the stride would silently alias vec_ids across replicas and
+    # corrupt every downstream count (r15 ADVICE #4)
+    src_max = e.agg(F.max("vec_id")).first()[0]
+    if src_max >= KEY_STRIDE:
+        raise SystemExit(
+            f"max(vec_id)={src_max} >= KEY_STRIDE={KEY_STRIDE}: raise the stride"
+        )
     rep = spark.range(replicas).select(F.col("id").alias("r"))
     (
         e.crossJoin(rep)
@@ -110,8 +118,17 @@ def _rung(spark: SparkSession, replicas: int) -> dict:
 
     probes, scored = _ivfpq_admission(spark, out_dir)
     probed_pairs = scored.count()
-    n_q = 8
-    row["scan_frac"] = round(probed_pairs / (n_q * (n - 16)), 4)
+    # derive the denominator from the layout itself instead of baking in
+    # the 8-query window and 16 reserved seed rows (r15 ADVICE #4): the
+    # query set is whatever _ivfpq_admission actually probed, the corpus
+    # is the written layout's vec_id >= 16 slice (the index convention)
+    n_q = probes.select("query_id").distinct().count()
+    n_corpus = (
+        spark.read.parquet(f"{out_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") >= 16)
+        .count()
+    )
+    row["scan_frac"] = round(probed_pairs / (n_q * n_corpus), 4)
     shutil.rmtree(out_dir, ignore_errors=True)
     return row
 
