@@ -1879,7 +1879,10 @@ def _ivfpq_encode(resid: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def _ivfpq_admission(
-    spark: SparkSession, sf_dir: str, cand_codes: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cand_codes: DataFrame | None = None,
+    idx_root: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The IVF-PQ ADMISSION stage, pre-checkpoint so its plan is
     testable: returns ``(probes, scored)``.
@@ -1896,8 +1899,10 @@ def _ivfpq_admission(
 
     ``cand_codes`` overrides the candidate source (q243 probes the
     live epoch-fenced codes store instead of the bulk-built file); the
-    bucket restriction applies either way."""
-    idx = ensure_ivfpq_index(spark, sf_dir)
+    bucket restriction applies either way. ``idx_root`` points the whole
+    admission at a different persisted layout with the same directory
+    shape (q249 probes the REFRESHED-codebook index)."""
+    idx = idx_root or ensure_ivfpq_index(spark, sf_dir)
     cent = spark.read.parquet(os.path.join(idx, "centroids"))
     cb = spark.read.parquet(os.path.join(idx, "codebook"))
     e = T(spark, sf_dir, "embeddings")
@@ -2602,4 +2607,711 @@ def q246_semantic_decontamination(
             ).alias("flag_rate"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 15 — the IVF-PQ codebook LIFECYCLE (r14 VERDICT missing #1): flat
+# IVF retrains (q231 drift audit -> q234 refresh apply) but the PQ residual
+# codebook was permanently FROZEN — under sustained ingest with drift,
+# residual quantization error grows with no audit and no retrain path.
+# q248 is the AUDIT (per-subspace quantization error of the arrived epoch
+# vs the standing corpus, both against the frozen codebook) and q249 the
+# APPLY (one Lloyd step on the COMMITTED code assignments, re-encode,
+# probe the refreshed index and prove it against a from-scratch rebuild).
+# ---------------------------------------------------------------------------
+
+
+def _q248_oracle() -> str:
+    sl = f"m.m * {_PQ_SUB} + 1, m.m * {_PQ_SUB} + {_PQ_SUB}"
+    d2 = (
+        "list_sum(list_transform(list_zip(s.sv, b.cw), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), cand AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1
+    ), resid AS (
+        SELECT a.vec_id,
+               list_transform(list_zip(a.embedding, c.c_emb),
+                   p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rv
+        FROM cand a JOIN cent c ON a.centroid_id = c.centroid_id
+    ), cb AS (
+        SELECT m.m, r.vec_id - 16 AS k, list_slice(r.rv, {sl}) AS cw
+        FROM (SELECT * FROM resid WHERE vec_id < {16 + _PQ_K}) r
+        CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), rsub AS (
+        SELECT r.vec_id, m.m, list_slice(r.rv, {sl}) AS sv,
+               CASE WHEN r.vec_id % {_VEC_BATCH_MOD} = 0 THEN 1 ELSE 0 END AS ep
+        FROM resid r CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), derr AS (
+        -- MIN over codewords == the d2 of the stored argmin code (the
+        -- encode tie-break only disambiguates EQUAL d2), so the oracle
+        -- needs no codes reconstruction
+        SELECT s.vec_id, s.m, s.ep, MIN({d2}) AS err
+        FROM rsub s JOIN cb b ON s.m = b.m
+        GROUP BY s.vec_id, s.m, s.ep
+    ), per AS (
+        SELECT m, ep, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(err * {_REFRESH_SCALE}) AS BIGINT)) AS BIGINT) AS qs
+        FROM derr GROUP BY m, ep
+    )
+    SELECT s.m AS subspace, s.n AS n_standing, a.n AS n_arrived,
+           {_rnd_sql(f'CAST(s.qs AS DOUBLE) / {_REFRESH_SCALE} / s.n', 6)} AS qerr_standing,
+           {_rnd_sql(f'CAST(a.qs AS DOUBLE) / {_REFRESH_SCALE} / a.n', 6)} AS qerr_arrived,
+           {_rnd_sql('CAST(a.qs * s.n AS DOUBLE) / CAST(s.qs * a.n AS DOUBLE)', 6)} AS drift_ratio
+    FROM (SELECT * FROM per WHERE ep = 0) s
+    JOIN (SELECT * FROM per WHERE ep = 1) a ON s.m = a.m
+    ORDER BY s.m
+    """
+
+
+@register(
+    "q248_ivfpq_drift_audit",
+    _q248_oracle(),
+    doc="the IVF-PQ codebook DRIFT AUDIT (q231's retrain-decision "
+    "instrument for the residual quantizer): the committed codes "
+    "store's standing epoch and arrived epoch are scored against the "
+    "FROZEN codebook — per subspace, the mean quantization error "
+    "(exact L2² between each residual subvector and its PERSISTED "
+    "codeword) of the arrived batch next to the standing corpus, plus "
+    "their ratio. drift_ratio ~ 1 means the frozen codebook still "
+    "covers the arriving distribution (keep ingesting, q243); "
+    "sustained growth means residuals have moved off the codewords "
+    "and ADC scores are silently degrading — the number that tells "
+    "you to run q249's refresh, exactly as q231's churn column tells "
+    "flat IVF to re-cluster. Exactness: per-(vector, subspace) errors "
+    "are deterministic double chains (array-ordered sums), then "
+    f"floor-scaled (1e-7) to integer sums — order-independent, "
+    "engine-portable; the ratio is a product of exact integers. The "
+    "oracle recomputes assignment, codebook, and nearest-codeword "
+    "error from scratch (MIN over codewords equals the stored argmin "
+    "code's error), so a drifted store, a stale codebook, or an "
+    "encode bug shifts the audit and fails the driver hash gate. "
+    "Plan/scale: the audit reads the SKINNY codes store (epoch-split, "
+    "q224's per-epoch read) plus an id-keyed float pull of just those "
+    "vectors; codebook broadcast; one partial-agg shuffle keyed "
+    "(vec, m) then (m, epoch) — M x 2 model-state rows out, nothing "
+    "pairwise, O(n x M) like the encode it audits.",
+)
+def q248_ivfpq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    cb = spark.read.parquet(os.path.join(idx, "codebook"))
+    store = EpochStore(ensure_ivfpq_commit(spark, sf_dir), IVFPQ_CODE_COLS)
+    # per-epoch read: epoch 0 = standing corpus, epoch 1 = arrived batch;
+    # the store rows already carry the committed (centroid_id, codes) —
+    # the standing assignment is NEVER recomputed for the audit
+    member = None
+    for ep in (0, 1):
+        part = store.read_epoch(spark, ep).select(
+            "vec_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.lit(ep).alias("ep"),
+            "codes",
+        )
+        member = part if member is None else member.unionByName(part)
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # id-keyed float pull + broadcast centroid join: residual rv = x - c
+    resid = (
+        member.join(e, "vec_id")
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            "vec_id",
+            "ep",
+            "codes",
+            F.zip_with(
+                "embedding",
+                "c_emb",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("rv"),
+        )
+    )
+    # subspace slices + the STORED code per (vec, m): the audit scores
+    # what the index actually persisted, not a recomputed argmin
+    rsub = resid.select(
+        "vec_id",
+        "ep",
+        F.posexplode(F.col("codes").cast("array<int>")).alias("m", "code"),
+        "rv",
+    ).select(
+        "vec_id",
+        "ep",
+        "m",
+        F.col("code").alias("k"),
+        F.expr(f"slice(rv, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cw"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    derr = rsub.join(F.broadcast(cb), ["m", "k"]).select(
+        "ep",
+        "m",
+        F.floor(d2 * F.lit(float(_REFRESH_SCALE))).cast("long").alias("qv"),
+    )
+    per = derr.groupBy("m", "ep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("qs"),
+    )
+    s = per.filter(F.col("ep") == 0).select(
+        "m", F.col("n").alias("n_standing"), F.col("qs").alias("qs_s")
+    )
+    a = per.filter(F.col("ep") == 1).select(
+        "m", F.col("n").alias("n_arrived"), F.col("qs").alias("qs_a")
+    )
+    scale = F.lit(float(_REFRESH_SCALE))
+    return (
+        s.join(a, "m")
+        .select(
+            F.col("m").alias("subspace"),
+            "n_standing",
+            "n_arrived",
+            rnd(
+                F.col("qs_s").cast("double") / scale / F.col("n_standing"), 6
+            ).alias("qerr_standing"),
+            rnd(
+                F.col("qs_a").cast("double") / scale / F.col("n_arrived"), 6
+            ).alias("qerr_arrived"),
+            rnd(
+                (F.col("qs_a") * F.col("n_standing")).cast("double")
+                / (F.col("qs_s") * F.col("n_arrived")).cast("double"),
+                6,
+            ).alias("drift_ratio"),
+        )
+        .orderBy("subspace")
+    )
+
+
+# -- q249: PQ codebook refresh + apply — one Lloyd step on the committed ----
+#    code assignments, re-encode, probe the refreshed index (q234's
+#    retrain-APPLY contract for the residual quantizer)
+
+# test hook: (re)build count per refreshed-index path
+IVFPQ_REFRESH_BUILDS: dict[str, int] = {}
+
+
+def _ivfpq_refresh_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"ivfpq_refresh_{app_id}_{tag}")
+
+
+def ensure_refreshed_ivfpq_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Refresh the PQ residual codebook with ONE Lloyd step and rebuild
+    the codes file against it, once per (session, sf_dir); return the
+    refreshed index root (same layout as ``ensure_ivfpq_index``).
+
+    The k-means update uses the COMMITTED state only: each refreshed
+    codeword is the element-wise mean (scaled-int accumulation —
+    q231's ``refreshed_centroids`` discipline, per subspace) of the
+    residual subvectors currently assigned to it by the PERSISTED
+    codes column; residuals come from an id-keyed float pull against
+    the persisted coarse quantizer. A codeword with no members keeps
+    its frozen geometry (the k-means empty-cluster convention). The
+    coarse quantizer is NOT retrained here — centroid refresh is
+    q231/q234's move; this closes the inner quantizer's loop.
+    Gated on ``cand/_SUCCESS`` written LAST (a half-built refresh is
+    rebuilt, never probed)."""
+    path = _ivfpq_refresh_path(spark, sf_dir)
+    if not force and os.path.exists(os.path.join(path, "cand", "_SUCCESS")):
+        return path
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cb0 = spark.read.parquet(os.path.join(idx, "codebook"))
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stored = spark.read.parquet(os.path.join(idx, "cand")).select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "codes",
+    )
+    resid = (
+        stored.join(e, "vec_id")
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "codes",
+            F.zip_with(
+                "embedding",
+                "c_emb",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("rv"),
+        )
+        .localCheckpoint()  # two consumers: the Lloyd step + the re-encode
+    )
+    # one Lloyd step: refreshed codeword = scaled-int element-wise mean
+    # of the member residual subvectors under the COMMITTED codes
+    rexp = (
+        resid.select(
+            F.posexplode(F.col("codes").cast("array<int>")).alias("m", "k"),
+            "rv",
+        )
+        .select(
+            "m",
+            "k",
+            F.expr(f"slice(rv, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+        )
+        .select(
+            "m",
+            "k",
+            F.explode(F.sequence(F.lit(1), F.lit(_PQ_SUB))).alias("pos"),
+            "sv",
+        )
+        .select(
+            "m",
+            "k",
+            "pos",
+            F.floor(
+                F.element_at("sv", F.col("pos")) * F.lit(float(_REFRESH_SCALE))
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    cw2m = rexp.groupBy("m", "k", "pos").agg(
+        (
+            F.sum("v").cast("bigint").cast("double")
+            / F.lit(float(_REFRESH_SCALE))
+            / F.count(F.lit(1))
+        ).alias("coord")
+    )
+    cw2g = (
+        cw2m.groupBy("m", "k")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "coord"))).alias("pc"))
+        .select("m", "k", F.transform("pc", lambda s: s["coord"]).alias("cw2"))
+    )
+    cb2 = (
+        cb0.join(cw2g, ["m", "k"], "left")
+        .select("m", "k", F.coalesce("cw2", "cw").alias("cw"))
+    )
+    cb2.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    cb2r = spark.read.parquet(os.path.join(path, "codebook"))
+    (
+        _ivfpq_encode(
+            resid.select(
+                "vec_id", "centroid_id", F.col("rv").alias("embedding")
+            ),
+            cb2r,
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(path, "cand"))
+    )
+    IVFPQ_REFRESH_BUILDS[path] = IVFPQ_REFRESH_BUILDS.get(path, 0) + 1
+    return path
+
+
+def _q249_oracle() -> str:
+    sl = f"m.m * {_PQ_SUB} + 1, m.m * {_PQ_SUB} + {_PQ_SUB}"
+    d2 = (
+        "list_sum(list_transform(list_zip(s.sv, b.cw), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    qdot = (
+        "list_sum(list_transform(list_zip(s.qsv, b.cw), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    cdot = (
+        "list_sum(list_transform(list_zip(p.q_emb, c.c_emb), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    cosine = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8
+    ), cand AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1
+    ), resid AS (
+        SELECT a.vec_id, a.centroid_id,
+               list_transform(list_zip(a.embedding, c.c_emb),
+                   p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rv
+        FROM cand a JOIN cent c ON a.centroid_id = c.centroid_id
+    ), cb AS (
+        SELECT m.m, r.vec_id - 16 AS k, list_slice(r.rv, {sl}) AS cw
+        FROM (SELECT * FROM resid WHERE vec_id < {16 + _PQ_K}) r
+        CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), rsub AS (
+        SELECT r.vec_id, r.centroid_id, m.m, list_slice(r.rv, {sl}) AS sv
+        FROM resid r CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), codes AS (
+        SELECT vec_id, centroid_id, m, k AS code FROM (
+            SELECT s.vec_id, s.centroid_id, s.m, b.k,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {d2}, b.k) AS rn
+            FROM rsub s JOIN cb b ON s.m = b.m
+        ) WHERE rn = 1
+    ), rexp AS (
+        SELECT s.m, co.code AS k, g.i AS pos,
+               CAST(FLOOR(s.sv[g.i] * {_REFRESH_SCALE}) AS BIGINT) AS v
+        FROM rsub s JOIN codes co ON s.vec_id = co.vec_id AND s.m = co.m
+        CROSS JOIN generate_series(1, {_PQ_SUB}) AS g(i)
+    ), cw2m AS (
+        SELECT m, k, pos,
+               CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
+                   / {_REFRESH_SCALE} / COUNT(*) AS coord
+        FROM rexp GROUP BY m, k, pos
+    ), cw2g AS (
+        SELECT m, k, list(coord ORDER BY pos) AS cw FROM cw2m GROUP BY m, k
+    ), cb2 AS (
+        SELECT b.m, b.k, COALESCE(g.cw, b.cw) AS cw
+        FROM cb b LEFT JOIN cw2g g ON b.m = g.m AND b.k = g.k
+    ), codes2 AS (
+        SELECT vec_id, centroid_id, m, k AS code FROM (
+            SELECT s.vec_id, s.centroid_id, s.m, b.k,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {d2}, b.k) AS rn
+            FROM rsub s JOIN cb2 b ON s.m = b.m
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT p.query_id, p.q_emb, p.centroid_id,
+               CAST(FLOOR({cdot} * {_PQ_SCALE}.0) AS BIGINT) AS cdot
+        FROM (SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+              FROM ({_PROBE_ASSIGN_SQL}) WHERE rn <= {_NPROBE}) p
+        JOIN cent c ON p.centroid_id = c.centroid_id
+    ), qsub AS (
+        SELECT q.vec_id AS query_id, m.m, list_slice(q.embedding, {sl}) AS qsv
+        FROM (SELECT * FROM embeddings WHERE vec_id >= 8 AND vec_id < 16) q
+        CROSS JOIN generate_series(0, {_PQ_M - 1}) AS m(m)
+    ), lut AS (
+        SELECT s.query_id, s.m, b.k AS code,
+               CAST(FLOOR({qdot} * {_PQ_SCALE}.0) AS BIGINT) AS pdot
+        FROM qsub s JOIN cb2 b ON s.m = b.m
+    ), scores AS (
+        SELECT p.query_id, co.vec_id AS neighbor_id,
+               CAST(MIN(p.cdot) + SUM(l.pdot) AS BIGINT) AS adc
+        FROM codes2 co
+        JOIN probes p ON co.centroid_id = p.centroid_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.m = co.m AND l.code = co.code
+        GROUP BY p.query_id, co.vec_id
+    ), short AS (
+        SELECT query_id, neighbor_id, adc FROM (
+            SELECT query_id, neighbor_id, adc,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc DESC, neighbor_id) AS srn
+            FROM scores
+        ) WHERE srn <= {_PQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, adc, cosine, rank FROM (
+        SELECT sh.query_id, sh.neighbor_id, sh.adc, {cosine} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY sh.query_id
+                   ORDER BY {cosine} DESC, sh.neighbor_id) AS rank
+        FROM short sh
+        JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 8 AND vec_id < 16) q ON sh.query_id = q.vec_id
+        JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 16) c ON sh.neighbor_id = c.vec_id
+    ) WHERE rank <= {_IVF_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "q249_ivfpq_refresh_apply",
+    _q249_oracle(),
+    doc="the PQ codebook retrain APPLY that answers q248's drift audit "
+    "(q234's refresh-apply contract for the residual quantizer): one "
+    "Lloyd step — each codeword re-derived as the scaled-int "
+    "element-wise mean of the residual subvectors its COMMITTED code "
+    "assignments own (the persisted codes column, never a recomputed "
+    "argmin; empty codewords keep their frozen geometry), the corpus "
+    "re-encoded against the refreshed codebook through the same "
+    "_ivfpq_encode the bulk build runs, the refreshed index persisted "
+    "under ensure_ivfpq_index's exact layout, and q242's full "
+    "admission + rescore probed over it. The oracle recomputes the "
+    "ENTIRE chain from the raw table — assignment, frozen codebook, "
+    "committed codes, Lloyd means, re-encode, ADC probe, rescore — so "
+    "a drifted member list, a lossy coordinate round-trip, a dropped "
+    "empty-codeword rule, or an encode/LUT mismatch between the "
+    "refreshed artifacts all shift admissions and fail the driver "
+    "hash gate. Scale: the Lloyd step is ONE pass over the skinny "
+    "codes store + an id-keyed float pull (O(n x M) rows, partial-agg "
+    "shuffled on (m, k, pos) — M x K x SUB model-state rows out); the "
+    "re-encode is the bulk build's own O(n x M x K) pass; model state "
+    "broadcasts everywhere. Together with q248 this gives the PQ "
+    "engine the full lifecycle flat IVF already had: build q242, "
+    "ingest q243, forget q245, AUDIT q248, RETRAIN q249.",
+)
+def q249_ivfpq_refresh_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    idx = ensure_refreshed_ivfpq_index(spark, sf_dir)
+    probes, scored = _ivfpq_admission(spark, sf_dir, idx_root=idx)
+    return _ivfpq_finish(e, probes, scored)
+
+
+# -- q252: LIVE-maintained PQ codes store (q228's streaming contract for ----
+#    the IVF-PQ engine): foreachBatch encode against the FROZEN persisted
+#    model state, epoch-fenced commits, mid-stream compaction, probe
+#    equivalence against the bulk-built index (r14 VERDICT next #7)
+
+
+def ivfpq_codes_batch(
+    batch_df: DataFrame, epoch_id: int, store_dir: str, idx_root: str
+) -> bool:
+    """foreachBatch body for LIVE maintenance of the PQ codes store (the
+    IVF-PQ twin of ``ivf_membership_batch``): arriving vectors are
+    assigned against the SAVED coarse quantizer and their residuals
+    encoded against the SAVED codebook — O(batch x C) + O(batch x M x K),
+    the standing corpus is never re-encoded — and the skinny (vec_id,
+    centroid_id, codes) rows land as a fenced epoch append. FAISS's
+    IVFPQ ``add()`` as an exactly-once table commit."""
+    store = EpochStore(store_dir, IVFPQ_CODE_COLS)
+    if epoch_id <= store.pointer()["epoch"]:
+        return False  # fence EARLY: skip the encode work entirely
+    spark = batch_df.sparkSession
+    cent = spark.read.parquet(os.path.join(idx_root, "centroids"))
+    cb = spark.read.parquet(os.path.join(idx_root, "codebook"))
+    live = _ivfpq_encode(
+        _ivfpq_residuals(batch_df.select("vec_id", "embedding"), cent), cb
+    ).localCheckpoint()  # decide BEFORE touching the store
+    return store.append(live.select(*IVFPQ_CODE_COLS), int(epoch_id))
+
+
+def start_ivfpq_codes_sink(
+    vec_stream: DataFrame, store_dir: str, idx_root: str, checkpoint_dir: str
+):
+    """Run a streaming vector source (vec_id, embedding) into the live PQ
+    codes store — the production shape ``ensure_live_ivfpq_codes``
+    replays deterministically for the driver gate."""
+    return (
+        vec_stream.writeStream.foreachBatch(
+            lambda df, epoch: ivfpq_codes_batch(df, epoch, store_dir, idx_root)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def compact_ivfpq_codes(spark: SparkSession, store_dir: str) -> int:
+    """Fold the codes store's epoch dirs into one centroid-clustered base
+    (bucket locality keeps post-compaction probes prunable)."""
+    return EpochStore(store_dir, IVFPQ_CODE_COLS).compact(
+        spark, n_files=_MEMBER_FILES, shuffle_cols=("centroid_id",)
+    )
+
+
+def _ivfpq_live_store_path(spark: SparkSession, sf_dir: str) -> str:
+    app_id = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"ivfpq_live_store_{app_id}_{tag}"
+    )
+
+
+def ensure_live_ivfpq_codes(spark: SparkSession, sf_dir: str) -> str:
+    """Build the corpus's PQ codes the LIVE way, once per (session,
+    sf_dir): three vec_id-keyed epoch slices through
+    ``ivfpq_codes_batch``, epoch 1 deliberately RE-DELIVERED
+    (at-least-once recovery — must fence to a no-op) and a
+    ``compact_ivfpq_codes`` after epoch 1 (the final read unions a
+    compacted base with a post-compaction epoch dir — exactly
+    ``ensure_live_ivf_membership``'s replay shape, for codes)."""
+    path = _ivfpq_live_store_path(spark, sf_dir)
+    store = EpochStore(path, IVFPQ_CODE_COLS)
+    if store.pointer()["epoch"] >= _LIVE_VEC_EPOCHS - 1:
+        return path
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    corpus = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= 16)
+        .select("vec_id", "embedding")
+    )
+    sl = F.pmod(F.col("vec_id"), 3)
+    ivfpq_codes_batch(corpus.filter(sl == 0), 0, path, idx)
+    ivfpq_codes_batch(corpus.filter(sl == 1), 1, path, idx)
+    ivfpq_codes_batch(corpus.filter(sl == 1), 1, path, idx)  # no-op fence
+    compact_ivfpq_codes(spark, path)  # absorbs epochs 0-1 into base=v*
+    ivfpq_codes_batch(corpus.filter(sl == 2), 2, path, idx)
+    return path
+
+
+@register(
+    "q252_live_ivfpq_probe",
+    REGISTRY["q242_ivfpq_search"].oracle,
+    doc="q242's IVF-PQ probe with the codes resolved from the "
+    "LIVE-MAINTAINED store: the corpus is replayed in three epoch "
+    "slices through ivfpq_codes_batch (the streaming sink's "
+    "foreachBatch body — each slice assigned against the SAVED coarse "
+    "quantizer and encoded against the SAVED residual codebook only), "
+    "including a deliberately re-delivered epoch (exactly-once "
+    "fencing must skip it) and a mid-stream compact_ivfpq_codes (the "
+    "final read unions the centroid-clustered compacted base with a "
+    "post-compaction epoch). The probe is q242's full admission + "
+    "rescore over the store, and the oracle is q242's full-rebuild "
+    "SQL VERBATIM — so one green driver row certifies live-vs-batch "
+    "IVF-PQ equivalence end-to-end: residual/encode parity between "
+    "the streaming body and the bulk build, epoch fencing, pointer "
+    "crash-safety, and compaction content-preservation, completing "
+    "q228's pattern for the composed engine (flat membership was "
+    "live; the CODES the engine actually scans now are too). Scale: "
+    "per-epoch maintenance is O(batch) skinny code rows into the "
+    "arriving vectors' buckets; the probe reads ~nprobe/C of the "
+    "codes store — nothing corpus-sized moves at any point in the "
+    "index's life.",
+)
+def q252_live_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    store = EpochStore(
+        ensure_live_ivfpq_codes(spark, sf_dir), IVFPQ_CODE_COLS
+    )
+    probes, scored = _ivfpq_admission(
+        spark, sf_dir, cand_codes=store.read(spark)
+    )
+    return _ivfpq_finish(e, probes, scored)
+
+
+# -- q250: the ANN ENGINE CHOOSER — the cost-based decision that consumes ----
+#    q244's matrix (r14 VERDICT missing #3: "q244 produces the four-engine
+#    recall/cost matrix but nothing consumes it")
+
+# the deployment's in-memory byte budget for the ADMISSION structure (the
+# column the scan actually reads) — the external constraint a chooser is
+# given, a demo stand-in for "what fits on the serving tier". 200 KB sits
+# between sf0.01's full-precision footprint (~124 KB -> everything fits,
+# highest-fidelity engine wins) and sf0.1's (~496 KB -> full precision is
+# evicted, the codes engines compete) so the choice is live at BOTH gate
+# scales, and tools/ann_chooser_ladder.py shows it flipping again when
+# even int8 stops fitting.
+_ANN_BUDGET_BYTES = 200_000
+
+
+def _q250_oracle() -> str:
+    return f"""
+    WITH matrix AS (
+        {_q244_oracle()}
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(MAX(len(embedding)) AS BIGINT) AS dim
+        FROM embeddings WHERE vec_id >= 16
+    ), priced AS (
+        SELECT m.engine, s.n_vectors, s.dim,
+               CAST({_ANN_BUDGET_BYTES} AS BIGINT) AS budget_bytes,
+               m.scan_bytes_per_vec,
+               CAST(s.n_vectors * m.scan_bytes_per_vec AS BIGINT) AS index_bytes,
+               CAST(CASE WHEN s.n_vectors * m.scan_bytes_per_vec
+                              <= {_ANN_BUDGET_BYTES} THEN 1 ELSE 0 END
+                    AS BIGINT) AS fits_budget,
+               CAST(m.candidates_scored * m.scan_bytes_per_vec AS BIGINT)
+                   AS est_scan_bytes,
+               m.recall_at_k
+        FROM matrix m CROSS JOIN stats s
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fits_budget
+                   ORDER BY recall_at_k DESC, scan_bytes_per_vec DESC,
+                            engine) AS rn
+        FROM priced
+    )
+    SELECT engine, n_vectors, dim, budget_bytes, scan_bytes_per_vec,
+           index_bytes, fits_budget, est_scan_bytes, recall_at_k,
+           CAST(CASE WHEN fits_budget = 1 AND rn = 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS chosen
+    FROM ranked ORDER BY engine
+    """
+
+
+@register(
+    "q250_ann_engine_choice",
+    _q250_oracle(),
+    doc="the pre-ship engine DECISION that closes the loop q244's matrix "
+    "opens: corpus stats (n_vectors, dim) derive INSIDE the plan (one "
+    "metadata-cheap aggregate — q238's derived-C discipline), every "
+    "engine's admission structure is priced at n x bytes/vec against "
+    f"the declared {_ANN_BUDGET_BYTES}-byte serving budget, and the "
+    "chosen engine is the highest-MEASURED-recall one that fits, ties "
+    "broken toward MORE bytes per vector (equal demo-scale recall is "
+    "optimistic for quantized engines on isotropic synthetic "
+    "embeddings — fidelity is the safer tie-break) then engine name. "
+    "Emitted per engine: footprint, fit, predicted scan bytes "
+    "(candidates x bytes/vec — the admission bandwidth an operator "
+    "budgets), measured recall, chosen flag — FAISS's 'index factory "
+    "by memory budget' guideline as ONE oracle-checked table. The "
+    "recall column is q244's own measured matrix (each engine's "
+    "REGISTERED logic vs the shared brute-force truth arm), so the "
+    "decision can never drift from the operators it picks among; the "
+    "arithmetic is pure integer products and one window over four "
+    "model-state rows. As the corpus grows the choice flips exactly "
+    "where the budget line crosses each footprint — "
+    "tools/ann_chooser_ladder.py measures the flip (flat at small n, "
+    "codes engines as n x 64B crosses the budget, IVF-PQ once only "
+    "4B/vec fits) — the SCALE.md-recorded inversion, now a decision "
+    "rule instead of a chart.",
+)
+def q250_ann_engine_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = q244_ann_engine_matrix(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    stats = e.filter(F.col("vec_id") >= 16).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.max(F.size("embedding")).cast("bigint").alias("dim"),
+    )
+    priced = m.crossJoin(F.broadcast(stats)).select(
+        "engine",
+        "n_vectors",
+        "dim",
+        F.lit(_ANN_BUDGET_BYTES).cast("bigint").alias("budget_bytes"),
+        "scan_bytes_per_vec",
+        (F.col("n_vectors") * F.col("scan_bytes_per_vec"))
+        .cast("bigint")
+        .alias("index_bytes"),
+        F.when(
+            F.col("n_vectors") * F.col("scan_bytes_per_vec")
+            <= F.lit(_ANN_BUDGET_BYTES),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("fits_budget"),
+        (F.col("candidates_scored") * F.col("scan_bytes_per_vec"))
+        .cast("bigint")
+        .alias("est_scan_bytes"),
+        "recall_at_k",
+    )
+    # four model-state rows through one tiny window — documented scale:
+    # the ranked set is |engines|, never data-sized
+    w = Window.partitionBy("fits_budget").orderBy(
+        F.col("recall_at_k").desc(),
+        F.col("scan_bytes_per_vec").desc(),
+        F.col("engine"),
+    )
+    return (
+        priced.select("*", F.row_number().over(w).alias("rn"))
+        .select(
+            "engine",
+            "n_vectors",
+            "dim",
+            "budget_bytes",
+            "scan_bytes_per_vec",
+            "index_bytes",
+            "fits_budget",
+            "est_scan_bytes",
+            "recall_at_k",
+            F.when((F.col("fits_budget") == 1) & (F.col("rn") == 1), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("chosen"),
+        )
+        .orderBy("engine")
     )
