@@ -217,6 +217,11 @@ HEADLINE = [
     "q245_ivfpq_forget_probe",
     "q246_semantic_decontamination",
     "q247_length_bucket_plan",
+    "q248_ivfpq_drift_audit",
+    "q249_ivfpq_refresh_apply",
+    "q250_ann_engine_choice",
+    "q251_packed_batch_assign",
+    "q252_live_ivfpq_probe",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
@@ -307,7 +312,15 @@ CONTRAST_PAIRS = [
     ("q237_lsh_bucket_valve", "q239_lsh_valve_off_demo"),
     ("q242_ivfpq_search", "q223_ivf_probe_persisted"),
     ("q243_ivfpq_ingest_probe", "q242_ivfpq_search"),
+    ("q252_live_ivfpq_probe", "q242_ivfpq_search"),
+    ("q249_ivfpq_refresh_apply", "q242_ivfpq_search"),
 ]
+# r15 additions: q252/q242 (live-maintained codes store probe vs bulk
+# file — q243/q242's shape with the full three-epoch replay + compaction
+# history behind the store read, near 1 expected); q249/q242 (probe over
+# the REFRESHED-codebook index vs the frozen one — identical plan over
+# same-shape artifacts, near 1 expected; a drift here means the refresh
+# rebuild produced a worse layout, not just different values).
 
 
 def _prev_round_times() -> tuple[str | None, dict[str, float], object]:

@@ -1496,3 +1496,156 @@ def q247_length_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — packed-batch ASSIGNMENT on q247's buckets (r14 VERDICT missing #4):
+#         q247 prices the length-bucket plan; this emits the actual
+#         batch_id per document under a token budget.
+# ---------------------------------------------------------------------------
+
+_BATCH_BUDGET = 512  # padded tokens per batch (the accelerator step budget)
+_BATCH_SHARDS = 8    # parallel packing shards per bucket (batches never
+#                     cross shards — at 100 TB shards scale with the
+#                     cluster and the waste profile is unchanged: one
+#                     ragged tail batch per (bucket, shard))
+
+
+@register(
+    "q251_packed_batch_assign",
+    f"""
+    WITH lens AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), th AS (
+        SELECT quantile_cont(n_tokens, {_LB_FRACS}) AS t FROM lens
+    ), tagged AS (
+        SELECT l.doc_id, l.n_tokens,
+               CAST(len(list_filter(th.t, x -> l.n_tokens > x)) AS BIGINT)
+                   AS bucket
+        FROM lens l CROSS JOIN th
+    ), caps AS (
+        SELECT bucket, CAST(MAX(n_tokens) AS BIGINT) AS cap_tokens
+        FROM tagged GROUP BY bucket
+    ), seq AS (
+        SELECT t.doc_id, t.n_tokens, t.bucket, c.cap_tokens,
+               CAST(t.doc_id % {_BATCH_SHARDS} AS BIGINT) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.bucket, t.doc_id % {_BATCH_SHARDS}
+                   ORDER BY t.n_tokens DESC, t.doc_id) AS rn
+        FROM tagged t JOIN caps c ON t.bucket = c.bucket
+    ), assigned AS (
+        SELECT doc_id, n_tokens, bucket, shard, cap_tokens,
+               CAST(FLOOR((rn - 1) / GREATEST(1.0,
+                   FLOOR({_BATCH_BUDGET} / cap_tokens))) AS BIGINT) AS batch_id
+        FROM seq
+    ), bstats AS (
+        SELECT bucket, shard, batch_id,
+               CAST(SUM(n_tokens) AS BIGINT) AS tok,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               MAX(cap_tokens) AS cap
+        FROM assigned GROUP BY bucket, shard, batch_id
+    )
+    SELECT a.doc_id, a.bucket, a.shard, a.batch_id, a.n_tokens,
+           {_rnd_sql('CAST(b.tok AS DOUBLE) / (b.nb * b.cap)', 6)}
+               AS batch_fill_frac
+    FROM assigned a
+    JOIN bstats b ON a.bucket = b.bucket AND a.shard = b.shard
+                 AND a.batch_id = b.batch_id
+    ORDER BY a.doc_id
+    """,
+    doc="the batch ASSIGNMENT that executes q247's plan: within each "
+    f"equi-depth length bucket every sequence pads to the bucket "
+    "ceiling, so bin slots are UNIFORM and first-fit-decreasing "
+    "collapses exactly to deterministic fixed-capacity chunking — the "
+    "window-arithmetic form of FFD (sort by length desc, fill "
+    f"capacity = floor({_BATCH_BUDGET} / bucket_cap) slots, open the "
+    "next batch): provably no packing under the pad-to-ceiling model "
+    "uses fewer batches, and the only waste left is each shard's one "
+    "ragged tail. Documents shard "
+    f"{_BATCH_SHARDS} ways inside each bucket (deterministic doc_id "
+    "mod) and batches never cross shards, so the per-(bucket, shard) "
+    "row_number window is corpus/(buckets x shards)-sized — at 100 TB "
+    "shards scale with the cluster instead of serializing each bucket "
+    "through one sort task, and the waste profile is unchanged. "
+    "Emitted per document: bucket, shard, batch_id, its batch's fill "
+    "fraction (actual tokens / padded slot tokens — the number whose "
+    "complement q247 prices corpus-wide). Exactness: thresholds are "
+    "the exact-percentile contract q247 pins; everything downstream "
+    "is integer arithmetic plus one rounded division. Plan: one "
+    "token-count scan, the threshold broadcast, one bucket-cap "
+    "aggregate broadcast back, ONE sharded window pass, one grouped "
+    "aggregate joined back — no data-sized window partition, no "
+    "driver-side loop.",
+)
+def q251_packed_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lens = (
+        T(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint()  # two consumers: thresholds + assignment
+    )
+    fracs = F.array(
+        *[F.lit(i / _LB_BUCKETS) for i in range(1, _LB_BUCKETS)]
+    )
+    th = lens.agg(F.percentile("n_tokens", fracs).alias("t"))
+    bucket = (
+        F.size(F.filter("t", lambda x: F.col("n_tokens") > x))
+        .cast("long")
+        .alias("bucket")
+    )
+    tagged = lens.crossJoin(F.broadcast(th)).select(
+        "doc_id", "n_tokens", bucket
+    )
+    caps = tagged.groupBy("bucket").agg(
+        F.max("n_tokens").cast("long").alias("cap_tokens")
+    )
+    seq = (
+        tagged.join(F.broadcast(caps), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket",
+            "cap_tokens",
+            F.pmod("doc_id", F.lit(_BATCH_SHARDS)).cast("long").alias("shard"),
+        )
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    capacity = F.greatest(
+        F.lit(1.0), F.floor(F.lit(float(_BATCH_BUDGET)) / F.col("cap_tokens"))
+    )
+    assigned = seq.select(
+        "*", F.row_number().over(w).alias("rn")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        "shard",
+        "cap_tokens",
+        F.floor((F.col("rn") - 1) / capacity).cast("long").alias("batch_id"),
+    )
+    bstats = assigned.groupBy("bucket", "shard", "batch_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("tok"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.max("cap_tokens").alias("cap"),
+    )
+    return (
+        assigned.join(bstats, ["bucket", "shard", "batch_id"])
+        .select(
+            "doc_id",
+            "bucket",
+            "shard",
+            "batch_id",
+            "n_tokens",
+            rnd(
+                F.col("tok").cast("double") / (F.col("nb") * F.col("cap")), 6
+            ).alias("batch_fill_frac"),
+        )
+        .orderBy("doc_id")
+    )

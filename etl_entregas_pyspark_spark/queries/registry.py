@@ -57,86 +57,40 @@ _ON_CHANGE_ONLY = {
 # drifting apart (r11 ADVICE #4).
 
 _PRIORITY = [
-    # --- round-14 window (the r13 registry plan executed: new r14
-    # registrations first, then the full r9-cohort remainder — the
-    # oldest evidence in the registry after the r13 rotation — then
-    # backfill to 50 from the r10 cohort) ------------------------------
-    # (a) NEW this round: the LSH band-bucket size VALVE proven at the
-    # driver gate on a degenerate replica corpus (q237 — the workload
-    # class r13 VERDICT weak #2 said would OOM the un-valved pair grid;
-    # the oracle mirrors the derived-cap + dup-class-star semantics so
-    # both engines must agree on cap, valved bucket count, and pair
-    # set), the derived IVF centroid count (q238 — C = f(corpus)
-    # model state, cross-engine formula sync), and the un-valved demo
-    # baseline (q239 — prices the valve; enters the demo tier once its
-    # first driver row lands), plus the PQ/ADC family (q240 — product
-    # quantization search: 4-bit-per-subspace codes, per-query LUT,
-    # vectors never enter the scan; q241 — its k_factor rescore-budget
-    # sweep against brute-force truth), and the session-2 batch: the
-    # IVF-PQ composition (q242 — residual PQ codes persisted per
-    # centroid partition, both prunings composed; q243 — its
-    # frozen-codebook ingest proven at the probe; q245 — its forget
-    # probe), the four-engine ANN decision matrix (q244), and
-    # index-derived semantic decontamination (q246).
-    "q237_lsh_bucket_valve",
-    "q238_ivf_centroid_plan",
-    "q239_lsh_valve_off_demo",
-    "q240_pq_adc_search",
-    "q241_pq_shortlist_sweep",
-    "q242_ivfpq_search",
-    "q243_ivfpq_ingest_probe",
-    "q244_ann_engine_matrix",
-    "q245_ivfpq_forget_probe",
-    "q246_semantic_decontamination",
-    "q247_length_bucket_plan",
-    # (b) the r9-cohort remainder (age 5 — exactly the last=r9 rows in
-    # the CORRECTNESS_r1..r13 union, minus the on-change-only demos),
+    # --- round-15 window (the r14 registry plan executed: new r15
+    # registrations first, then the FULL r10 cohort — after the r14
+    # window re-proved the r9 remainder, the r10 rows are the oldest
+    # rotating evidence (age 4) — then backfill to 50 from the r11
+    # cohort). q182/q191 stay out DELIBERATELY despite being the only
+    # age-7 rows: they are on-change-only demo baselines (fixed-K=8
+    # twins whose n²/K law is recorded in SCALE.md; their scaled
+    # production twins q196/q197 rotate normally) and their code has
+    # not changed since r7 — the import-time guard below enforces the
+    # separation. -----------------------------------------------------
+    # (a) NEW this round: the IVF-PQ codebook LIFECYCLE that the r14
+    # VERDICT named as the engine's missing half — q248 the residual
+    # drift audit (per-subspace quantization error of the arrived
+    # epoch vs the standing corpus against the frozen codebook, q231's
+    # retrain-decision instrument for the inner quantizer) and q249
+    # the refresh apply (one Lloyd step on the COMMITTED code
+    # assignments, re-encode, probe vs a from-scratch oracle rebuild,
+    # q234's contract) — plus q250 the ANN engine CHOOSER (the
+    # cost-based decision that consumes q244's matrix: budget-feasible
+    # highest-measured-recall engine, fidelity tie-break), q251 the
+    # packed-batch ASSIGNMENT executing q247's plan (uniform-slot FFD
+    # = window-arithmetic chunking within sharded length buckets), and
+    # q252 the LIVE-maintained PQ codes store probe (foreachBatch
+    # encode against frozen model state, epoch fencing + mid-stream
+    # compaction, q242's oracle verbatim — q228's streaming contract
+    # for the composed engine).
+    "q248_ivfpq_drift_audit",
+    "q249_ivfpq_refresh_apply",
+    "q250_ann_engine_choice",
+    "q251_packed_batch_assign",
+    "q252_live_ivfpq_probe",
+    # (b) the r10 cohort (age 4 — exactly the last=r10 rows in the
+    # CORRECTNESS_r1..r14 union, minus the on-change-only demo q171),
     # name-order.
-    "q16_window_lag",
-    "q17_window_rank_ntile",
-    "q18_topk_orders",
-    "q199_semdedup_auto",
-    "q19_set_ops",
-    "q200_label_noise_auto",
-    "q201_stream_disordered_tumbling",
-    "q202_span_dup_profile",
-    "q203_incremental_lsh_probe",
-    "q204_source_divergence",
-    "q205_join_skew_plan",
-    "q206_tokenizer_fertility",
-    "q207_centroid_drift",
-    "q20_distinct",
-    "q21_string_funcs",
-    "q22_date_funcs",
-    "q23_null_handling",
-    "q24_case_buckets",
-    "q25_map_lookup",
-    "q28_having",
-    "q30_events_tumbling",
-    "q31_events_sliding",
-    "q32_events_session",
-    "q36_exact_percentiles",
-    "q41_lang_profile",
-    "q42_fingerprint_dedup",
-    "q44_quality_score",
-    "q45_word_jaccard_pairs",
-    "q46_regex_tokens",
-    "q47_rolling_fingerprint",
-    "q50_vector_norms",
-    "q51_cosine_topk",
-    # (c) backfill to 50 from the r10 cohort (age 4), name-order; with
-    # the session-2 registrations the r14 head grew to ELEVEN new rows
-    # (q237–q247), so only 7 of these fit the 50-cut — the cut lands
-    # after q149_seasonal_anomaly, and q150_bucketed_dedup_chain …
-    # q160_interval_overlap_join below it spill to the r15 head (the
-    # r10 cohort's remainder q156 … q99 continues there).
-    "q143_fk_integrity",
-    "q144_decay_score",
-    "q145_count_min_sketch",
-    "q146_last_touch_attribution",
-    "q147_distinct_n",
-    "q148_rrf_fusion",
-    "q149_seasonal_anomaly",
     "q150_bucketed_dedup_chain",
     "q151_stream_upsert_sink",
     "q152_setjoin_prefix_filter",
@@ -148,6 +102,44 @@ _PRIORITY = [
     "q158_containment_join",
     "q159_linear_attribution",
     "q160_interval_overlap_join",
+    "q161_proportional_allocation",
+    "q162_bfs_levels",
+    "q163_weighted_sample_noreplace",
+    "q164_category_entropy",
+    "q165_ab_proportion_test",
+    "q166_golden_record",
+    "q167_pmi_cooccurrence",
+    "q168_geo_distance_join",
+    "q169_hierarchy_rollup",
+    "q170_rolling_corr",
+    "q172_clamped_running_sum",
+    "q208_pps_sample_audit",
+    "q209_zipf_slope",
+    "q210_incremental_lsh_probe_persisted",
+    "q211_ingest_apply",
+    "q212_stream_disordered_session",
+    "q213_stream_disordered_sliding_distinct",
+    "q214_span_scrub_apply",
+    "q215_ivf_recall_audit",
+    "q26_math_funcs",
+    "q27_conditional_agg",
+    "q29_pivot",
+    "q33_events_json",
+    "q37_from_json",
+    "q39_scalar_subquery",
+    "q40_text_stats",
+    "q52_knn_label_vote",
+    "q53_minhash_near_dup",
+    "q54_simhash",
+    "q55_ivf_assign",
+    "q56_cosine_near_dup",
+    # (c) backfill to 50 from the r11 cohort (age 3), name-order; the
+    # 50-cut lands after q174, and the r11 remainder
+    # (q175_stream_sliding_distinct … q71_alto_valor_flag) heads the
+    # r16 window.
+    "q100_incremental_dedup",
+    "q173_link_prediction_capped",
+    "q174_sliding_distinct_bucketed",
 ]
 
 # checked at import time so every pytest and driver run trips it; an

@@ -1,0 +1,279 @@
+"""Round-15 operator tests.
+
+The IVF-PQ codebook lifecycle (q248 drift audit, q249 refresh apply),
+the live-maintained PQ codes store (q252 — q228's streaming contract
+for the composed engine, including a REAL readStream drive), the ANN
+engine chooser (q250), and the packed-batch assignment (q251). The
+oracle hash gate proves values; these pin the contracts the gate can't
+see — live-vs-batch equivalence, exactly-once fencing under re-delivery
+and mid-stream compaction, build idempotence, budget feasibility of the
+emitted batch plan, and the chooser's feasibility/uniqueness invariants.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _key(r):
+    return (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+
+
+class TestIvfpqLifecycle:
+    def test_q248_shape_and_no_drift_on_fixture(self, spark):
+        """The fixture's arrived slice (vec_id % 5 == 0) is statistically
+        identical to the standing corpus, so the audit must report a
+        ratio near 1 in every subspace — large excursions would mean the
+        audit is scoring against the wrong codebook or epoch split."""
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            q248_ivfpq_drift_audit,
+        )
+
+        rows = q248_ivfpq_drift_audit(spark, SF_DIR).collect()
+        assert [r.subspace for r in rows] == list(range(8))
+        for r in rows:
+            assert r.n_standing > 0 and r.n_arrived > 0
+            assert r.qerr_standing > 0 and r.qerr_arrived > 0
+            assert 0.2 < r.drift_ratio < 5.0, rows
+
+    def test_q249_refresh_never_rebuilds_on_reprobe(self, spark):
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            IVFPQ_REFRESH_BUILDS,
+            _ivfpq_refresh_path,
+            q249_ivfpq_refresh_apply,
+        )
+
+        q249_ivfpq_refresh_apply(spark, SF_DIR).collect()
+        path = _ivfpq_refresh_path(spark, SF_DIR)
+        builds = IVFPQ_REFRESH_BUILDS.get(path, 0)
+        rows = q249_ivfpq_refresh_apply(spark, SF_DIR).collect()
+        assert IVFPQ_REFRESH_BUILDS.get(path, 0) == builds
+        assert len(rows) > 0 and all(r.rank <= 3 for r in rows)
+
+    def test_q249_refresh_does_not_increase_quantization_error(self, spark):
+        """One Lloyd step can only reduce (or keep) the mean residual
+        quantization error — the k-means monotonicity invariant, checked
+        end-to-end across the persisted artifacts."""
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            _PQ_SUB,
+            ensure_ivfpq_index,
+            ensure_refreshed_ivfpq_index,
+        )
+
+        def mean_err(idx_root: str) -> float:
+            cent = spark.read.parquet(os.path.join(idx_root, "centroids"))
+            cb = spark.read.parquet(os.path.join(idx_root, "codebook"))
+            stored = spark.read.parquet(os.path.join(idx_root, "cand")).select(
+                "vec_id",
+                F.col("centroid_id").cast("long").alias("centroid_id"),
+                "codes",
+            )
+            e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            )
+            rv = F.zip_with(
+                "embedding", "c_emb", lambda x, y: x.cast("double") - y.cast("double")
+            )
+            resid = (
+                stored.join(e, "vec_id")
+                .join(F.broadcast(cent), "centroid_id")
+                .select("vec_id", "codes", rv.alias("rv"))
+            )
+            sub = resid.select(
+                F.posexplode(F.col("codes").cast("array<int>")).alias("m", "k"),
+                "rv",
+            ).select(
+                "m",
+                "k",
+                F.expr(f"slice(rv, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+            )
+            d2 = F.aggregate(
+                F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return (
+                sub.join(F.broadcast(cb), ["m", "k"])
+                .agg(F.avg(d2))
+                .first()[0]
+            )
+
+        e0 = mean_err(ensure_ivfpq_index(spark, SF_DIR))
+        e1 = mean_err(ensure_refreshed_ivfpq_index(spark, SF_DIR))
+        assert e1 <= e0 + 1e-12, (e0, e1)
+
+
+class TestLiveIvfpqCodes:
+    def test_q252_equals_q242_results(self, spark):
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            q242_ivfpq_search,
+            q252_live_ivfpq_probe,
+        )
+
+        live = sorted(
+            _key(r) for r in q252_live_ivfpq_probe(spark, SF_DIR).collect()
+        )
+        batch = sorted(
+            _key(r) for r in q242_ivfpq_search(spark, SF_DIR).collect()
+        )
+        assert live == batch and len(live) > 0
+
+    def test_live_store_shape_after_replay(self, spark):
+        """The maintenance history is physically visible: a compacted
+        base absorbing epochs 0-1 plus a surviving post-compaction
+        epoch=2 (ensure_live_ivf_membership's shape, for codes)."""
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            ensure_live_ivfpq_codes,
+        )
+        from etl_entregas_pyspark_spark.streaming.epoch_store import (
+            read_pointer,
+        )
+
+        path = ensure_live_ivfpq_codes(spark, SF_DIR)
+        ptr = read_pointer(path)
+        assert ptr["epoch"] == 2 and ptr["base_through_epoch"] == 1
+        entries = set(os.listdir(path))
+        assert f"base=v{ptr['base_version']}" in entries
+        assert "epoch=2" in entries
+        assert "epoch=0" not in entries and "epoch=1" not in entries
+
+    def test_streaming_sink_converges_to_bulk_codes(self, spark, tmp_path):
+        """Drive the foreachBatch body through a REAL readStream (the
+        test_round12 discipline for the PQ codes store): after the
+        stream drains, the store's codes equal the bulk build's."""
+        from pyspark.sql.types import (
+            ArrayType,
+            FloatType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            IVFPQ_CODE_COLS,
+            ensure_ivfpq_index,
+            start_ivfpq_codes_sink,
+        )
+        from etl_entregas_pyspark_spark.streaming.epoch_store import EpochStore
+
+        idx = ensure_ivfpq_index(spark, SF_DIR)
+        corpus = (
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .filter(F.col("vec_id") >= 16)
+            .select("vec_id", "embedding")
+        )
+        src = str(tmp_path / "vec_slices")
+        os.makedirs(src)
+        for i in range(3):
+            corpus.filter(F.pmod(F.col("vec_id"), 3) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(src, f"s{i}"))
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        )
+        store_dir = str(tmp_path / "codes_store")
+        q = start_ivfpq_codes_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*"),
+            store_dir,
+            idx,
+            str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        def canon(df):
+            return sorted(
+                (r.vec_id, int(r.centroid_id), tuple(r.codes))
+                for r in df.select(*IVFPQ_CODE_COLS).collect()
+            )
+
+        live = canon(EpochStore(store_dir, IVFPQ_CODE_COLS).read(spark))
+        bulk = canon(spark.read.parquet(os.path.join(idx, "cand")))
+        assert live == bulk and len(live) > 0
+
+
+class TestEngineChooser:
+    def test_exactly_one_feasible_engine_chosen(self, spark):
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            q250_ann_engine_choice,
+        )
+
+        rows = q250_ann_engine_choice(spark, SF_DIR).collect()
+        assert len(rows) == 4
+        chosen = [r for r in rows if r.chosen == 1]
+        assert len(chosen) == 1
+        c = chosen[0]
+        assert c.fits_budget == 1 and c.index_bytes <= c.budget_bytes
+        # nothing that fits has strictly higher recall than the choice
+        for r in rows:
+            if r.fits_budget == 1:
+                assert r.recall_at_k <= c.recall_at_k + 1e-12
+
+
+class TestPackedBatchAssign:
+    def test_batches_respect_budget_and_are_contiguous(self, spark):
+        from etl_entregas_pyspark_spark.queries.datasplit import (
+            _BATCH_BUDGET as _PACK_BUDGET,
+            q251_packed_batch_assign,
+        )
+
+        rows = q251_packed_batch_assign(spark, SF_DIR).collect()
+        assert len(rows) > 0
+        per_doc = {}
+        batches = {}
+        for r in rows:
+            assert 0.0 < r.batch_fill_frac <= 1.0
+            per_doc[r.doc_id] = r
+            batches.setdefault((r.bucket, r.shard), set()).add(r.batch_id)
+        # every document assigned exactly once
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert len(per_doc) == n_docs
+        # batch ids are contiguous from 0 within each (bucket, shard)
+        for ids in batches.values():
+            assert ids == set(range(len(ids)))
+        # padded batch size never exceeds the budget (unless a single
+        # document alone exceeds it — the capacity-1 clamp)
+        from collections import Counter, defaultdict
+
+        size = Counter()
+        cap = defaultdict(int)
+        for r in rows:
+            k = (r.bucket, r.shard, r.batch_id)
+            size[k] += 1
+            cap[k] = max(cap[k], r.n_tokens)
+        for k, n in size.items():
+            bucket_cap = max(
+                r.n_tokens for r in rows if (r.bucket, r.shard) == k[:2]
+            )
+            padded = n * bucket_cap
+            assert padded <= _PACK_BUDGET or n == 1, (k, n, bucket_cap)
+
+    def test_ffd_waste_not_worse_than_unbucketed(self, spark):
+        """The plan-level claim: packing within length buckets wastes
+        no more padding than one global bucket would (q247's headroom,
+        realized by the assignment)."""
+        from etl_entregas_pyspark_spark.queries.datasplit import (
+            q251_packed_batch_assign,
+        )
+
+        rows = q251_packed_batch_assign(spark, SF_DIR).collect()
+        from collections import defaultdict
+
+        bucket_cap = defaultdict(int)
+        for r in rows:
+            bucket_cap[r.bucket] = max(bucket_cap[r.bucket], r.n_tokens)
+        global_cap = max(bucket_cap.values())
+        actual = sum(r.n_tokens for r in rows)
+        padded_bucketed = sum(bucket_cap[r.bucket] for r in rows)
+        padded_global = global_cap * len(rows)
+        assert actual <= padded_bucketed <= padded_global
