@@ -3219,16 +3219,25 @@ def _q250_oracle() -> str:
                    AS est_scan_bytes,
                m.recall_at_k
         FROM matrix m CROSS JOIN stats s
+    ), anyf AS (
+        SELECT MAX(fits_budget) AS any_fits FROM priced
     ), ranked AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY fits_budget
-                   ORDER BY recall_at_k DESC, scan_bytes_per_vec DESC,
-                            engine) AS rn
-        FROM priced
+        SELECT p.*, a.any_fits,
+               ROW_NUMBER() OVER (PARTITION BY p.fits_budget
+                   ORDER BY p.recall_at_k DESC, p.scan_bytes_per_vec DESC,
+                            p.engine) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY p.fits_budget
+                   ORDER BY p.index_bytes ASC, p.recall_at_k DESC,
+                            p.engine) AS rn0
+        FROM priced p CROSS JOIN anyf a
     )
     SELECT engine, n_vectors, dim, budget_bytes, scan_bytes_per_vec,
            index_bytes, fits_budget, est_scan_bytes, recall_at_k,
-           CAST(CASE WHEN fits_budget = 1 AND rn = 1 THEN 1 ELSE 0 END
-                AS BIGINT) AS chosen
+           CAST(CASE WHEN any_fits = 1
+                     THEN CASE WHEN fits_budget = 1 AND rn = 1
+                               THEN 1 ELSE 0 END
+                     ELSE CASE WHEN rn0 = 1 THEN 1 ELSE 0 END
+                END AS BIGINT) AS chosen
     FROM ranked ORDER BY engine
     """
 
@@ -3244,7 +3253,10 @@ def _q250_oracle() -> str:
     "chosen engine is the highest-MEASURED-recall one that fits, ties "
     "broken toward MORE bytes per vector (equal demo-scale recall is "
     "optimistic for quantized engines on isotropic synthetic "
-    "embeddings — fidelity is the safer tie-break) then engine name. "
+    "embeddings — fidelity is the safer tie-break) then engine name; "
+    "when NOTHING fits, the least-infeasible engine (smallest "
+    "footprint, recall tie-break) — a decision table must never come "
+    "back empty (the 64x ladder rung caught exactly that). "
     "Emitted per engine: footprint, fit, predicted scan bytes "
     "(candidates x bytes/vec — the admission bandwidth an operator "
     "budgets), measured recall, chosen flag — FAISS's 'index factory "
@@ -3289,15 +3301,35 @@ def q250_ann_engine_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_scan_bytes"),
         "recall_at_k",
     )
-    # four model-state rows through one tiny window — documented scale:
-    # the ranked set is |engines|, never data-sized
+    # four model-state rows through two tiny windows — documented scale:
+    # the ranked set is |engines|, never data-sized. When NOTHING fits
+    # the budget the chooser must still name an engine (you shard the
+    # index or buy memory, but the decision table cannot come back
+    # empty — the 64x ladder rung caught the null): fall back to the
+    # LEAST-INFEASIBLE engine, smallest footprint first, recall as the
+    # tie-break.
+    anyf = priced.agg(F.max("fits_budget").alias("any_fits"))
     w = Window.partitionBy("fits_budget").orderBy(
         F.col("recall_at_k").desc(),
         F.col("scan_bytes_per_vec").desc(),
         F.col("engine"),
     )
+    w0 = Window.partitionBy("fits_budget").orderBy(
+        F.col("index_bytes").asc(),
+        F.col("recall_at_k").desc(),
+        F.col("engine"),
+    )
+    chosen = F.when(
+        F.col("any_fits") == 1,
+        ((F.col("fits_budget") == 1) & (F.col("rn") == 1)).cast("int"),
+    ).otherwise((F.col("rn0") == 1).cast("int"))
     return (
-        priced.select("*", F.row_number().over(w).alias("rn"))
+        priced.crossJoin(F.broadcast(anyf))
+        .select(
+            "*",
+            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w0).alias("rn0"),
+        )
         .select(
             "engine",
             "n_vectors",
@@ -3308,10 +3340,7 @@ def q250_ann_engine_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fits_budget",
             "est_scan_bytes",
             "recall_at_k",
-            F.when((F.col("fits_budget") == 1) & (F.col("rn") == 1), 1)
-            .otherwise(0)
-            .cast("bigint")
-            .alias("chosen"),
+            chosen.cast("bigint").alias("chosen"),
         )
         .orderBy("engine")
     )

@@ -213,11 +213,15 @@ class TestEngineChooser:
         chosen = [r for r in rows if r.chosen == 1]
         assert len(chosen) == 1
         c = chosen[0]
-        assert c.fits_budget == 1 and c.index_bytes <= c.budget_bytes
-        # nothing that fits has strictly higher recall than the choice
-        for r in rows:
-            if r.fits_budget == 1:
-                assert r.recall_at_k <= c.recall_at_k + 1e-12
+        if any(r.fits_budget == 1 for r in rows):
+            assert c.fits_budget == 1 and c.index_bytes <= c.budget_bytes
+            # nothing that fits has strictly higher recall than the choice
+            for r in rows:
+                if r.fits_budget == 1:
+                    assert r.recall_at_k <= c.recall_at_k + 1e-12
+        else:
+            # nothing fits: the fallback names the least-infeasible engine
+            assert c.index_bytes == min(r.index_bytes for r in rows)
 
 
 class TestPackedBatchAssign:
