@@ -222,6 +222,7 @@ HEADLINE = [
     "q250_ann_engine_choice",
     "q251_packed_batch_assign",
     "q252_live_ivfpq_probe",
+    "q253_ivfpq_shortlist_sweep",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

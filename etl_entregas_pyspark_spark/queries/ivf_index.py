@@ -3344,3 +3344,187 @@ def q250_ann_engine_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("engine")
     )
+
+
+# -- q253: IVF-PQ rescore-budget sweep — the k_factor tuning instrument ------
+#    the composed engine was missing (q236 prices SQ8's budget, q241 flat
+#    PQ's; IVF-PQ shipped with _PQ_SHORTLIST=8 un-audited)
+
+
+def _q253_oracle() -> str:
+    # reuse q242's CTE chain up to `scores`, then sweep budgets (q241's
+    # split idiom); the truth arm is the full-precision PROBED ranking —
+    # q236's contract: the sweep isolates residual-quantization loss
+    # from coarse-probe loss, which q230 prices separately
+    head = REGISTRY["q242_ivfpq_search"].oracle.split("), short AS (")[0]
+    cosine = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+    tcos = (
+        "list_sum(list_transform(list_zip(p.q_emb, c.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+    plan_values = ", ".join(f"({d})" for d in _SQ8_SWEEP_DEPTHS)
+    return f"""{head}), ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc DESC, neighbor_id) AS srn
+        FROM scores
+    ), rescored AS (
+        SELECT r.query_id, r.neighbor_id, r.srn, {cosine} AS cosine
+        FROM ranked r
+        JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 8 AND vec_id < 16) q ON r.query_id = q.vec_id
+        JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= 16) c ON r.neighbor_id = c.vec_id
+        WHERE r.srn <= {max(_SQ8_SWEEP_DEPTHS)}
+    ), truthp AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY {tcos} DESC, c.vec_id) AS xr
+            FROM probes p JOIN cand c ON p.centroid_id = c.centroid_id
+        ) WHERE xr <= {_IVF_TOPK}
+    ), levels AS (
+        SELECT * FROM (VALUES {plan_values}) AS t(shortlist)
+    ), fan AS (
+        SELECT l.shortlist, r.query_id, r.neighbor_id, r.cosine
+        FROM levels l JOIN rescored r ON r.srn <= l.shortlist
+    ), cost AS (
+        SELECT shortlist, CAST(COUNT(*) AS BIGINT) AS n_rescored,
+               CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+        FROM fan GROUP BY shortlist
+    ), approx AS (
+        SELECT shortlist, query_id, neighbor_id FROM (
+            SELECT shortlist, query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY shortlist, query_id
+                       ORDER BY cosine DESC, neighbor_id) AS arank
+            FROM fan
+        ) WHERE arank <= {_IVF_TOPK}
+    ), hitagg AS (
+        SELECT a.shortlist, CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits
+        FROM approx a LEFT JOIN truthp t
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY a.shortlist
+    )
+    SELECT c.shortlist, c.n_queries, c.n_rescored, h.hits,
+           CAST(h.hits AS DOUBLE)
+               / (CAST(c.n_queries AS DOUBLE) * {_IVF_TOPK}) AS recall_at_k
+    FROM cost c JOIN hitagg h ON c.shortlist = h.shortlist
+    ORDER BY c.shortlist
+    """
+
+
+@register(
+    "q253_ivfpq_shortlist_sweep",
+    _q253_oracle(),
+    doc="the rescore-budget tuning instrument for the COMPOSED engine "
+    "(q236 prices SQ8's shortlist, q241 flat PQ's; IVF-PQ shipped with "
+    f"shortlist={_PQ_SHORTLIST} un-audited): each budget R in "
+    f"{_SQ8_SWEEP_DEPTHS} keeps the ADC top-R per query, rescores with "
+    "exact cosine, and its top-3 is checked against the FULL-PRECISION "
+    "PROBED ranking — q236's truth contract: the sweep isolates "
+    "residual-quantization loss from coarse-probe loss (q230 prices "
+    "the latter), so the R where recall saturates is the refine budget "
+    "you ship for THIS codebook, and a codebook regression shows up as "
+    "the saturation point drifting right. n_rescored counts ACTUAL fan "
+    "rows per budget (a query whose probed buckets hold fewer than R "
+    "candidates contributes what it actually rescored). Plan: ONE "
+    "admission scan (q242's shared codes-only stage), the budget "
+    "fan-out is a literal explode over the already-ranked frame, the "
+    "max-depth pool rescores once and every smaller budget is a "
+    "filter; the truth arm is the audit's necessary float pull — "
+    "membership from the persisted index, id-keyed vector join, "
+    "probed partitions only. Scale: everything beyond the admission "
+    "scan is <= max(R) x |queries| rows.",
+)
+def q253_ivfpq_shortlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    probes, scored = _ivfpq_admission(spark, sf_dir)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    pool = (
+        scored.select("*", F.row_number().over(ws).alias("srn"))
+        .filter(F.col("srn") <= max(_SQ8_SWEEP_DEPTHS))
+    )
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+    )
+    # rescore the max-depth pool once; every smaller budget is a filter
+    resc = (
+        e.filter(F.col("vec_id") >= 16)
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(pool), "neighbor_id")
+        .join(
+            F.broadcast(
+                probes.select("query_id", "q_emb").dropDuplicates(["query_id"])
+            ),
+            "query_id",
+        )
+        .select("query_id", "neighbor_id", "srn", cos.alias("cosine"))
+        .localCheckpoint()  # two consumers: cost aggregate + arank window
+    )
+    # truth arm: full-precision PROBED ranking — membership from the
+    # persisted index, id-keyed float pull, probed partitions only
+    idx = ensure_ivfpq_index(spark, sf_dir)
+    member = spark.read.parquet(os.path.join(idx, "cand")).select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        member.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(probes.select("query_id", "q_emb", "centroid_id")),
+            "centroid_id",
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .select("*", F.row_number().over(wt).alias("xr"))
+        .filter(F.col("xr") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", F.lit(True).alias("is_true"))
+    )
+    fan = resc.withColumn(
+        "shortlist",
+        F.explode(F.array(*[F.lit(d) for d in _SQ8_SWEEP_DEPTHS])),
+    ).filter(F.col("srn") <= F.col("shortlist"))
+    cost = fan.groupBy("shortlist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rescored"),
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+    )
+    wa = Window.partitionBy("shortlist", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    approx = fan.select(
+        "shortlist",
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wa).alias("arank"),
+    ).filter(F.col("arank") <= _IVF_TOPK)
+    hits = (
+        approx.join(F.broadcast(truth), ["query_id", "neighbor_id"], "left")
+        .groupBy("shortlist")
+        .agg(F.count("is_true").cast("bigint").alias("hits"))
+    )
+    return (
+        cost.join(hits, "shortlist")
+        .select(
+            "shortlist",
+            "n_queries",
+            "n_rescored",
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / (F.col("n_queries").cast("double") * F.lit(_IVF_TOPK))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("shortlist")
+    )

@@ -88,6 +88,9 @@ _PRIORITY = [
     "q250_ann_engine_choice",
     "q251_packed_batch_assign",
     "q252_live_ivfpq_probe",
+    # session-2 registration: the rescore-budget sweep the composed
+    # engine was missing (q236/q241's instrument for IVF-PQ)
+    "q253_ivfpq_shortlist_sweep",
     # (b) the r10 cohort (age 4 — exactly the last=r10 rows in the
     # CORRECTNESS_r1..r14 union, minus the on-change-only demo q171),
     # name-order.
@@ -133,13 +136,13 @@ _PRIORITY = [
     "q54_simhash",
     "q55_ivf_assign",
     "q56_cosine_near_dup",
-    # (c) backfill to 50 from the r11 cohort (age 3), name-order; the
-    # 50-cut lands after q174, and the r11 remainder
-    # (q175_stream_sliding_distinct … q71_alto_valor_flag) heads the
+    # (c) backfill to 50 from the r11 cohort (age 3), name-order; with
+    # the session-2 q253 the head holds SIX new rows, so the 50-cut
+    # lands after q173, and the r11 remainder
+    # (q174_sliding_distinct_bucketed … q71_alto_valor_flag) heads the
     # r16 window.
     "q100_incremental_dedup",
     "q173_link_prediction_capped",
-    "q174_sliding_distinct_bucketed",
 ]
 
 # checked at import time so every pytest and driver run trips it; an
