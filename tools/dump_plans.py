@@ -189,6 +189,12 @@ HEADLINE = [
     "q245_ivfpq_forget_probe",
     "q246_semantic_decontamination",
     "q247_length_bucket_plan",
+    "q248_ivfpq_drift_audit",
+    "q249_ivfpq_refresh_apply",
+    "q250_ann_engine_choice",
+    "q251_packed_batch_assign",
+    "q252_live_ivfpq_probe",
+    "q253_ivfpq_shortlist_sweep",
 ]
 
 
