@@ -1175,3 +1175,58 @@ def q166_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(F.when(F.col("rn_click") == 1, F.col("ts"))).alias("last_click_ts"),
     )
+
+
+@register(
+    "q255_stream_static_enrich",
+    f"""
+    SELECT DATE_TRUNC('hour', e.ts) AS window_start, c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           {_dsum_sql('e.value', 6)} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="stream-STATIC dimension enrichment, the one Structured "
+    "Streaming join family the corpus lacked (stream-stream is q216; "
+    "this is the other one you actually run hourly at 100 TB — events "
+    "enriched against a slowly-changing dimension snapshot): each "
+    "event broadcast-joins the static customer dimension on user_id "
+    "and aggregates per (1-hour tumbling window, market segment) with "
+    "the dsum exact-sum idiom, so the emitted rows hash-match the "
+    "batch/DuckDB recompute regardless of micro-batch arrival order. "
+    "This registered query is the BATCH TWIN (q30's contract); the "
+    "live form is streaming/streams.py:enriched_counts_stream — a "
+    "readStream through the SAME join + window logic, equivalence-"
+    "pinned by test (stream-static joins need no watermark on the "
+    "static side and Spark re-plans the broadcast per micro-batch, "
+    "which is exactly how a dimension snapshot update propagates "
+    "mid-stream in production). Plan/scale: the dimension projects to "
+    "two columns and broadcasts (dims are small by definition — and "
+    "at 100 TB you'd still broadcast the pruned two-column "
+    "projection); the stream side is one partial-agg shuffle keyed "
+    "(window, segment) — state is windows x segments, bounded by the "
+    "watermark, never stream length.",
+)
+def q255_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = E(spark, sf_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        e.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

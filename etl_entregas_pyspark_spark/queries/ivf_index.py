@@ -3528,3 +3528,130 @@ def q253_ivfpq_shortlist_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shortlist")
     )
+
+
+# -- q254: SQ8 scalar-quantizer drift audit — the range/clip instrument -----
+#    completing the audit symmetry: coarse quantizer q231 (churn), PQ
+#    residual codebook q248 (quantization error), scalar int8 range q254
+#    (saturation + utilization — a distribution shift silently pins
+#    arriving elements at +-127 and the quantized dots degrade with no
+#    error raised anywhere)
+
+
+def _q254_oracle() -> str:
+    from etl_entregas_pyspark_spark.queries.similarity import _q8_sql
+
+    return f"""
+    WITH el AS (
+        SELECT CASE WHEN vec_id % {_VEC_BATCH_MOD} = 0 THEN 1 ELSE 0 END AS ep,
+               vec_id, unnest({_q8_sql('embedding')}) AS code
+        FROM embeddings WHERE vec_id >= 16
+    ), per AS (
+        SELECT ep,
+               CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_elems,
+               CAST(SUM(CASE WHEN ABS(code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped,
+               CAST(SUM(ABS(code)) AS BIGINT) AS sum_abs
+        FROM el GROUP BY ep
+    )
+    SELECT s.n_vecs AS n_standing, a.n_vecs AS n_arrived,
+           s.n_elems AS elems_standing, a.n_elems AS elems_arrived,
+           s.n_clipped AS clipped_standing, a.n_clipped AS clipped_arrived,
+           {_rnd_sql('CAST(s.n_clipped AS DOUBLE) / s.n_elems', 6)}
+               AS clip_frac_standing,
+           {_rnd_sql('CAST(a.n_clipped AS DOUBLE) / a.n_elems', 6)}
+               AS clip_frac_arrived,
+           {_rnd_sql('CAST(s.sum_abs AS DOUBLE) / s.n_elems', 6)} AS util_standing,
+           {_rnd_sql('CAST(a.sum_abs AS DOUBLE) / a.n_elems', 6)} AS util_arrived,
+           {_rnd_sql('CAST(a.sum_abs * s.n_elems AS DOUBLE) / CAST(s.sum_abs * a.n_elems AS DOUBLE)', 6)}
+               AS util_ratio
+    FROM (SELECT * FROM per WHERE ep = 0) s
+    JOIN (SELECT * FROM per WHERE ep = 1) a ON 1 = 1
+    """
+
+
+@register(
+    "q254_sq8_clip_audit",
+    _q254_oracle(),
+    doc="the scalar quantizer's drift audit, closing the audit symmetry "
+    "(coarse quantizer: q231's churn; PQ residual codebook: q248's "
+    "quantization error; int8 range: THIS): the persisted inverted "
+    "file's codes column is read per arrival cohort (the standing "
+    f"corpus vs the vec_id %% {_VEC_BATCH_MOD} == 0 arriving slice — "
+    "q243's batch convention) and audited for SATURATION (fraction of "
+    "codes pinned at +-127 — q68's +-4-sigma symmetric range clips "
+    "silently, and a mean/scale shift in arriving embeddings turns "
+    "into pinned codes and degraded quantized dots with no error "
+    "anywhere) and range UTILIZATION (mean |code|; util_ratio is the "
+    "arriving/standing contrast from exact integer sums — a ratio "
+    "drifting from 1 says the fixed scale no longer matches the data "
+    "and the q232/q236 admission ordering is quietly losing "
+    "resolution). Exactness: codes are already integers, every "
+    "statistic is an exact integer sum with one rounded division. "
+    "Plan/scale: ONE codes-only scan of the persisted index "
+    "(ReadSchema-prunable, no float column touched — the audit costs "
+    "O(index), not O(corpus)), one partial-agg shuffle keyed by "
+    "cohort, a 2-row join out. The oracle recomputes q68's "
+    "quantization from the raw floats, so a stale or corrupted codes "
+    "column fails the hash gate — the audit doubles as an index "
+    "integrity check.",
+)
+def q254_sq8_clip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_ivf_index(spark, sf_dir)
+    el = (
+        spark.read.parquet(os.path.join(idx, "cand"))
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") % _VEC_BATCH_MOD == 0, 1)
+            .otherwise(0)
+            .alias("ep"),
+            F.explode(F.col("codes").cast("array<long>")).alias("code"),
+        )
+    )
+    per = el.groupBy("ep").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_elems"),
+        F.sum(F.when(F.abs(F.col("code")) == 127, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped"),
+        F.sum(F.abs(F.col("code"))).cast("bigint").alias("sum_abs"),
+    )
+    s = per.filter(F.col("ep") == 0).select(
+        F.col("n_vecs").alias("n_standing"),
+        F.col("n_elems").alias("elems_standing"),
+        F.col("n_clipped").alias("clipped_standing"),
+        F.col("sum_abs").alias("sum_abs_s"),
+    )
+    a = per.filter(F.col("ep") == 1).select(
+        F.col("n_vecs").alias("n_arrived"),
+        F.col("n_elems").alias("elems_arrived"),
+        F.col("n_clipped").alias("clipped_arrived"),
+        F.col("sum_abs").alias("sum_abs_a"),
+    )
+    return s.crossJoin(F.broadcast(a)).select(
+        "n_standing",
+        "n_arrived",
+        "elems_standing",
+        "elems_arrived",
+        "clipped_standing",
+        "clipped_arrived",
+        rnd(
+            F.col("clipped_standing").cast("double") / F.col("elems_standing"),
+            6,
+        ).alias("clip_frac_standing"),
+        rnd(
+            F.col("clipped_arrived").cast("double") / F.col("elems_arrived"), 6
+        ).alias("clip_frac_arrived"),
+        rnd(
+            F.col("sum_abs_s").cast("double") / F.col("elems_standing"), 6
+        ).alias("util_standing"),
+        rnd(
+            F.col("sum_abs_a").cast("double") / F.col("elems_arrived"), 6
+        ).alias("util_arrived"),
+        rnd(
+            (F.col("sum_abs_a") * F.col("elems_standing")).cast("double")
+            / (F.col("sum_abs_s") * F.col("elems_arrived")).cast("double"),
+            6,
+        ).alias("util_ratio"),
+    )

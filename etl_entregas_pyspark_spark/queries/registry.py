@@ -88,9 +88,16 @@ _PRIORITY = [
     "q250_ann_engine_choice",
     "q251_packed_batch_assign",
     "q252_live_ivfpq_probe",
-    # session-2 registration: the rescore-budget sweep the composed
-    # engine was missing (q236/q241's instrument for IVF-PQ)
+    # session-2 registrations: the rescore-budget sweep the composed
+    # engine was missing (q236/q241's instrument for IVF-PQ), the SQ8
+    # range/clip drift audit (closing the quantizer-audit symmetry:
+    # coarse q231, residual-PQ q248, scalar q254), and the stream-STATIC
+    # dimension-enrichment join (the Structured Streaming join family
+    # the corpus lacked; live twin equivalence-pinned in
+    # tests/test_streaming.py)
     "q253_ivfpq_shortlist_sweep",
+    "q254_sq8_clip_audit",
+    "q255_stream_static_enrich",
     # (b) the r10 cohort (age 4 — exactly the last=r10 rows in the
     # CORRECTNESS_r1..r14 union, minus the on-change-only demo q171),
     # name-order.
@@ -136,13 +143,10 @@ _PRIORITY = [
     "q54_simhash",
     "q55_ivf_assign",
     "q56_cosine_near_dup",
-    # (c) backfill to 50 from the r11 cohort (age 3), name-order; with
-    # the session-2 q253 the head holds SIX new rows, so the 50-cut
-    # lands after q173, and the r11 remainder
-    # (q174_sliding_distinct_bucketed … q71_alto_valor_flag) heads the
-    # r16 window.
-    "q100_incremental_dedup",
-    "q173_link_prediction_capped",
+    # with the session-2 registrations the head holds EIGHT new rows,
+    # so the 42-row r10 cohort exactly fills the 50-cut and the whole
+    # r11 cohort (q100_incremental_dedup … q71_alto_valor_flag,
+    # name-order) heads the r16 window.
 ]
 
 # checked at import time so every pytest and driver run trips it; an

@@ -11,6 +11,7 @@ from etl_entregas_pyspark_spark.streaming.streams import (
     sliding_counts_stream,
     start_memory_sink,
     stream_stream_join,
+    enriched_counts_stream,
     tumbling_counts_stream,
 )
 
@@ -18,6 +19,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_event_stream",
     "dedup_stream",
+    "enriched_counts_stream",
     "tumbling_counts_stream",
     "sliding_counts_stream",
     "sessionized_stream",

@@ -197,3 +197,42 @@ def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
         .queryName(name)
         .start()
     )
+
+
+def enriched_counts_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+    exact_scale: int | None = None,
+) -> DataFrame:
+    """q255's stream-STATIC enrichment as a live stream: each micro-batch
+    broadcast-joins the static dimension (user_id -> segment) before the
+    windowed aggregation. The static side needs no watermark, and Spark
+    re-resolves the broadcast per micro-batch — a refreshed dimension
+    snapshot propagates mid-stream, which is the production behavior a
+    slowly-changing dimension wants. ``exact_scale`` switches to the
+    dsum quantization (order-independent sums) exactly as
+    ``tumbling_counts_stream`` does for q201's oracle contract."""
+    from pyspark.sql import functions as F
+
+    if exact_scale is not None:
+        q = float(10 ** exact_scale)
+        total = (
+            F.sum(F.floor(F.col("value") * F.lit(q)).cast("long")).cast("double")
+            / F.lit(q)
+        ).alias("total_value")
+    else:
+        total = F.sum("value").alias("total_value")
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", size), "segment")
+        .agg(F.count("*").alias("n_events"), total)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -149,3 +149,37 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_enriched_stream_matches_batch_twin(spark, events_dir, sf_dir):
+    """q255's live form: stream-static broadcast enrichment + windowed
+    aggregation over a real readStream equals the registered batch twin
+    once the input drains — including a mid-replay outcome-identical
+    path (the static side re-resolves per micro-batch)."""
+    from etl_entregas_pyspark_spark.queries.events import (
+        q255_stream_static_enrich,
+    )
+    from etl_entregas_pyspark_spark.streaming import enriched_counts_stream
+
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    # exact_scale matches the batch twin's dsum quantization, so the
+    # comparison is exact rather than float-noise-tolerant
+    _run_to_completion(
+        enriched_counts_stream(stream, dim, exact_scale=6), "enriched_sink"
+    )
+    got = {
+        (r.window_start, r.segment): (r.n_events, round(r.total_value, 6))
+        for r in spark.table("enriched_sink").collect()
+    }
+    want = {
+        (r.window_start, r.segment): (r.n_events, round(r.total_value, 6))
+        for r in q255_stream_static_enrich(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
