@@ -289,3 +289,83 @@ def test_sliding_distinct_guarded_by_watermark_under_disorder(spark, disorder):
         assert c_ids and not (set(got) & c_ids)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_enriched_agg_correct_under_disorder(spark, sf_dir, disorder):
+    """q255's stream-STATIC enrichment under the shared disordered cut:
+    the broadcast dimension join must not disturb watermark semantics —
+    beyond-watermark rows drop, within-watermark late rows land in their
+    true (window, segment) cells, and the emitted rows equal a batch
+    recompute of the enrichment over exactly the admitted multiset."""
+    from etl_entregas_pyspark_spark.streaming import enriched_counts_stream
+
+    a, b1, b2, c, max_b = disorder
+    d = (
+        b2.filter(F.col("ts") > F.lit(max_b) - F.expr("INTERVAL 30 MINUTES"))
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+
+    def _sentinel(days: int):
+        return b2.orderBy(F.col("ts").desc()).limit(1).select(
+            (F.col("event_id") + 20_000_000 + days).alias("event_id"),
+            "user_id",
+            "event_type",
+            (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            "value",
+        )
+
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="disorder_enrich_")
+    sent1 = _sentinel(10)
+    try:
+        _write_slices(spark, src, [a, b1, b2, c, d, sent1, _sentinel(20)])
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = start_memory_sink(
+            enriched_counts_stream(stream, dim, watermark="1 hour", exact_scale=6),
+            "disorder_enrich_sink",
+            output_mode="append",
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.window_start, r.segment): (r.n_events, r.total_value)
+            for r in spark.table("disorder_enrich_sink").collect()
+        }
+        admitted = (
+            a.select(*_COLS)
+            .unionAll(b1.select(*_COLS))
+            .unionAll(b2.select(*_COLS))
+            .unionAll(d.select(*_COLS))
+            .unionAll(sent1.select(*_COLS))
+        )
+        qscale = float(10 ** 6)
+        want = {
+            (r.window_start, r.segment): (r.n_events, r.total_value)
+            for r in admitted.join(F.broadcast(dim), "user_id")
+            .groupBy(F.window("ts", "1 hour"), "segment")
+            .agg(
+                F.count("*").alias("n_events"),
+                (
+                    F.sum(F.floor(F.col("value") * F.lit(qscale)).cast("long")).cast("double")
+                    / F.lit(qscale)
+                ).alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "segment",
+                "n_events",
+                "total_value",
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+        # the drop bit: C's days contributed zero (window, segment) cells
+        assert not any(10 < k[0].day <= 20 for k in got)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
