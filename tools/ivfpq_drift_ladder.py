@@ -16,7 +16,10 @@ vec_id % 5 == 0 of the corpus — q243's batch convention):
 
 Prints one JSON line; recorded in SCALE.md ("Round 15").
 
-Usage: python tools/ivfpq_drift_ladder.py [delta ...]  (default 0 0.25 0.5)
+Usage: python tools/ivfpq_drift_ladder.py [--clustered] [delta ...]
+       (default deltas 0 0.25 0.5; --clustered sharpens the fixture into
+        per-label clusters first — the recipe behind SCALE.md r15's 9.18
+        audit reading)
 """
 
 from __future__ import annotations
@@ -85,7 +88,7 @@ def _arrived_qerr(spark: SparkSession, sf_dir: str, idx_root: str) -> float:
     )
 
 
-def _rung(spark: SparkSession, delta: float) -> dict:
+def _rung(spark: SparkSession, delta: float, clustered: bool = False) -> dict:
     from etl_entregas_pyspark_spark.queries.ivf_index import (
         _IVF_TOPK,
         _VEC_BATCH_MOD,
@@ -100,6 +103,26 @@ def _rung(spark: SparkSession, delta: float) -> dict:
 
     out_dir = tempfile.mkdtemp(prefix=f"ivfpq_drift_{delta}_")
     e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    if clustered:
+        # --clustered: sharpen the fixture into per-label clusters
+        # (label l spikes dims [8l..8l+8), isotropic noise shrunk 4x)
+        # BEFORE injecting drift — residuals then carry real structure,
+        # which is where the audit's contrast is sharpest (SCALE.md r15
+        # records ratio 9.18 at delta 0.5 vs 1.61 isotropic)
+        lab = F.col("label")
+        e = e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x * 0.25
+                    + F.when(
+                        (i >= lab * 8) & (i < lab * 8 + 8), F.lit(1.0)
+                    ).otherwise(F.lit(0.0))
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
     drifted = F.when(
         (F.col("vec_id") >= 16) & (F.col("vec_id") % _VEC_BATCH_MOD == 0),
         F.transform("embedding", lambda x: (x + F.lit(float(delta))).cast("float")),
@@ -158,7 +181,9 @@ def _rung(spark: SparkSession, delta: float) -> dict:
 
 
 def main() -> None:
-    deltas = [float(a) for a in sys.argv[1:]] or [0.0, 0.25, 0.5]
+    clustered = "--clustered" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--clustered"]
+    deltas = [float(a) for a in args] or [0.0, 0.25, 0.5]
     spark = (
         SparkSession.builder.appName("ivfpq-drift-ladder")
         .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -169,8 +194,8 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out = [_rung(spark, d) for d in deltas]
-    print(json.dumps({"drift_ladder": out}))
+    out = [_rung(spark, d, clustered=clustered) for d in deltas]
+    print(json.dumps({"drift_ladder": out, "clustered": clustered}))
     spark.stop()
 
 
