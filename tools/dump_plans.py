@@ -195,6 +195,8 @@ HEADLINE = [
     "q251_packed_batch_assign",
     "q252_live_ivfpq_probe",
     "q253_ivfpq_shortlist_sweep",
+    "q254_sq8_clip_audit",
+    "q255_stream_static_enrich",
 ]
 
 
