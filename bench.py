@@ -225,6 +225,7 @@ HEADLINE = [
     "q253_ivfpq_shortlist_sweep",
     "q254_sq8_clip_audit",
     "q255_stream_static_enrich",
+    "q256_filter_attribution",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]

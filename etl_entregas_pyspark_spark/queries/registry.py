@@ -98,6 +98,10 @@ _PRIORITY = [
     "q253_ivfpq_shortlist_sweep",
     "q254_sq8_clip_audit",
     "q255_stream_static_enrich",
+    # ... and the filter rejection-attribution ledger (which rule
+    # killed each document — q88's keep rate with first-fail
+    # attribution, tie-out pinned by test)
+    "q256_filter_attribution",
     # (b) the r10 cohort (age 4 — exactly the last=r10 rows in the
     # CORRECTNESS_r1..r14 union, minus the on-change-only demo q171),
     # name-order.
@@ -142,11 +146,11 @@ _PRIORITY = [
     "q53_minhash_near_dup",
     "q54_simhash",
     "q55_ivf_assign",
-    "q56_cosine_near_dup",
-    # with the session-2 registrations the head holds EIGHT new rows,
-    # so the 42-row r10 cohort exactly fills the 50-cut and the whole
-    # r11 cohort (q100_incremental_dedup … q71_alto_valor_flag,
-    # name-order) heads the r16 window.
+    # with the session-2 registrations the head holds NINE new rows,
+    # so the 50-cut lands after q55_ivf_assign; q56_cosine_near_dup
+    # (the r10 cohort's last name-order row) plus the whole r11 cohort
+    # (q100_incremental_dedup … q71_alto_valor_flag, name-order) head
+    # the r16 window.
 ]
 
 # checked at import time so every pytest and driver run trips it; an

@@ -2053,3 +2053,106 @@ def q220_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 — filter REJECTION ATTRIBUTION: q88 reports keep rates; curation
+#         teams ship the other table too — WHICH rule killed each document
+#         (the FineWeb/Dolma-style rejection ledger), because a threshold
+#         change is tuned against the rule-level loss, not the total.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q256_filter_attribution",
+    f"""
+    WITH scored AS (
+        SELECT source,
+               lang,
+               LEN(string_split(lower(text), ' ')) AS n_words,
+               LEN(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+               LEN(text) AS n_chars_raw
+        FROM documents
+    ), verdicts AS (
+        SELECT source, n_words,
+               CASE
+                   WHEN lang IS NULL OR lang = '' THEN 'no_lang'
+                   WHEN n_words < {_MIN_WORDS} THEN 'too_short'
+                   WHEN 10 * n_distinct < 7 * n_words THEN 'repetitive'
+                   WHEN 3 * n_words > n_chars_raw - (n_words - 1) THEN 'words_too_short'
+                   WHEN n_chars_raw - (n_words - 1) > 10 * n_words THEN 'words_too_long'
+                   ELSE 'kept'
+               END AS verdict
+        FROM scored
+    ), per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS source_docs FROM verdicts
+        GROUP BY source
+    )
+    SELECT v.source, v.verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(v.n_words) AS BIGINT) AS n_tokens,
+           {_rnd_sql('CAST(COUNT(*) AS DOUBLE) / p.source_docs', 6)} AS frac_of_source
+    FROM verdicts v JOIN per_source p ON v.source = p.source
+    GROUP BY v.source, v.verdict, p.source_docs
+    ORDER BY v.source, v.verdict
+    """,
+    doc="the rejection LEDGER behind q88's keep rate: every document gets "
+    "ONE verdict from the ordered rule cascade — no_lang -> too_short "
+    f"(< {_MIN_WORDS} words) -> repetitive (distinct/words < 0.7) -> "
+    "words_too_short (mean word length < 3) -> words_too_long (> 10) "
+    "-> kept — and the table reports per (source, verdict) doc and "
+    "token counts plus the fraction of the source (published curation "
+    "pipelines ship exactly this: threshold changes are tuned against "
+    "the RULE-level loss, and a source whose rejections concentrate in "
+    "one rule is a parser/extraction bug, not bad data). First-fail "
+    "attribution makes the rows sum exactly to the corpus (each doc "
+    "counted once), and the 'kept' rows tie out to q88's n_kept by "
+    "construction — the same integer-domain thresholds, so the two "
+    "tables can never disagree (pinned by test). Plan/scale: one "
+    "documents scan, codegen array arithmetic, a CASE, one partial-agg "
+    "shuffle keyed (source, verdict) + a broadcast-sized per-source "
+    "divisor join — |sources| x |verdicts| rows out, linear at any "
+    "corpus size.",
+)
+def q256_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = F.split(F.lower(F.col("text")), " ")
+    scored = T(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.length("text").alias("n_chars_raw"),
+    )
+    net_chars = F.col("n_chars_raw") - (F.col("n_words") - 1)
+    verdict = (
+        F.when(
+            F.col("lang").isNull() | (F.col("lang") == ""), F.lit("no_lang")
+        )
+        .when(F.col("n_words") < _MIN_WORDS, F.lit("too_short"))
+        .when(10 * F.col("n_distinct") < 7 * F.col("n_words"), F.lit("repetitive"))
+        .when(3 * F.col("n_words") > net_chars, F.lit("words_too_short"))
+        .when(net_chars > 10 * F.col("n_words"), F.lit("words_too_long"))
+        .otherwise(F.lit("kept"))
+    )
+    verdicts = scored.select("source", "n_words", verdict.alias("verdict"))
+    per_source = verdicts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("source_docs")
+    )
+    return (
+        verdicts.groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+        )
+        .join(F.broadcast(per_source), "source")
+        .select(
+            "source",
+            "verdict",
+            "n_docs",
+            "n_tokens",
+            rnd(
+                F.col("n_docs").cast("double") / F.col("source_docs"), 6
+            ).alias("frac_of_source"),
+        )
+        .orderBy("source", "verdict")
+    )

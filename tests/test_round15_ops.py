@@ -281,3 +281,25 @@ class TestPackedBatchAssign:
         padded_bucketed = sum(bucket_cap[r.bucket] for r in rows)
         padded_global = global_cap * len(rows)
         assert actual <= padded_bucketed <= padded_global
+
+
+class TestFilterAttribution:
+    def test_ledger_ties_out_to_q88_and_partitions_corpus(self, spark):
+        """q256's first-fail ledger must (a) count every document exactly
+        once and (b) agree with q88 on the kept set — same integer-domain
+        thresholds, so the two published tables can never diverge."""
+        from etl_entregas_pyspark_spark.queries.text import (
+            q256_filter_attribution,
+            q88_corpus_filter,
+        )
+
+        rows = q256_filter_attribution(spark, SF_DIR).collect()
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert sum(r.n_docs for r in rows) == n_docs
+        kept = {
+            r.source: r.n_docs for r in rows if r.verdict == "kept"
+        }
+        q88_kept = {}
+        for r in q88_corpus_filter(spark, SF_DIR).collect():
+            q88_kept[r.source] = q88_kept.get(r.source, 0) + r.n_kept
+        assert {k: v for k, v in q88_kept.items() if v} == kept
