@@ -197,6 +197,7 @@ HEADLINE = [
     "q253_ivfpq_shortlist_sweep",
     "q254_sq8_clip_audit",
     "q255_stream_static_enrich",
+    "q256_filter_attribution",
 ]
 
 
