@@ -1649,3 +1649,268 @@ def q251_packed_batch_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — contamination depth profile: eval-side n-gram overlap across n
+# ---------------------------------------------------------------------------
+
+_DEPTH_NS = (3, 5, 8)  # n-gram resolutions swept (8 = q64's scrub width)
+
+
+def _depth_grams_sql(n: int, where: str) -> str:
+    return (
+        "SELECT DISTINCT unnest(CASE WHEN len(string_split(text,' ')) >= "
+        f"{n} THEN list_transform(generate_series(1, "
+        f"len(string_split(text,' ')) - {n - 1}), i -> array_to_string("
+        f"list_slice(string_split(text,' '), i, i + {n - 1}), ' ')) "
+        f"ELSE [] END) AS gram FROM documents WHERE {where}"
+    )
+
+
+def _q258_oracle() -> str:
+    arms = []
+    for n in _DEPTH_NS:
+        arms.append(
+            f"""SELECT {n} AS gram_n,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM ({_depth_grams_sql(n, f'doc_id < {_BENCH_DOCS}')})) AS n_eval_grams,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM ({_depth_grams_sql(n, f'doc_id < {_BENCH_DOCS}')}) e
+                WHERE gram IN (SELECT gram
+                               FROM ({_depth_grams_sql(n, f'doc_id >= {_BENCH_DOCS}')}))
+               ) AS n_hit_grams"""
+        )
+    body = " UNION ALL ".join(arms)
+    return (
+        f"SELECT gram_n, n_eval_grams, n_hit_grams, "
+        f"{_rnd_sql('CAST(n_hit_grams AS DOUBLE) / n_eval_grams', 6)} AS hit_rate "
+        f"FROM ({body}) ORDER BY gram_n"
+    )
+
+
+@register(
+    "q258_contamination_depth",
+    _q258_oracle(),
+    doc=f"contamination depth profile: for each n in {_DEPTH_NS}, the "
+    f"fraction of the held-out set's (doc_id < {_BENCH_DOCS}) distinct "
+    "word n-grams that also occur anywhere in the training corpus — the "
+    "eval-side decay curve that published contamination audits sweep "
+    "(short grams collide by chance, long grams only by true leakage; "
+    "WHERE the curve breaks is the evidence of verbatim overlap). "
+    "Complements q64, which attributes hits to TRAIN documents at the "
+    "fixed scrub width. Per resolution: the eval gram set is tiny -> "
+    "broadcast; the corpus gram stream semi-joins map-side and partial-"
+    "aggs to a 1-row count, so the corpus is never shuffled — three "
+    "linear scans, each Catalyst array arithmetic, at any corpus size.",
+)
+def q258_contamination_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < _BENCH_DOCS)
+    corpus = d.filter(F.col("doc_id") >= _BENCH_DOCS)
+    out = None
+    for n in _DEPTH_NS:
+        eval_g = _gram_stream(bench, n).select("gram").distinct()
+        n_eval = eval_g.agg(F.count(F.lit(1)).cast("long").alias("n_eval_grams"))
+        n_hit = (
+            _gram_stream(corpus, n)
+            .join(F.broadcast(eval_g), "gram")
+            .select("gram")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit_grams"))
+        )
+        arm = (
+            n_eval.crossJoin(F.broadcast(n_hit))
+            .select(F.lit(n).alias("gram_n"), "n_eval_grams", "n_hit_grams")
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.select(
+        "gram_n",
+        "n_eval_grams",
+        "n_hit_grams",
+        rnd(F.col("n_hit_grams").cast("double") / F.col("n_eval_grams"), 6).alias(
+            "hit_rate"
+        ),
+    ).orderBy("gram_n")
+
+
+# ---------------------------------------------------------------------------
+# q259 — preference-pair construction (DPO/RLHF data prep)
+# ---------------------------------------------------------------------------
+
+_PREF_K = 10  # pairs mined per source (strata >= 2K stay disjoint top/bottom)
+
+
+@register(
+    "q259_preference_pairs",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               (10000 * LEN(list_distinct(string_split(lower(text), ' '))))
+                   // LEN(string_split(lower(text), ' ')) AS quality_q
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, source, quality_q,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality_q DESC, doc_id ASC) AS r_top,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality_q ASC, doc_id DESC) AS r_bot
+        FROM scored
+    )
+    SELECT t.source, t.r_top AS pair_id,
+           t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+           t.quality_q AS chosen_q, b.quality_q AS rejected_q,
+           t.quality_q - b.quality_q AS margin
+    FROM (SELECT * FROM ranked WHERE r_top <= {_PREF_K}) t
+    JOIN (SELECT * FROM ranked WHERE r_bot <= {_PREF_K}) b
+      ON t.source = b.source AND t.r_top = b.r_bot
+    WHERE t.quality_q > b.quality_q
+    ORDER BY t.source, pair_id
+    """,
+    doc=f"preference-pair mining for DPO/reward-model training: within "
+    f"each source, the top-{_PREF_K} documents by quality pair off "
+    f"against the bottom-{_PREF_K} (best-vs-worst, 2nd-vs-2nd-worst, "
+    "...), emitting (chosen, rejected, margin) triples — the standard "
+    "construction for preference data from a scored corpus when no "
+    "human labels exist. Quality is the INTEGER-domain lexical-"
+    "diversity score (basis points, 10000*distinct div words — the q88 "
+    "discipline), so ranks and margins replay bitwise; ties break on "
+    "doc_id in opposite directions per rank so the pairing is total. "
+    "margin > 0 drops degenerate pairs (and self-pairs at odd stratum "
+    "sizes). Both windows partition BY SOURCE — never global — and the "
+    "rank-to-rank equi-join is per-source hash, linear at corpus scale.",
+)
+def q259_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    words = F.split(F.lower(F.col("text")), " ")
+    scored = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "(10000 * size(array_distinct(split(lower(text), ' '))))"
+            " div size(split(lower(text), ' '))"
+        ).alias("quality_q"),
+    )
+    w_top = Window.partitionBy("source").orderBy(
+        F.desc("quality_q"), F.asc("doc_id")
+    )
+    w_bot = Window.partitionBy("source").orderBy(
+        F.asc("quality_q"), F.desc("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "quality_q",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+    )
+    top = ranked.filter(F.col("r_top") <= _PREF_K).select(
+        "source",
+        F.col("r_top").alias("pair_id"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("quality_q").alias("chosen_q"),
+    )
+    bot = ranked.filter(F.col("r_bot") <= _PREF_K).select(
+        "source",
+        F.col("r_bot").alias("pair_id"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("quality_q").alias("rejected_q"),
+    )
+    return (
+        top.join(bot, ["source", "pair_id"])
+        .filter(F.col("chosen_q") > F.col("rejected_q"))
+        .select(
+            "source",
+            "pair_id",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_q",
+            "rejected_q",
+            (F.col("chosen_q") - F.col("rejected_q")).alias("margin"),
+        )
+        .orderBy("source", "pair_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260 — dedup-aware sampling weights (soft dedup by reweighting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q260_dedup_sampling_weights",
+    f"""
+    WITH classes AS (
+        SELECT doc_id, source,
+               LEN(string_split(lower(text), ' ')) AS n_words,
+               MD5(lower(text)) AS fp
+        FROM documents
+    ), per_src AS (
+        SELECT source, fp,
+               CAST(COUNT(*) AS BIGINT) AS m_docs,
+               CAST(SUM(n_words) AS BIGINT) AS m_tokens
+        FROM classes GROUP BY source, fp
+    ), sized AS (
+        SELECT source, m_docs, m_tokens,
+               SUM(m_docs) OVER (PARTITION BY fp) AS class_size
+        FROM per_src
+    )
+    SELECT source,
+           CAST(SUM(m_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM((1000000 * m_docs) // class_size) AS BIGINT) AS eff_docs_q6,
+           CAST(SUM((1000000 * m_tokens) // class_size) AS BIGINT) AS eff_tokens_q6,
+           {_rnd_sql(
+               "CAST(1000000 * SUM(m_docs) AS DOUBLE)"
+               " / SUM((1000000 * m_docs) // class_size)", 4)} AS dup_inflation
+    FROM sized GROUP BY source ORDER BY source
+    """,
+    doc="dedup-aware sampling weights — SOFT dedup: instead of dropping "
+    "exact duplicates, every document is weighted 1/c where c is its "
+    "corpus-wide duplicate-class size (md5 of normalized text), so each "
+    "unique content contributes unit mass however many times it was "
+    "crawled — the reweighting large pipelines use when provenance must "
+    "be preserved. Per source: raw vs effective (weighted) doc and "
+    "token mass, and the duplication inflation factor the sampler must "
+    "correct for. Effective masses are EXACT integer micro-units "
+    "(1e6*m div c summed as BIGINT — no float accumulation order "
+    "hazard); the plan is two hash aggregations on the fingerprint "
+    "(class sizes, then per-source rollup) — no joins wider than the "
+    "class table, linear at corpus scale.",
+)
+def q260_dedup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    classes = T(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.lower("text"), " ")).alias("n_words"),
+        F.md5(F.lower("text")).alias("fp"),
+    )
+    per_src = classes.groupBy("source", "fp").agg(
+        F.count(F.lit(1)).cast("long").alias("m_docs"),
+        F.sum("n_words").cast("long").alias("m_tokens"),
+    )
+    sized = per_src.select(
+        "source",
+        "m_docs",
+        "m_tokens",
+        F.sum("m_docs").over(Window.partitionBy("fp")).alias("class_size"),
+    )
+    eff_docs = F.sum(F.expr("(1000000 * m_docs) div class_size")).cast("long")
+    eff_toks = F.sum(F.expr("(1000000 * m_tokens) div class_size")).cast("long")
+    return (
+        sized.groupBy("source")
+        .agg(
+            F.sum("m_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            eff_docs.alias("eff_docs_q6"),
+            eff_toks.alias("eff_tokens_q6"),
+            rnd(
+                (1000000 * F.sum("m_docs")).cast("double")
+                / F.sum(F.expr("(1000000 * m_docs) div class_size")),
+                4,
+            ).alias("dup_inflation"),
+        )
+        .orderBy("source")
+    )

@@ -102,6 +102,19 @@ _PRIORITY = [
     # killed each document — q88's keep rate with first-fail
     # attribution, tie-out pinned by test)
     "q256_filter_attribution",
+    # session-3 registrations: the BPE merge-mining loop (tokenizer
+    # TRAINING as a vocabulary-bounded iterative plan — rule-for-rule
+    # replay vs a pure-Python Sennrich reference pinned by test), the
+    # contamination depth profile (eval-side n-gram overlap decay
+    # across n — q64's attribution at one width, this the curve),
+    # preference-pair construction (DPO data prep: per-source
+    # top-vs-bottom integer-quality pairing), and dedup-aware sampling
+    # weights (SOFT dedup: 1/class-size reweighting in exact integer
+    # micro-units)
+    "q257_bpe_merge_mining",
+    "q258_contamination_depth",
+    "q259_preference_pairs",
+    "q260_dedup_sampling_weights",
     # (b) the r10 cohort (age 4 — exactly the last=r10 rows in the
     # CORRECTNESS_r1..r14 union, minus the on-change-only demo q171),
     # name-order.
@@ -142,13 +155,10 @@ _PRIORITY = [
     "q37_from_json",
     "q39_scalar_subquery",
     "q40_text_stats",
-    "q52_knn_label_vote",
-    "q53_minhash_near_dup",
-    "q54_simhash",
-    "q55_ivf_assign",
-    # with the session-2 registrations the head holds NINE new rows,
-    # so the 50-cut lands after q55_ivf_assign; q56_cosine_near_dup
-    # (the r10 cohort's last name-order row) plus the whole r11 cohort
+    # with the session-3 registrations the head holds THIRTEEN new
+    # rows, so the 50-cut lands after q40_text_stats;
+    # q52_knn_label_vote … q56_cosine_near_dup (the r10 cohort's last
+    # name-order rows) plus the whole r11 cohort
     # (q100_incremental_dedup … q71_alto_valor_flag, name-order) head
     # the r16 window.
 ]

@@ -2156,3 +2156,143 @@ def q256_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — BPE merge mining: the tokenizer-training loop itself
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8            # merge rules mined (the vocab-growth loop)
+_BPE_WORD_RE = "^[a-z]+$"  # vocabulary gate: lowercase alpha words only
+
+
+def _bpe_pairs_sql(src: str) -> str:
+    """(pair, weight) DuckDB rows from a (seq, freq) relation: adjacent
+    wrapped-symbol pairs weighted by word frequency."""
+    return (
+        "SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight FROM ("
+        "SELECT unnest(list_transform("
+        "generate_series(1, len(string_split(seq, ' ')) - 1), "
+        "i -> string_split(seq, ' ')[i] || ' ' || string_split(seq, ' ')[i+1]"
+        f")) AS pair, freq FROM {src}) GROUP BY pair"
+    )
+
+
+def _q257_oracle() -> str:
+    # the full mining loop replayed as a generated CTE chain (the q106
+    # discipline): weights are exact BIGINT word-frequency sums, the
+    # argmax tie-breaks on the pair string, and merge application is
+    # plain left-to-right non-overlapping replace() — semantics both
+    # engines share (prototype-verified on the 'a b a b' / 'a a a'
+    # overlap cases), so all rounds replay bitwise.
+    # AS MATERIALIZED on every CTE: DuckDB inlines plain CTEs, and a
+    # chain of rounds whose argmax scalar subqueries each re-expand the
+    # whole prior chain goes exponential — materialization makes each
+    # round evaluate exactly once (measured: unbounded -> ~0.2 s).
+    ctes = [
+        "v0 AS MATERIALIZED (SELECT rtrim(regexp_replace(word, '(.)', '_\\1_ ', 'g')) AS seq, "
+        "CAST(COUNT(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents"
+        f") WHERE regexp_matches(word, '{_BPE_WORD_RE}') GROUP BY 1)"
+    ]
+    for t in range(1, _BPE_ROUNDS + 1):
+        ctes.append(f"p{t} AS MATERIALIZED ({_bpe_pairs_sql(f'v{t - 1}')})")
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT {t} AS merge_round, pair, weight FROM p{t} "
+            "ORDER BY weight DESC, pair LIMIT 1)"
+        )
+        if t < _BPE_ROUNDS:
+            ctes.append(
+                f"v{t} AS MATERIALIZED (SELECT replace(seq, (SELECT pair FROM m{t}), "
+                f"(SELECT replace(pair, '_ _', '') FROM m{t})) AS seq, freq "
+                f"FROM v{t - 1})"
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(1, _BPE_ROUNDS + 1))
+    return (
+        "WITH " + ",\n    ".join(ctes) + f", merges AS ({union})\n"
+        "SELECT merge_round,\n"
+        "       replace(split_part(pair, ' ', 1), '_', '') AS sym_a,\n"
+        "       replace(split_part(pair, ' ', 2), '_', '') AS sym_b,\n"
+        "       replace(replace(pair, '_', ''), ' ', '') AS merged,\n"
+        "       weight\n"
+        "FROM merges ORDER BY merge_round"
+    )
+
+
+@register(
+    "q257_bpe_merge_mining",
+    _q257_oracle(),
+    doc=f"BPE tokenizer training — the actual merge-mining loop, not a "
+    f"pre-trained vocabulary: {_BPE_ROUNDS} rounds of count-adjacent-"
+    "symbol-pairs -> merge the argmax, exactly Sennrich et al.'s "
+    "word-frequency formulation. The ONLY corpus-scale work is the "
+    "initial word-count shuffle; every subsequent round operates on the "
+    "distinct-word VOCABULARY weighted by frequency, which Heaps' law "
+    "keeps sublinear in corpus size — the property that makes BPE "
+    "trainable on a 100-TB corpus at all. Per round: one vocabulary-"
+    "sized pair explode + partial-agg shuffle, a TakeOrderedAndProject "
+    "argmax (weight DESC, pair ASC tie-break — never a global window), "
+    "and the merge applied via a BROADCAST 1-row crossJoin + replace() "
+    "(no driver round-trip for the rule itself); the vocabulary is "
+    "localCheckpoint'd every round so plan depth stays constant (the "
+    "q106 discipline). Symbols travel wrapped ('_k_ _e_ _y_') so "
+    "replace() can never match mid-symbol, and left-to-right non-"
+    "overlapping replace is the shared greedy-apply convention both "
+    "engines implement identically (the '_a_ _a_ _a_' case merges once "
+    "— prototype-verified). Weights are exact BIGINT frequency sums, so "
+    "the whole loop replays bitwise in the oracle's generated CTE chain.",
+)
+def q257_bpe_merge_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike(_BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.rtrim(F.regexp_replace("word", "(.)", "_$1_ ")).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = None
+    for t in range(1, _BPE_ROUNDS + 1):
+        arr = F.split("seq", " ")
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.zip_with(
+                F.slice(arr, 1, F.size(arr) - 1),
+                F.slice(arr, 2, F.size(arr) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            vocab.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("pair"))
+            .limit(1)
+            .select(F.lit(t).alias("merge_round"), "pair", "weight")
+            .localCheckpoint()
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        if t < _BPE_ROUNDS:
+            vocab = (
+                vocab.crossJoin(F.broadcast(best.select("pair")))
+                .select(
+                    F.replace(
+                        F.col("seq"),
+                        F.col("pair"),
+                        F.replace(F.col("pair"), F.lit("_ _"), F.lit("")),
+                    ).alias("seq"),
+                    "freq",
+                )
+                .localCheckpoint()
+            )
+    return merges.select(
+        "merge_round",
+        F.replace(F.substring_index("pair", " ", 1), F.lit("_"), F.lit("")).alias("sym_a"),
+        F.replace(F.substring_index("pair", " ", -1), F.lit("_"), F.lit("")).alias("sym_b"),
+        F.replace(F.replace("pair", F.lit("_"), F.lit("")), F.lit(" "), F.lit("")).alias("merged"),
+        "weight",
+    ).orderBy("merge_round")

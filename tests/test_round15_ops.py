@@ -303,3 +303,161 @@ class TestFilterAttribution:
         for r in q88_corpus_filter(spark, SF_DIR).collect():
             q88_kept[r.source] = q88_kept.get(r.source, 0) + r.n_kept
         assert {k: v for k, v in q88_kept.items() if v} == kept
+
+
+class TestBpeMergeMining:
+    """q257 — session-3: the tokenizer-training loop's algebraic
+    invariants (the oracle hash proves the values; these pin the BPE
+    properties any implementation must satisfy)."""
+
+    def test_merge_table_invariants(self, spark):
+        from etl_entregas_pyspark_spark.queries.text import (
+            _BPE_ROUNDS,
+            q257_bpe_merge_mining,
+        )
+
+        rows = q257_bpe_merge_mining(spark, SF_DIR).collect()
+        assert [r.merge_round for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+        # a merged symbol is exactly the concatenation of its parts
+        assert all(r.merged == r.sym_a + r.sym_b for r in rows)
+        # BPE's monotonicity: a merge can only create pairs whose weight
+        # is bounded by the merge it came from, and existing pair counts
+        # never grow — so the mined weights are non-increasing
+        weights = [r.weight for r in rows]
+        assert weights == sorted(weights, reverse=True)
+        assert all(w > 0 for w in weights)
+        # round 1 merges two BASE symbols (single chars) by construction
+        assert len(rows[0].sym_a) == 1 and len(rows[0].sym_b) == 1
+
+    def test_greedy_replay_matches_python_reference(self, spark):
+        """Re-mine the merges with a tiny pure-Python BPE (Sennrich's
+        word-frequency formulation, left-to-right non-overlapping apply)
+        and require the Spark loop to agree rule-for-rule."""
+        import re
+        from collections import Counter
+
+        from etl_entregas_pyspark_spark.queries.text import (
+            _BPE_ROUNDS,
+            _BPE_WORD_RE,
+            q257_bpe_merge_mining,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text").collect()
+        vocab = Counter()
+        for r in docs:
+            for w in r.text.lower().split(" "):
+                if re.fullmatch(_BPE_WORD_RE.strip("^$"), w):
+                    vocab[tuple(w)] += 1
+        expected = []
+        for t in range(1, _BPE_ROUNDS + 1):
+            pairs = Counter()
+            for syms, freq in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += freq
+            (a, b), weight = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            expected.append((t, a, b, a + b, weight))
+            new_vocab = Counter()
+            for syms, freq in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] += freq
+            vocab = new_vocab
+        got = [
+            (r.merge_round, r.sym_a, r.sym_b, r.merged, r.weight)
+            for r in q257_bpe_merge_mining(spark, SF_DIR).collect()
+        ]
+        assert got == expected
+
+
+class TestContaminationDepth:
+    def test_profile_shape_and_decay(self, spark):
+        from etl_entregas_pyspark_spark.queries.datasplit import (
+            _DEPTH_NS,
+            q258_contamination_depth,
+        )
+
+        rows = q258_contamination_depth(spark, SF_DIR).collect()
+        assert tuple(r.gram_n for r in rows) == _DEPTH_NS
+        for r in rows:
+            assert 0 <= r.n_hit_grams <= r.n_eval_grams
+            assert abs(r.hit_rate - r.n_hit_grams / r.n_eval_grams) < 1e-6
+        # chance collisions shrink as n grows: the hit RATE must decay
+        # monotonically on any corpus (longer grams are strictly harder
+        # to hit — every hit n-gram contains a hit (n-1)-gram)
+        rates = [r.hit_rate for r in rows]
+        assert rates == sorted(rates, reverse=True)
+
+
+class TestPreferencePairs:
+    def test_pair_invariants(self, spark):
+        from etl_entregas_pyspark_spark.queries.datasplit import (
+            _PREF_K,
+            q259_preference_pairs,
+        )
+
+        rows = q259_preference_pairs(spark, SF_DIR).collect()
+        assert rows, "fixture must yield at least one preference pair"
+        seen = set()
+        for r in rows:
+            assert 1 <= r.pair_id <= _PREF_K
+            assert r.margin == r.chosen_q - r.rejected_q > 0
+            assert r.chosen_doc != r.rejected_doc
+            key = (r.source, r.pair_id)
+            assert key not in seen, "pair ids must be unique per source"
+            seen.add(key)
+
+    def test_chosen_strictly_outranks_everything_below(self, spark):
+        """pair_id=1 must pair the stratum's argmax quality against its
+        argmin (the widest-margin pair the stratum admits)."""
+        from etl_entregas_pyspark_spark.queries.datasplit import (
+            q259_preference_pairs,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id",
+            "source",
+            F.expr(
+                "(10000 * size(array_distinct(split(lower(text), ' '))))"
+                " div size(split(lower(text), ' '))"
+            ).alias("q"),
+        ).collect()
+        by_src = {}
+        for r in docs:
+            by_src.setdefault(r.source, []).append((r.q, r.doc_id))
+        for r in q259_preference_pairs(spark, SF_DIR).collect():
+            if r.pair_id != 1:
+                continue
+            qs = by_src[r.source]
+            assert r.chosen_q == max(q for q, _ in qs)
+            assert r.rejected_q == min(q for q, _ in qs)
+
+
+class TestDedupSamplingWeights:
+    def test_mass_conservation_and_bounds(self, spark):
+        from etl_entregas_pyspark_spark.queries.datasplit import (
+            q260_dedup_sampling_weights,
+        )
+
+        rows = q260_dedup_sampling_weights(spark, SF_DIR).collect()
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_docs = d.count()
+        n_classes = d.select(F.md5(F.lower("text"))).distinct().count()
+        assert sum(r.n_docs for r in rows) == n_docs
+        for r in rows:
+            assert r.n_classes <= r.n_docs
+            assert r.eff_docs_q6 <= 1_000_000 * r.n_docs
+            assert r.dup_inflation >= 1.0
+        # soft-dedup mass conservation: every duplicate class contributes
+        # EXACTLY unit mass split across the sources that hold it (up to
+        # one integer-floor micro-unit per extra source)
+        total_eff = sum(r.eff_docs_q6 for r in rows)
+        assert total_eff <= 1_000_000 * n_classes
+        assert total_eff >= 1_000_000 * n_classes - (n_docs - n_classes)
