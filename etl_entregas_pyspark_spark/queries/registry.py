@@ -119,6 +119,10 @@ _PRIORITY = [
     # overlap_deficit column differentially pins the greedy-apply
     # convention itself)
     "q261_bpe_compression_curve",
+    # ... and MMR diversified re-rank (dedup-aware retrieval: greedy
+    # lam*rel - (1-lam)*max-sim selection over the relevance pool,
+    # pick-for-pick replay vs a pure-Python reference pinned by test)
+    "q262_mmr_rerank",
     # (b) the r10 cohort (age 4 — exactly the last=r10 rows in the
     # CORRECTNESS_r1..r14 union, minus the on-change-only demo q171),
     # name-order.
@@ -157,10 +161,9 @@ _PRIORITY = [
     "q29_pivot",
     "q33_events_json",
     "q37_from_json",
-    "q39_scalar_subquery",
-    # with the session-3 registrations the head holds FOURTEEN new
-    # rows, so the 50-cut lands after q39_scalar_subquery;
-    # q40_text_stats … q56_cosine_near_dup (the r10 cohort's last
+    # with the session-3 registrations the head holds FIFTEEN new
+    # rows, so the 50-cut lands after q37_from_json;
+    # q39_scalar_subquery … q56_cosine_near_dup (the r10 cohort's last
     # name-order rows) plus the whole r11 cohort
     # (q100_incremental_dedup … q71_alto_valor_flag, name-order) head
     # the r16 window.

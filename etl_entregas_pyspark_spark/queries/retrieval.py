@@ -123,3 +123,180 @@ def q148_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 — MMR diversified re-rank: relevance top-N, then greedy
+# maximal-marginal-relevance selection (dedup-aware retrieval)
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = 4   # vec_id < 4 play the query set
+_MMR_POOL = 12     # relevance pool per query (stage 1)
+_MMR_K = 5         # diversified picks (stage 2)
+_MMR_LAM = 0.7     # relevance weight; 1-lam penalizes similarity to picks
+
+_MMR_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+)
+
+
+def _q262_oracle() -> str:
+    cos_qc = _MMR_COS.format(a="q.embedding", b="c.embedding")
+    cos_ps = _MMR_COS.format(a="p.c_emb", b="s.c_emb")
+    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
+    ctes = [
+        f"""pairs AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos_qc} AS rel, c.embedding AS c_emb
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= 8
+        WHERE q.vec_id < {_MMR_QUERIES})""",
+        f"""pool AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel, c_emb FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, neighbor_id) AS rn FROM pairs)
+        WHERE rn <= {_MMR_POOL})""",
+        f"""acc1 AS MATERIALIZED (
+        SELECT query_id, 1 AS sel_rank, neighbor_id, rel,
+               CAST(0.0 AS DOUBLE) AS maxsim, {lam} * rel - {mu} * 0.0 AS mmr, c_emb
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY rel DESC, neighbor_id) AS rn FROM pool)
+        WHERE rn = 1)""",
+    ]
+    for r in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""sims{r} AS MATERIALIZED (
+        SELECT p.query_id, p.neighbor_id, MAX({cos_ps}) AS maxsim
+        FROM pool p JOIN acc{r - 1} s USING (query_id)
+        WHERE NOT EXISTS (SELECT 1 FROM acc{r - 1} s2
+                          WHERE s2.query_id = p.query_id
+                            AND s2.neighbor_id = p.neighbor_id)
+        GROUP BY p.query_id, p.neighbor_id)"""
+        )
+        ctes.append(
+            f"""acc{r} AS MATERIALIZED (
+        SELECT * FROM acc{r - 1} UNION ALL
+        SELECT query_id, {r} AS sel_rank, neighbor_id, rel, maxsim, mmr, c_emb FROM (
+            SELECT p.query_id, p.neighbor_id, p.rel, x.maxsim,
+                   {lam} * p.rel - {mu} * x.maxsim AS mmr, p.c_emb,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY {lam} * p.rel - {mu} * x.maxsim DESC,
+                                p.neighbor_id) AS rn
+            FROM sims{r} x JOIN pool p USING (query_id, neighbor_id))
+        WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, sel_rank, neighbor_id, rel AS relevance, maxsim,
+           mmr AS mmr_score
+    FROM acc{_MMR_K} ORDER BY query_id, sel_rank"""
+    )
+
+
+@register(
+    "q262_mmr_rerank",
+    _q262_oracle(),
+    doc=f"maximal-marginal-relevance re-rank — the dedup-aware retrieval "
+    f"pass RAG stacks run after top-N: a relevance pool of {_MMR_POOL} "
+    f"per query (brute cosine, the q51 arm), then {_MMR_K} greedy picks "
+    f"maximizing lam*rel - (1-lam)*max-sim-to-picked (lam={_MMR_LAM}), "
+    "so near-duplicate passages can't crowd the context window. The "
+    "pool stage is the only corpus-scale work (candidates STREAM "
+    "against a broadcast query set, TakeOrdered semantics via a "
+    "query-partitioned window); the greedy rounds then operate on "
+    f"pool-sized state ({_MMR_POOL} x queries rows) — per round one "
+    "broadcast join against the picked set, a (query, candidate) max-"
+    "sim partial agg, and a query-partitioned argmax, each "
+    "localCheckpoint'd so lineage stays constant (the q106 "
+    "discipline). Exact doubles end-to-end with neighbor_id "
+    "tie-breaks (the q51 convention) — the full greedy trajectory "
+    "replays bitwise in the oracle's MATERIALIZED CTE chain; maxsim is "
+    "defined 0.0 for the first pick so one formula covers all rounds.",
+)
+def q262_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    rel = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    pool = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", rel.alias("rel"), "c_emb")
+        .select("*", F.row_number().over(w_rel).alias("rn"))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
+    selected = (
+        pool.select("*", F.row_number().over(w_rel).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("sel_rank"),
+            "neighbor_id",
+            "rel",
+            F.lit(0.0).alias("maxsim"),
+            (F.lit(lam) * F.col("rel") - F.lit(mu) * F.lit(0.0)).alias("mmr"),
+            "c_emb",
+        )
+        .localCheckpoint()
+    )
+    sim = dot(F.col("c_emb"), F.col("s_emb")) / (
+        F.sqrt(sq_norm(F.col("c_emb"))) * F.sqrt(sq_norm(F.col("s_emb")))
+    )
+    for r in range(2, _MMR_K + 1):
+        cand = pool.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        maxsim = (
+            cand.join(
+                F.broadcast(
+                    selected.select("query_id", F.col("c_emb").alias("s_emb"))
+                ),
+                "query_id",
+            )
+            .select("query_id", "neighbor_id", sim.alias("sim"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        mmr = F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim")
+        w_mmr = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr"), F.asc("neighbor_id")
+        )
+        pick = (
+            maxsim.join(pool, ["query_id", "neighbor_id"])
+            .select("query_id", "neighbor_id", "rel", "maxsim", mmr.alias("mmr"), "c_emb")
+            .select("*", F.row_number().over(w_mmr).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).alias("sel_rank"),
+                "neighbor_id",
+                "rel",
+                "maxsim",
+                "mmr",
+                "c_emb",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        "query_id",
+        "sel_rank",
+        "neighbor_id",
+        F.col("rel").alias("relevance"),
+        "maxsim",
+        F.col("mmr").alias("mmr_score"),
+    ).orderBy("query_id", "sel_rank")

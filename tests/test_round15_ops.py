@@ -489,3 +489,86 @@ class TestBpeCompressionCurve:
         # the curve's pair weights are exactly q257's mined weights
         mined = {r.merge_round: r.weight for r in q257_bpe_merge_mining(spark, SF_DIR).collect()}
         assert {r.merge_round: r.pair_weight for r in rows[1:]} == mined
+
+
+class TestMmrRerank:
+    def test_greedy_replay_matches_python_reference(self, spark):
+        """Replay the whole MMR trajectory in pure Python (IEEE doubles,
+        same sequential fold order as the Catalyst aggregate) and require
+        pick-for-pick agreement."""
+        import math
+
+        from etl_entregas_pyspark_spark.queries.retrieval import (
+            _MMR_K,
+            _MMR_LAM,
+            _MMR_POOL,
+            _MMR_QUERIES,
+            q262_mmr_rerank,
+        )
+
+        vecs = {
+            r.vec_id: r.embedding
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+        }
+
+        def cos(a, b):
+            d = 0.0
+            for x, y in zip(a, b):
+                d += float(x) * float(y)
+            na = 0.0
+            for x in a:
+                na += float(x) * float(x)
+            nb = 0.0
+            for y in b:
+                nb += float(y) * float(y)
+            return d / (math.sqrt(na) * math.sqrt(nb))
+
+        lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
+        expected = []
+        for qid in range(_MMR_QUERIES):
+            rels = sorted(
+                ((cos(vecs[qid], v), -nid) for nid, v in vecs.items() if nid >= 8),
+                reverse=True,
+            )[:_MMR_POOL]
+            pool = [(-negid, rel) for rel, negid in rels]
+            picked = []
+            for rank in range(1, _MMR_K + 1):
+                best = None
+                for nid, rel in pool:
+                    if any(nid == p for p, _ in picked):
+                        continue
+                    ms = max(
+                        (cos(vecs[nid], vecs[p]) for p, _ in picked), default=0.0
+                    )
+                    score = lam * rel - mu * ms
+                    key = (-score, nid)
+                    if best is None or key < best[0]:
+                        best = (key, nid)
+                picked.append((best[1], rank))
+                expected.append((qid, rank, best[1]))
+        got = [
+            (r.query_id, r.sel_rank, r.neighbor_id)
+            for r in q262_mmr_rerank(spark, SF_DIR).collect()
+        ]
+        assert got == expected
+
+    def test_shape_and_score_identity(self, spark):
+        from etl_entregas_pyspark_spark.queries.retrieval import (
+            _MMR_K,
+            _MMR_LAM,
+            _MMR_QUERIES,
+            q262_mmr_rerank,
+        )
+
+        rows = q262_mmr_rerank(spark, SF_DIR).collect()
+        assert len(rows) == _MMR_QUERIES * _MMR_K
+        mu = round(1 - _MMR_LAM, 10)
+        for r in rows:
+            assert r.mmr_score == _MMR_LAM * r.relevance - mu * r.maxsim
+            if r.sel_rank == 1:
+                assert r.maxsim == 0.0
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        for nids in per_q.values():
+            assert len(set(nids)) == _MMR_K
