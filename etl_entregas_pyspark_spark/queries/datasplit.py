@@ -1914,3 +1914,81 @@ def q260_dedup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — decontamination ADMISSION LEDGER (the live gate's batch twin)
+# ---------------------------------------------------------------------------
+
+_ADM_GRAMS = (
+    "unnest(CASE WHEN len(string_split(text,' ')) >= "
+    f"{_NGRAM} THEN list_transform(generate_series(1, "
+    f"len(string_split(text,' ')) - {_NGRAM - 1}), "
+    "i -> array_to_string(list_slice(string_split(text,' '), i, "
+    f"i + {_NGRAM - 1}), ' ')) ELSE [] END) AS gram"
+)
+
+
+@register(
+    "q263_admission_ledger",
+    f"""
+    WITH bench_grams AS (
+        SELECT DISTINCT {_ADM_GRAMS}
+        FROM documents WHERE doc_id < {_BENCH_DOCS}
+    ), corpus AS (
+        SELECT doc_id, source FROM documents WHERE doc_id >= {_BENCH_DOCS}
+    ), corpus_grams AS (
+        SELECT doc_id, {_ADM_GRAMS}
+        FROM documents WHERE doc_id >= {_BENCH_DOCS}
+    ), hit AS (
+        SELECT DISTINCT c.doc_id
+        FROM corpus_grams c JOIN bench_grams b USING (gram)
+    )
+    SELECT source, n_docs, n_quarantined,
+           n_docs - n_quarantined AS n_admitted,
+           {_rnd_sql('CAST(n_quarantined AS DOUBLE) / n_docs', 6)} AS quarantine_rate
+    FROM (
+        SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quarantined
+        FROM corpus c LEFT JOIN hit h USING (doc_id)
+        GROUP BY c.source
+    ) ORDER BY source
+    """,
+    doc=f"the decontamination ADMISSION LEDGER: per source, how many "
+    f"arriving documents the {_NGRAM}-gram gate admitted vs quarantined "
+    f"against the held-out set (doc_id < {_BENCH_DOCS}) — the accounting "
+    "table the ingest gate in front of a training-data lake publishes "
+    "(q64 attributes hits per document; this is the gate's per-source "
+    "admission accounting). This registered query is the BATCH TWIN of "
+    "streaming/admission.py: both run the SAME gating function "
+    "(batch_admission_counts — gram explode, broadcast semi-join "
+    "against the eval-sized gram set, per-source partial agg), and the "
+    "live form folds micro-batch slices into an epoch-fenced ledger "
+    "store whose drained total must equal this table (equivalence + "
+    "re-delivery idempotence pinned in tests/test_streaming.py). "
+    "Scale: the bench set broadcasts, the corpus streams — one linear "
+    "scan, |sources|-row output, bounded ledger state.",
+)
+def q263_admission_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_entregas_pyspark_spark.streaming.admission import (
+        batch_admission_counts,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    bench_grams = (
+        _gram_stream(d.filter(F.col("doc_id") < _BENCH_DOCS))
+        .select("gram")
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") >= _BENCH_DOCS)
+    counts = batch_admission_counts(corpus, bench_grams)
+    return counts.select(
+        "source",
+        "n_docs",
+        "n_quarantined",
+        (F.col("n_docs") - F.col("n_quarantined")).alias("n_admitted"),
+        rnd(F.col("n_quarantined").cast("double") / F.col("n_docs"), 6).alias(
+            "quarantine_rate"
+        ),
+    ).orderBy("source")

@@ -123,6 +123,11 @@ _PRIORITY = [
     # lam*rel - (1-lam)*max-sim selection over the relevance pool,
     # pick-for-pick replay vs a pure-Python reference pinned by test)
     "q262_mmr_rerank",
+    # ... and the decontamination ADMISSION LEDGER, the live ingest
+    # gate's batch twin (live form in streaming/admission.py shares the
+    # gating function; equivalence + exactly-once re-delivery pinned in
+    # tests/test_streaming.py)
+    "q263_admission_ledger",
     # (b) the r10 cohort (age 4 — exactly the last=r10 rows in the
     # CORRECTNESS_r1..r14 union, minus the on-change-only demo q171),
     # name-order.
@@ -160,10 +165,9 @@ _PRIORITY = [
     "q27_conditional_agg",
     "q29_pivot",
     "q33_events_json",
-    "q37_from_json",
-    # with the session-3 registrations the head holds FIFTEEN new
-    # rows, so the 50-cut lands after q37_from_json;
-    # q39_scalar_subquery … q56_cosine_near_dup (the r10 cohort's last
+    # with the session-3 registrations the head holds SIXTEEN new
+    # rows, so the 50-cut lands after q33_events_json;
+    # q37_from_json … q56_cosine_near_dup (the r10 cohort's last
     # name-order rows) plus the whole r11 cohort
     # (q100_incremental_dedup … q71_alto_valor_flag, name-order) head
     # the r16 window.

@@ -1,3 +1,9 @@
+from etl_entregas_pyspark_spark.streaming.admission import (
+    admission_batch,
+    batch_admission_counts,
+    read_admission_ledger,
+    start_admission_sink,
+)
 from etl_entregas_pyspark_spark.streaming.stateful import (
     running_user_totals,
     streaming_debounce,
@@ -17,6 +23,10 @@ from etl_entregas_pyspark_spark.streaming.streams import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "admission_batch",
+    "batch_admission_counts",
+    "read_admission_ledger",
+    "start_admission_sink",
     "read_event_stream",
     "dedup_stream",
     "enriched_counts_stream",

@@ -183,3 +183,74 @@ def test_enriched_stream_matches_batch_twin(spark, events_dir, sf_dir):
         for r in q255_stream_static_enrich(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, sf_dir):
+    """Documents parquet rewritten in 4 files so the admission gate sees
+    several micro-batches."""
+    out = tempfile.mkdtemp(prefix="docs_stream_")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_admission_ledger_matches_batch_twin_and_is_exactly_once(
+    spark, docs_dir, sf_dir
+):
+    """q263's live form: the per-source admission ledger accumulated
+    across micro-batches equals the registered batch twin once the
+    stream drains, and a re-delivered epoch is a no-op (exactly-once)."""
+    from etl_entregas_pyspark_spark.queries.datasplit import (
+        _BENCH_DOCS,
+        _gram_stream,
+        q263_admission_ledger,
+    )
+    from etl_entregas_pyspark_spark.streaming import (
+        admission_batch,
+        read_admission_ledger,
+        start_admission_sink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_grams = (
+        _gram_stream(docs.filter(F.col("doc_id") < _BENCH_DOCS))
+        .select("gram")
+        .distinct()
+        .localCheckpoint()
+    )
+    ledger_dir = tempfile.mkdtemp(prefix="admission_ledger_")
+    ckpt = tempfile.mkdtemp(prefix="admission_ckpt_")
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(docs_dir)
+            .filter(F.col("doc_id") >= _BENCH_DOCS)
+        )
+        q = start_admission_sink(stream, bench_grams, ledger_dir, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.source: (r.n_docs, r.n_quarantined)
+            for r in read_admission_ledger(spark, ledger_dir).collect()
+        }
+        want = {
+            r.source: (r.n_docs, r.n_quarantined)
+            for r in q263_admission_ledger(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) > 0
+        # exactly-once: re-delivering an already-committed epoch must be
+        # skipped and leave the ledger byte-identical
+        batch = docs.filter(F.col("doc_id") >= _BENCH_DOCS)
+        assert admission_batch(batch, 0, bench_grams, ledger_dir) is False
+        again = {
+            r.source: (r.n_docs, r.n_quarantined)
+            for r in read_admission_ledger(spark, ledger_dir).collect()
+        }
+        assert again == want
+    finally:
+        shutil.rmtree(ledger_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
