@@ -226,6 +226,13 @@ HEADLINE = [
     "q254_sq8_clip_audit",
     "q255_stream_static_enrich",
     "q256_filter_attribution",
+    "q257_bpe_merge_mining",
+    "q258_contamination_depth",
+    "q259_preference_pairs",
+    "q260_dedup_sampling_weights",
+    "q261_bpe_compression_curve",
+    "q262_mmr_rerank",
+    "q263_admission_ledger",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
