@@ -1861,9 +1861,10 @@ def q259_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_classes,
            CAST(SUM((1000000 * m_docs) // class_size) AS BIGINT) AS eff_docs_q6,
            CAST(SUM((1000000 * m_tokens) // class_size) AS BIGINT) AS eff_tokens_q6,
-           {_rnd_sql(
+           CASE WHEN SUM((1000000 * m_docs) // class_size) = 0 THEN NULL
+                ELSE {_rnd_sql(
                "CAST(1000000 * SUM(m_docs) AS DOUBLE)"
-               " / SUM((1000000 * m_docs) // class_size)", 4)} AS dup_inflation
+               " / SUM((1000000 * m_docs) // class_size)", 4)} END AS dup_inflation
     FROM sized GROUP BY source ORDER BY source
     """,
     doc="dedup-aware sampling weights — SOFT dedup: instead of dropping "
@@ -1906,10 +1907,16 @@ def q260_dedup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_classes"),
             eff_docs.alias("eff_docs_q6"),
             eff_toks.alias("eff_tokens_q6"),
-            rnd(
-                (1000000 * F.sum("m_docs")).cast("double")
-                / F.sum(F.expr("(1000000 * m_docs) div class_size")),
-                4,
+            # a duplicate class larger than 1e6 x a source's share floors
+            # that source's micro-unit mass to 0 — the guard keeps the
+            # engines agreeing (Spark x/0 -> NULL, DuckDB -> inf)
+            F.when(
+                F.sum(F.expr("(1000000 * m_docs) div class_size")) != 0,
+                rnd(
+                    (1000000 * F.sum("m_docs")).cast("double")
+                    / F.sum(F.expr("(1000000 * m_docs) div class_size")),
+                    4,
+                ),
             ).alias("dup_inflation"),
         )
         .orderBy("source")

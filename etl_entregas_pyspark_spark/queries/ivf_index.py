@@ -3655,3 +3655,126 @@ def q254_sq8_clip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("util_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — the composed retrieval stack: persisted-IVF recall stage feeding
+# the MMR diversity re-rank (q223's probe -> q262's greedy trajectory)
+# ---------------------------------------------------------------------------
+
+
+def _q264_oracle() -> str:
+    from etl_entregas_pyspark_spark.queries.retrieval import (
+        _MMR_COS,
+        _MMR_FINAL_SQL,
+        _MMR_POOL,
+        _mmr_chain_ctes,
+    )
+    from etl_entregas_pyspark_spark.queries.similarity import (
+        _PROBE_ASSIGN_SQL,
+    )
+
+    cos_pc = _MMR_COS.format(a="p.q_emb", b="c.embedding")
+    ctes = [
+        """cent AS MATERIALIZED (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < 8)""",
+        f"""cand AS MATERIALIZED (
+        SELECT vec_id, embedding, centroid_id FROM (
+            {_CAND_ASSIGN_SQL}
+        ) WHERE rn = 1)""",
+        f"""probes AS MATERIALIZED (
+        SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+            {_PROBE_ASSIGN_SQL}
+        ) WHERE rn <= {_NPROBE})""",
+        f"""pool AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel, c_emb FROM (
+            SELECT query_id, neighbor_id, rel, c_emb,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, neighbor_id) AS rn
+            FROM (
+                SELECT p.query_id, c.vec_id AS neighbor_id,
+                       {cos_pc} AS rel, c.embedding AS c_emb
+                FROM probes p JOIN cand c ON p.centroid_id = c.centroid_id))
+        WHERE rn <= {_MMR_POOL})""",
+    ] + _mmr_chain_ctes()
+    return "WITH " + ",\n    ".join(ctes) + _MMR_FINAL_SQL
+
+
+def _register_q264() -> None:
+    from etl_entregas_pyspark_spark.queries.retrieval import (
+        _MMR_K,
+        _MMR_LAM,
+        _MMR_POOL,
+        mmr_greedy,
+    )
+
+    @register(
+        "q264_ivf_mmr_stack",
+        _q264_oracle(),
+        doc=f"the composed production retrieval stack: ANN recall stage "
+        f"-> diversity re-rank. Stage 1 is q223's persisted-IVF probe "
+        f"(queries assign against the SAVED centroids, nprobe={_NPROBE} "
+        f"partition-pruned bucket reads — ~nprobe/C of the corpus "
+        f"scanned) widened to a top-{_MMR_POOL} relevance pool; stage 2 "
+        f"is q262's greedy MMR trajectory ({_MMR_K} picks maximizing "
+        f"{_MMR_LAM}*rel - {round(1 - _MMR_LAM, 10)}*max-sim-to-picked) "
+        "run by the SAME mmr_greedy function and replayed by the SAME "
+        "generated CTE chain — one definition of the trajectory across "
+        "both registrations, so this query proves the two stages "
+        "compose without re-deriving either. At 100 TB this is the "
+        "actual serving shape: the index bounds the scan, the re-rank "
+        "operates on pool-sized state, and the diversity pass can "
+        "never touch more than nprobe buckets' worth of candidates. "
+        "Both engines pay the same double arithmetic end-to-end "
+        "(the q51 exact-doubles convention).",
+    )
+    def q264_ivf_mmr_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = ensure_ivf_index(spark, sf_dir)
+        cent = spark.read.parquet(os.path.join(idx, "centroids"))
+        e = T(spark, sf_dir, "embeddings")
+        probes = (
+            ivf_assign(
+                e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+                cent,
+                _NPROBE,
+            )
+            .drop("d2")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                "centroid_id",
+            )
+            .localCheckpoint()
+        )
+        # <= C-row model-state pull: which inverted lists to open
+        buckets = [
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
+        ]
+        cand = spark.read.parquet(os.path.join(idx, "cand")).filter(
+            F.col("centroid_id").isin(buckets)
+        )
+        rel = dot(F.col("q_emb"), F.col("embedding")) / (
+            F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("embedding")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("rel").desc(), F.col("neighbor_id")
+        )
+        pool = (
+            cand.join(F.broadcast(probes), "centroid_id")
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                rel.alias("rel"),
+                F.col("embedding").alias("c_emb"),
+            )
+            .select("*", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= _MMR_POOL)
+            .drop("rn")
+            .localCheckpoint()
+        )
+        return mmr_greedy(pool)
+
+
+_register_q264()

@@ -128,6 +128,10 @@ _PRIORITY = [
     # gating function; equivalence + exactly-once re-delivery pinned in
     # tests/test_streaming.py)
     "q263_admission_ledger",
+    # ... and the composed retrieval stack (q223's persisted-IVF probe
+    # widened to the relevance pool, re-ranked by the SAME mmr_greedy
+    # trajectory as q262 — first pick tie-out vs q223 pinned by test)
+    "q264_ivf_mmr_stack",
     # (b) the r10 cohort (age 4 — exactly the last=r10 rows in the
     # CORRECTNESS_r1..r14 union, minus the on-change-only demo q171),
     # name-order.
@@ -164,10 +168,9 @@ _PRIORITY = [
     "q26_math_funcs",
     "q27_conditional_agg",
     "q29_pivot",
-    "q33_events_json",
-    # with the session-3 registrations the head holds SIXTEEN new
-    # rows, so the 50-cut lands after q33_events_json;
-    # q37_from_json … q56_cosine_near_dup (the r10 cohort's last
+    # with the session-3 registrations the head holds SEVENTEEN new
+    # rows, so the 50-cut lands after q29_pivot;
+    # q33_events_json … q56_cosine_near_dup (the r10 cohort's last
     # name-order rows) plus the whole r11 cohort
     # (q100_incremental_dedup … q71_alto_valor_flag, name-order) head
     # the r16 window.

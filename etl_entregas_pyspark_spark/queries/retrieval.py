@@ -143,21 +143,14 @@ _MMR_COS = (
 )
 
 
-def _q262_oracle() -> str:
-    cos_qc = _MMR_COS.format(a="q.embedding", b="c.embedding")
+def _mmr_chain_ctes() -> list[str]:
+    """The greedy-selection CTE chain, pool-agnostic: assumes an existing
+    MATERIALIZED ``pool`` CTE with (query_id, neighbor_id, rel, c_emb).
+    Reused verbatim by q262 (brute pool) and q264 (persisted-IVF pool),
+    so there is ONE definition of the MMR trajectory in the registry."""
     cos_ps = _MMR_COS.format(a="p.c_emb", b="s.c_emb")
     lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
     ctes = [
-        f"""pairs AS MATERIALIZED (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {cos_qc} AS rel, c.embedding AS c_emb
-        FROM embeddings q JOIN embeddings c ON c.vec_id >= 8
-        WHERE q.vec_id < {_MMR_QUERIES})""",
-        f"""pool AS MATERIALIZED (
-        SELECT query_id, neighbor_id, rel, c_emb FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY rel DESC, neighbor_id) AS rn FROM pairs)
-        WHERE rn <= {_MMR_POOL})""",
         f"""acc1 AS MATERIALIZED (
         SELECT query_id, 1 AS sel_rank, neighbor_id, rel,
                CAST(0.0 AS DOUBLE) AS maxsim, {lam} * rel - {mu} * 0.0 AS mmr, c_emb
@@ -187,56 +180,41 @@ def _q262_oracle() -> str:
             FROM sims{r} x JOIN pool p USING (query_id, neighbor_id))
         WHERE rn = 1)"""
         )
-    return (
-        "WITH " + ",\n    ".join(ctes) + f"""
+    return ctes
+
+
+_MMR_FINAL_SQL = f"""
     SELECT query_id, sel_rank, neighbor_id, rel AS relevance, maxsim,
            mmr AS mmr_score
     FROM acc{_MMR_K} ORDER BY query_id, sel_rank"""
-    )
 
 
-@register(
-    "q262_mmr_rerank",
-    _q262_oracle(),
-    doc=f"maximal-marginal-relevance re-rank — the dedup-aware retrieval "
-    f"pass RAG stacks run after top-N: a relevance pool of {_MMR_POOL} "
-    f"per query (brute cosine, the q51 arm), then {_MMR_K} greedy picks "
-    f"maximizing lam*rel - (1-lam)*max-sim-to-picked (lam={_MMR_LAM}), "
-    "so near-duplicate passages can't crowd the context window. The "
-    "pool stage is the only corpus-scale work (candidates STREAM "
-    "against a broadcast query set, TakeOrdered semantics via a "
-    "query-partitioned window); the greedy rounds then operate on "
-    f"pool-sized state ({_MMR_POOL} x queries rows) — per round one "
-    "broadcast join against the picked set, a (query, candidate) max-"
-    "sim partial agg, and a query-partitioned argmax, each "
-    "localCheckpoint'd so lineage stays constant (the q106 "
-    "discipline). Exact doubles end-to-end with neighbor_id "
-    "tie-breaks (the q51 convention) — the full greedy trajectory "
-    "replays bitwise in the oracle's MATERIALIZED CTE chain; maxsim is "
-    "defined 0.0 for the first pick so one formula covers all rounds.",
-)
-def q262_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q262_oracle() -> str:
+    cos_qc = _MMR_COS.format(a="q.embedding", b="c.embedding")
+    ctes = [
+        f"""pairs AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos_qc} AS rel, c.embedding AS c_emb
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= 8
+        WHERE q.vec_id < {_MMR_QUERIES})""",
+        f"""pool AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel, c_emb FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, neighbor_id) AS rn FROM pairs)
+        WHERE rn <= {_MMR_POOL})""",
+    ] + _mmr_chain_ctes()
+    return "WITH " + ",\n    ".join(ctes) + _MMR_FINAL_SQL
+
+
+def mmr_greedy(pool: DataFrame) -> DataFrame:
+    """The greedy MMR trajectory over a (query_id, neighbor_id, rel,
+    c_emb) relevance pool — the ONE Spark definition both q262 (brute
+    pool) and q264 (persisted-IVF pool) run. Pool-sized state per round:
+    broadcast join against the picked set, (query, candidate) max-sim
+    partial agg, query-partitioned argmax, localCheckpoint'd."""
     from pyspark.sql.window import Window
 
-    e = T(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < _MMR_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.filter(F.col("vec_id") >= 8).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
-    )
-    rel = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))
-    )
     w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
-    pool = (
-        c.crossJoin(F.broadcast(q))
-        .select("query_id", "neighbor_id", rel.alias("rel"), "c_emb")
-        .select("*", F.row_number().over(w_rel).alias("rn"))
-        .filter(F.col("rn") <= _MMR_POOL)
-        .drop("rn")
-        .localCheckpoint()
-    )
     lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
     selected = (
         pool.select("*", F.row_number().over(w_rel).alias("rn"))
@@ -300,3 +278,48 @@ def q262_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxsim",
         F.col("mmr").alias("mmr_score"),
     ).orderBy("query_id", "sel_rank")
+
+
+@register(
+    "q262_mmr_rerank",
+    _q262_oracle(),
+    doc=f"maximal-marginal-relevance re-rank — the dedup-aware retrieval "
+    f"pass RAG stacks run after top-N: a relevance pool of {_MMR_POOL} "
+    f"per query (brute cosine, the q51 arm), then {_MMR_K} greedy picks "
+    f"maximizing lam*rel - (1-lam)*max-sim-to-picked (lam={_MMR_LAM}), "
+    "so near-duplicate passages can't crowd the context window. The "
+    "pool stage is the only corpus-scale work (candidates STREAM "
+    "against a broadcast query set, TakeOrdered semantics via a "
+    "query-partitioned window); the greedy rounds then operate on "
+    f"pool-sized state ({_MMR_POOL} x queries rows) — per round one "
+    "broadcast join against the picked set, a (query, candidate) max-"
+    "sim partial agg, and a query-partitioned argmax, each "
+    "localCheckpoint'd so lineage stays constant (the q106 "
+    "discipline). Exact doubles end-to-end with neighbor_id "
+    "tie-breaks (the q51 convention) — the full greedy trajectory "
+    "replays bitwise in the oracle's MATERIALIZED CTE chain; maxsim is "
+    "defined 0.0 for the first pick so one formula covers all rounds.",
+)
+def q262_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    rel = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    pool = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", rel.alias("rel"), "c_emb")
+        .select("*", F.row_number().over(w_rel).alias("rn"))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    return mmr_greedy(pool)

@@ -572,3 +572,51 @@ class TestMmrRerank:
             per_q.setdefault(r.query_id, []).append(r.neighbor_id)
         for nids in per_q.values():
             assert len(set(nids)) == _MMR_K
+
+
+class TestIvfMmrStack:
+    def test_first_pick_is_ivf_top1_and_picks_stay_in_probed_buckets(self, spark):
+        """Composition tie-outs: MMR's first pick per query IS the IVF
+        probe's rank-1 neighbor (argmax relevance over the same pool),
+        and every pick must come from a probed bucket's candidate list
+        (the recall stage actually bounds the re-rank)."""
+        from etl_entregas_pyspark_spark.queries.ivf_index import (
+            ensure_ivf_index,
+        )
+        from etl_entregas_pyspark_spark.queries.registry import REGISTRY
+
+        q223 = REGISTRY["q223_ivf_probe_persisted"].spark
+        q264 = REGISTRY["q264_ivf_mmr_stack"].spark
+        top1 = {
+            r.query_id: r.neighbor_id
+            for r in q223(spark, SF_DIR).collect()
+            if r.rank == 1
+        }
+        rows = q264(spark, SF_DIR).collect()
+        got_first = {r.query_id: r.neighbor_id for r in rows if r.sel_rank == 1}
+        assert got_first == top1
+        # membership: picks come only from the persisted candidate lists
+        import os
+
+        idx = ensure_ivf_index(spark, SF_DIR)
+        cand_ids = {
+            r.vec_id
+            for r in spark.read.parquet(os.path.join(idx, "cand")).collect()
+        }
+        assert {r.neighbor_id for r in rows} <= cand_ids
+
+    def test_brute_and_ivf_stacks_share_the_trajectory_shape(self, spark):
+        from etl_entregas_pyspark_spark.queries.registry import REGISTRY
+        from etl_entregas_pyspark_spark.queries.retrieval import _MMR_K, _MMR_LAM
+
+        rows = REGISTRY["q264_ivf_mmr_stack"].spark(spark, SF_DIR).collect()
+        per_q = {}
+        mu = round(1 - _MMR_LAM, 10)
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r)
+            assert r.mmr_score == _MMR_LAM * r.relevance - mu * r.maxsim
+        for picks in per_q.values():
+            assert [p.sel_rank for p in sorted(picks, key=lambda p: p.sel_rank)] == list(
+                range(1, _MMR_K + 1)
+            )
+            assert len({p.neighbor_id for p in picks}) == _MMR_K
