@@ -1999,3 +1999,98 @@ def q263_admission_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quarantine_rate"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q265 — leakage-safe split: q63's deterministic split with cross-split
+# n-gram leakage forced into train (decontaminated eval construction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q265_leakage_safe_split",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN {_md5_int_sql('text')} % {_SPLIT_BUCKETS} < 8 THEN 'train'
+                    WHEN {_md5_int_sql('text')} % {_SPLIT_BUCKETS} = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), train_grams AS (
+        SELECT DISTINCT {_ADM_GRAMS}
+        FROM assigned WHERE split = 'train'
+    ), ho_grams AS (
+        SELECT doc_id, {_ADM_GRAMS}
+        FROM assigned WHERE split <> 'train'
+    ), leaked AS (
+        SELECT DISTINCT h.doc_id
+        FROM ho_grams h JOIN train_grams t USING (gram)
+    ), final AS (
+        SELECT a.doc_id,
+               CASE WHEN a.split <> 'train' AND l.doc_id IS NOT NULL
+                    THEN 'train' ELSE a.split END AS final_split,
+               CASE WHEN a.split <> 'train' AND l.doc_id IS NOT NULL
+                    THEN 1 ELSE 0 END AS moved
+        FROM assigned a LEFT JOIN leaked l USING (doc_id)
+    )
+    SELECT final_split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(moved) AS BIGINT) AS n_moved_in,
+           {_rnd_sql('CAST(SUM(moved) AS DOUBLE) / COUNT(*)', 6)} AS frac_moved
+    FROM final GROUP BY final_split ORDER BY final_split
+    """,
+    doc=f"leakage-safe train/val/test construction: q63's content-hash "
+    f"split, then any val/test document sharing an {_NGRAM}-gram with "
+    "ANY train document is moved INTO train — an eval example whose "
+    "text overlaps training data measures memorization, not skill, so "
+    "decontaminated benchmark construction reassigns it rather than "
+    "evaluating on it (the direction matters: moving it to train keeps "
+    "the corpus; dropping it would shrink eval silently). By "
+    "construction the emitted eval splits share zero scrub-width grams "
+    "with train (pinned by test). Scale shape: the held-out side is "
+    "~20% of the corpus and only its (doc_id, gram) pairs broadcast-"
+    "probe the train gram stream — the train side is never shuffled, "
+    "one linear scan each side, 3-row output.",
+)
+def q265_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bucket = md5_int(F.col("text")) % _SPLIT_BUCKETS
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    assigned = d.select("doc_id", "text", split.alias("split"))
+    train = assigned.filter(F.col("split") == "train")
+    heldout = assigned.filter(F.col("split") != "train")
+    # held-out grams are the SMALL side (~20% of docs, eval-bound) ->
+    # broadcast them into the train gram stream; train never shuffles
+    ho_grams = _gram_stream(heldout)
+    leaked = (
+        _gram_stream(train)
+        .select("gram")
+        .join(F.broadcast(ho_grams), "gram")
+        .select(F.col("doc_id"))
+        .distinct()
+        .withColumn("moved", F.lit(1))
+    )
+    final = (
+        assigned.join(leaked, "doc_id", "left")
+        .select(
+            F.when(
+                (F.col("split") != "train") & F.col("moved").isNotNull(),
+                F.lit("train"),
+            )
+            .otherwise(F.col("split"))
+            .alias("final_split"),
+            F.coalesce(F.col("moved"), F.lit(0)).alias("moved"),
+        )
+    )
+    return (
+        final.groupBy("final_split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("moved").cast("long").alias("n_moved_in"),
+            rnd(F.sum("moved").cast("double") / F.count(F.lit(1)), 6).alias(
+                "frac_moved"
+            ),
+        )
+        .orderBy("final_split")
+    )

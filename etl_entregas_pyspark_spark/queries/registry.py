@@ -132,6 +132,10 @@ _PRIORITY = [
     # widened to the relevance pool, re-ranked by the SAME mmr_greedy
     # trajectory as q262 — first pick tie-out vs q223 pinned by test)
     "q264_ivf_mmr_stack",
+    # ... and the leakage-safe split (q63's content-hash split with
+    # cross-split n-gram leakage forced into train; the emitted eval
+    # splits share ZERO scrub-width grams with train, pinned by test)
+    "q265_leakage_safe_split",
     # (b) the r10 cohort (age 4 — exactly the last=r10 rows in the
     # CORRECTNESS_r1..r14 union, minus the on-change-only demo q171),
     # name-order.
@@ -167,10 +171,9 @@ _PRIORITY = [
     "q215_ivf_recall_audit",
     "q26_math_funcs",
     "q27_conditional_agg",
-    "q29_pivot",
-    # with the session-3 registrations the head holds SEVENTEEN new
-    # rows, so the 50-cut lands after q29_pivot;
-    # q33_events_json … q56_cosine_near_dup (the r10 cohort's last
+    # with the session-3 registrations the head holds EIGHTEEN new
+    # rows, so the 50-cut lands after q27_conditional_agg;
+    # q29_pivot, q33_events_json … q56_cosine_near_dup (the r10 cohort's last
     # name-order rows) plus the whole r11 cohort
     # (q100_incremental_dedup … q71_alto_valor_flag, name-order) head
     # the r16 window.

@@ -620,3 +620,48 @@ class TestIvfMmrStack:
                 range(1, _MMR_K + 1)
             )
             assert len({p.neighbor_id for p in picks}) == _MMR_K
+
+
+class TestLeakageSafeSplit:
+    def test_eval_splits_share_zero_grams_with_train(self, spark):
+        """The operator's contract: after reassignment the val/test
+        splits share NO scrub-width gram with train — recompute the
+        final assignment independently and probe every eval gram."""
+        from etl_entregas_pyspark_spark.queries.datasplit import (
+            _SPLIT_BUCKETS,
+            _gram_stream,
+            q265_leakage_safe_split,
+        )
+        from etl_entregas_pyspark_spark.queries.similarity import md5_int
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        bucket = md5_int(F.col("text")) % _SPLIT_BUCKETS
+        split = (
+            F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+        )
+        assigned = d.select("doc_id", "text", split.alias("split"))
+        train = assigned.filter(F.col("split") == "train")
+        heldout = assigned.filter(F.col("split") != "train")
+        leaked = (
+            _gram_stream(train)
+            .select("gram")
+            .join(_gram_stream(heldout), "gram")
+            .select("doc_id")
+            .distinct()
+        )
+        final_eval = heldout.join(leaked, "doc_id", "left_anti")
+        residual = (
+            _gram_stream(final_eval)
+            .select("gram")
+            .join(_gram_stream(train).select("gram").distinct(), "gram")
+            .count()
+        )
+        assert residual == 0
+        # conservation + ledger consistency
+        rows = {r.final_split: r for r in q265_leakage_safe_split(spark, SF_DIR).collect()}
+        assert sum(r.n_docs for r in rows.values()) == d.count()
+        n_moved = rows["train"].n_moved_in if "train" in rows else 0
+        assert n_moved == leaked.count()
+        for name in ("val", "test"):
+            if name in rows:
+                assert rows[name].n_moved_in == 0
