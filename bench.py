@@ -233,6 +233,8 @@ HEADLINE = [
     "q261_bpe_compression_curve",
     "q262_mmr_rerank",
     "q263_admission_ledger",
+    "q264_ivf_mmr_stack",
+    "q265_leakage_safe_split",
     "q60_entregas_pipeline",
     "q61_entregas_quality_metrics",
 ]
@@ -324,6 +326,7 @@ CONTRAST_PAIRS = [
     ("q242_ivfpq_search", "q223_ivf_probe_persisted"),
     ("q243_ivfpq_ingest_probe", "q242_ivfpq_search"),
     ("q252_live_ivfpq_probe", "q242_ivfpq_search"),
+    ("q264_ivf_mmr_stack", "q262_mmr_rerank"),
     ("q249_ivfpq_refresh_apply", "q242_ivfpq_search"),
 ]
 # r15 additions: q252/q242 (live-maintained codes store probe vs bulk

@@ -205,6 +205,8 @@ HEADLINE = [
     "q261_bpe_compression_curve",
     "q262_mmr_rerank",
     "q263_admission_ledger",
+    "q264_ivf_mmr_stack",
+    "q265_leakage_safe_split",
 ]
 
 
