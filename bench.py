@@ -511,6 +511,17 @@ def main() -> None:
             # not query-plan regression (isolated A/B in COVERAGE.md).
             spark.catalog.clearCache()
             gc.collect()
+            # ...and the JVM side too: ContextCleaner only learns a
+            # shuffle/broadcast/checkpoint is dead when a JVM GC enqueues
+            # its weak reference — the Python gc alone just drops py4j
+            # proxies, and in a 200+-query battery the un-GC'd JVM never
+            # collects them (Spark's own safety net is
+            # spark.cleaner.periodicGC.interval = 30min, longer than the
+            # whole battery). Measured r15: a 172-query battery phase ran
+            # 458s without / 202s with this call, and the tail queries
+            # recovered their fresh-session walls (q216 16.8s -> 5.3s,
+            # q215 9.4s -> ~3.2s). Runs between queries, outside timing.
+            spark._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
     prod_total = round(

@@ -123,7 +123,13 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     run, so the live-maintained and batch-built indexes are
     equivalence-testable against ONE implementation."""
     ex = (
-        docs.select(
+        # spread the CPU-heavy shingle+md5 stage: both the batch index
+        # build (single-split corpus parquet) and the replayed ingest
+        # slices arrive as 1-2 partitions at bench scale (guide §2.5)
+        docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select(
             "doc_id", F.explode(word_shingles(F.col("text"))).alias("item")
         )
         .withColumn("h", md5_int(F.col("item")) % _P)
@@ -166,8 +172,11 @@ def _batch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, so the expensive text stage runs over the batch alone — the
     O(batch) ingest contract. localCheckpoint'ed: both the band probe and
     the verify payload consume it."""
-    batch = T(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % _BATCH_MOD == 0
+    batch = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BATCH_MOD == 0)
+        # single-split source: spread the batch's shingle+md5 stage
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     ex = (
         batch.select(
@@ -908,8 +917,13 @@ def ensure_signature_store(
     path = _sig_store_path(spark, sf_dir)
     if not force and os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    # the corpus parquet is a single input split at bench scale (one row
+    # group), so without the spread the whole shingle+md5 stage — the
+    # store build's entire CPU cost — runs in ONE task (guide §2.5 input
+    # skew; the q192/q203 idiom). Measured r15: build 8.5 s -> ~1.7 s.
     ex = (
         T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
         .withColumn("h", md5_int(F.col("item")) % _P)
     )

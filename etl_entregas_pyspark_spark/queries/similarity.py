@@ -3212,35 +3212,44 @@ def _q237_oracle() -> str:
     "regardless of replica multiplicity.",
 )
 def q237_lsh_bucket_valve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    seed = (
-        docs.filter(F.size(F.split("text", " ")) >= SHINGLE_W)
-        .orderBy("doc_id")
-        .limit(1)
-        .select(F.col("text").alias("seed_text"))
+    docs = (
+        T(spark, sf_dir, "documents")
+        # single-split source: spread the shingle+md5 stage (q192 idiom)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
     )
-    reps = (
-        spark.range(1, _VALVE_DEMO_REPLICAS + 1)
-        .crossJoin(F.broadcast(seed))
-        .select(
-            (F.lit(_VALVE_DEMO_ID_BASE) + F.col("id")).alias("doc_id"),
-            F.col("seed_text").alias("text"),
-        )
-    )
-    corpus = docs.unionByName(reps)
-    ex = corpus.select(
+    ex = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("item")
     ).withColumn("h", md5_int(F.col("item")) % _P)
-    per_doc = (
-        ex.groupBy("doc_id")
-        .agg(
-            *[
-                F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
-                for j in range(N_HASHES)
-            ]
-        )
-        .localCheckpoint()  # two consumers: band explode + dup-class sigs
+    base_sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ]
+    ).localCheckpoint()  # three consumers: seed pick, band explode, sigs
+    # MinHash is a pure function of the text, and every replica carries
+    # the seed's text verbatim — so replicate the seed's computed
+    # SIGNATURE, not the text: the pre-r15 form re-shingled and
+    # re-md5'd the identical document _VALVE_DEMO_REPLICAS times (2000
+    # extra explode+hash+12-way-min passes feeding the same 12 ints).
+    # Seed selection is unchanged: word_shingles is non-empty exactly
+    # when size(split(text,' ')) >= SHINGLE_W, so the min doc_id in the
+    # aggregated signature frame IS the seed the oracle picks.
+    seed_sig = base_sigs.orderBy("doc_id").limit(1).select(
+        *[F.col(f"mh{j}") for j in range(N_HASHES)]
     )
+    rep_sigs = (
+        spark.range(1, _VALVE_DEMO_REPLICAS + 1)
+        .crossJoin(F.broadcast(seed_sig))
+        .select(
+            (F.lit(_VALVE_DEMO_ID_BASE) + F.col("id")).alias("doc_id"),
+            *[F.col(f"mh{j}") for j in range(N_HASHES)],
+        )
+    )
+    # lazy union: both sides are cheap to re-derive (a checkpointed
+    # 5k-row frame and a broadcast 1-row cross), so the two consumers
+    # (band explode + dup-class sigs) need no second materialization
+    per_doc = base_sigs.unionByName(rep_sigs)
     band_long = (
         per_doc.select("doc_id", *_band_hashes())
         .select(
@@ -3346,35 +3355,36 @@ def _q239_oracle() -> str:
     "scale only because R is small — that is the point.",
 )
 def q239_lsh_valve_off_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    seed = (
-        docs.filter(F.size(F.split("text", " ")) >= SHINGLE_W)
-        .orderBy("doc_id")
-        .limit(1)
-        .select(F.col("text").alias("seed_text"))
+    # the demo's POINT is the un-valved pair grid below; the hashing
+    # stage above it gets q237's r15 treatment (spread the single-split
+    # scan, replicate the seed's SIGNATURE not its text) so the q237/q239
+    # contrast isolates the grid cost, not shared-stage noise
+    docs = (
+        T(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
     )
-    reps = (
-        spark.range(1, _VALVE_DEMO_REPLICAS + 1)
-        .crossJoin(F.broadcast(seed))
-        .select(
-            (F.lit(_VALVE_DEMO_ID_BASE) + F.col("id")).alias("doc_id"),
-            F.col("seed_text").alias("text"),
-        )
-    )
-    corpus = docs.unionByName(reps)
-    ex = corpus.select(
+    ex = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("item")
     ).withColumn("h", md5_int(F.col("item")) % _P)
-    per_doc = (
-        ex.groupBy("doc_id")
-        .agg(
-            *[
-                F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
-                for j in range(N_HASHES)
-            ]
-        )
-        .localCheckpoint()
+    base_sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * _A[j] + _B[j]) % _P).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ]
+    ).localCheckpoint()
+    seed_sig = base_sigs.orderBy("doc_id").limit(1).select(
+        *[F.col(f"mh{j}") for j in range(N_HASHES)]
     )
+    rep_sigs = (
+        spark.range(1, _VALVE_DEMO_REPLICAS + 1)
+        .crossJoin(F.broadcast(seed_sig))
+        .select(
+            (F.lit(_VALVE_DEMO_ID_BASE) + F.col("id")).alias("doc_id"),
+            *[F.col(f"mh{j}") for j in range(N_HASHES)],
+        )
+    )
+    per_doc = base_sigs.unionByName(rep_sigs)
     band_long = (
         per_doc.select("doc_id", *_band_hashes())
         .select(
