@@ -91,23 +91,49 @@ def metrics_frame(df: DataFrame, config: Mapping[str, Any]) -> DataFrame:
     passes_12 = (~p1_removed) & F.col("tipo_entrega").isin(valid_types)
     valid_country = F.upper(F.col("pais")).isin(valid_countries)
 
-    # Two-phase shape: groupBy(all columns) first, then one scalar
-    # aggregate over the (distinct row, multiplicity) pairs. A single-agg
-    # formulation with two count_distinct(struct) would plan an Expand —
-    # 3× the input rows through the shuffle; here the exchange carries at
-    # most one pre-aggregated row per distinct input row per map partition,
-    # and every rule predicate is evaluated once per DISTINCT row.
-    per_row = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("row_multiplicity"))
+    # Two-phase shape: group to (distinct row, multiplicity) first, then
+    # one scalar aggregate. A single-agg formulation with two
+    # count_distinct(struct) would plan an Expand — 3× the input rows
+    # through the shuffle. The distinct-row key is a 128-bit row
+    # fingerprint (two independent xxhash64 seeds — the q42 md5-
+    # fingerprint exact-dedup idiom) rather than the full column tuple:
+    # the rule predicates are functions of the row, hence constant within
+    # a fingerprint group, so they ride the grouping key as four booleans
+    # and the exchange carries ~17 bytes + flags per distinct row instead
+    # of the whole string payload (guide §2.3: shuffle keys and metadata,
+    # not payloads). Distinct rows colliding on both hashes would merge —
+    # ~n²/2¹²⁹ for n distinct rows, i.e. < 10⁻²⁰ even at 100 TB row
+    # counts — and the DuckDB oracle hash-gates the exact counts at every
+    # tested SF.
+    # NULL discipline: Spark's xxhash64 SKIPS null inputs (a null column
+    # leaves the running hash unchanged), so rows differing only in which
+    # column is null could structurally collide. Feeding coalesced string
+    # casts PLUS one is-null flag per column makes the input sequence
+    # injective again: the flag pins every null position, so coalesce's
+    # NULL→'' collapse is always disambiguated.
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    flags = [F.col(c).isNull() for c in df.columns]
+    keyed = df.select(
+        F.xxhash64(F.lit(1), *cols, *flags).alias("h1"),
+        F.xxhash64(F.lit(2), *cols, *flags).alias("h2"),
+        p1_removed.alias("f_p1"),
+        p2_removed.alias("f_p2"),
+        passes_12.alias("f_p12"),
+        (passes_12 & valid_country).alias("f_ok"),
+    )
+    per_row = keyed.groupBy("h1", "h2", "f_p1", "f_p2", "f_p12", "f_ok").agg(
+        F.count(F.lit(1)).alias("row_multiplicity")
+    )
     n = F.col("row_multiplicity")
     return per_row.agg(
         F.sum(n).alias("input_rows"),
-        F.sum(F.when(p1_removed, n).otherwise(F.lit(0))).alias("null_material_removed"),
-        F.sum(F.when(p2_removed, n).otherwise(F.lit(0))).alias("invalid_type_removed"),
+        F.sum(F.when(F.col("f_p1"), n).otherwise(F.lit(0))).alias("null_material_removed"),
+        F.sum(F.when(F.col("f_p2"), n).otherwise(F.lit(0))).alias("invalid_type_removed"),
         (
-            F.sum(F.when(passes_12, n).otherwise(F.lit(0)))
-            - F.count(F.when(passes_12, F.lit(1)))
+            F.sum(F.when(F.col("f_p12"), n).otherwise(F.lit(0)))
+            - F.count(F.when(F.col("f_p12"), F.lit(1)))
         ).alias("duplicates_removed"),
-        F.count(F.when(passes_12 & valid_country, F.lit(1))).alias("final_rows"),
+        F.count(F.when(F.col("f_ok"), F.lit(1))).alias("final_rows"),
     )
 
 

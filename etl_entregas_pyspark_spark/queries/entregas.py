@@ -92,7 +92,13 @@ _RAW_SQL = """
 def entregas_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark twin of _RAW_SQL (Spark's % on bigint ≡ DuckDB's % here:
     every operand is non-negative)."""
-    li = T(spark, sf_dir, "lineitem")
+    # the testdata parquet is one input split (single row group), so
+    # every per-row synthesis below would otherwise run in ONE task;
+    # hash-repartition on the row identity spreads it (guide §2.5 input
+    # skew — no sort, 5-int rows, ~the cheapest possible exchange)
+    li = T(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey", "l_linenumber"
+    )
     sk, ok, pk, ln = (F.col(c) for c in ("l_suppkey", "l_orderkey", "l_partkey", "l_linenumber"))
     pais = (
         F.when(sk % 8 == 0, "GT").when(sk % 8 == 1, "SV").when(sk % 8 == 2, "HN")

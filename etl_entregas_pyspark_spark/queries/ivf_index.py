@@ -1142,13 +1142,24 @@ def q231_ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("new_cid"))
+    # exact argmin via map-side-partial min(struct(d2, new_cid)) — the
+    # window's (d2, new_cid) ordering without sorting/shuffling the
+    # (corpus x C) grid; old_cid is constant per vec_id (guide §2.3)
     moved = (
         assigned.withColumnRenamed("centroid_id", "old_cid")
         .crossJoin(F.broadcast(newcent))
         .select("vec_id", "old_cid", "new_cid", d2.alias("d2"))
-        .select("*", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("new_cid"))).alias("s"),
+            F.first("old_cid").alias("old_cid"),
+        )
+        .select(
+            "vec_id",
+            "old_cid",
+            F.col("s.new_cid").alias("new_cid"),
+            F.col("s.d2").alias("d2"),
+        )
     )
     stays = moved.groupBy("old_cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
@@ -1855,14 +1866,15 @@ def _ivfpq_encode(resid: DataFrame, cb: DataFrame) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    wenc = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("k"))
+    # exact argmin via map-side-partial min(struct(d2, k)) — the former
+    # window's (d2, k) ordering without sorting the (n x M x K) grid
     codes_long = (
         _pq_subspaces(resid, "vec_id", "sv")
         .join(F.broadcast(cb), "m")
         .select("vec_id", "m", "k", d2.alias("d2"))
-        .select("*", F.row_number().over(wenc).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("k").alias("code"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("k"))).alias("s"))
+        .select("vec_id", "m", F.col("s.k").alias("code"))
     )
     return (
         codes_long.groupBy("vec_id")

@@ -746,11 +746,31 @@ def ivf_assign(src: DataFrame, cent: DataFrame, keep: int = 1) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    scored = src.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "centroid_id", diff2.alias("d2")
+    )
+    if keep == 1:
+        # exact argmin via hash aggregation instead of a window sort:
+        # min(struct(d2, centroid_id)) IS the window's (d2, centroid_id)
+        # ordering, computed map-side-partially — the C-way (vector x
+        # centroid) grid never crosses an exchange and nothing is
+        # sorted; the embedding rides the aggregation buffer once (it is
+        # constant within a vec_id group, so first() is deterministic in
+        # value). Guide §2.3/§2.4: aggregate before you shuffle.
+        s = F.min(F.struct(F.col("d2"), F.col("centroid_id"))).alias("s")
+        return (
+            scored.groupBy("vec_id")
+            .agg(s, F.first("embedding").alias("embedding"))
+            .select(
+                "vec_id",
+                "embedding",
+                F.col("s.centroid_id").alias("centroid_id"),
+                F.col("s.d2").alias("d2"),
+            )
+        )
     w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("centroid_id"))
     return (
-        src.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "centroid_id", diff2.alias("d2"))
-        .select("*", F.row_number().over(w).alias("rn"))
+        scored.select("*", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= keep)
         .drop("rn")
     )
@@ -1251,7 +1271,6 @@ def q106_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = long_grid.filter(F.col("vec_id") < _KML_K).select(
         F.col("vec_id").alias("centroid_id"), "pos", F.col("qx").alias("c")
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "centroid_id")
     for _ in range(_KML_ITERS):
         diff = F.col("qx") - F.col("c")
         dist = (
@@ -1259,10 +1278,12 @@ def q106_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "centroid_id")
             .agg(F.sum(diff * diff).alias("d"))
         )
+        # exact argmin via map-side-partial min(struct(d, centroid_id))
+        # — one window sort removed PER K-MEANS ITERATION (guide §2.3)
         assign = (
-            dist.select("vec_id", "centroid_id", F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("d"), F.col("centroid_id"))).alias("s"))
+            .select("vec_id", F.col("s.centroid_id").alias("centroid_id"))
         )
         cent = (
             qe.join(assign, "vec_id")
@@ -3541,14 +3562,17 @@ def _pq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    wenc = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("k"))
+    # encode = exact argmin over K codewords per (vec, subspace): a
+    # map-side-partial min(struct(d2, k)) — same (d2, k) ordering the
+    # previous window row_number applied, without sorting or shuffling
+    # the (corpus x M x K) grid (guide §2.3)
     codes = (
         _pq_subspaces(corpus, "vec_id", "sv")
         .join(F.broadcast(cb), "m")
         .select("vec_id", "m", "k", d2.alias("d2"))
-        .select("*", F.row_number().over(wenc).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("k").alias("code"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("k"))).alias("s"))
+        .select("vec_id", "m", F.col("s.k").alias("code"))
     )
     # per-query ADC lookup table: exact subspace dots, floor-scaled to
     # ints so the M-term sum is order-independent across engines
