@@ -251,6 +251,12 @@ def q158_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single-split testdata: spread tokenization (SCALE.md note)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("tok"))
+        # FOUR consumers (freq, ranked, index side, verify payload):
+        # materialize the tokenize stage once — q152's `ordered` rule.
+        # Un-checkpointed this re-executed per consumer and the plan's
+        # duplicated exchanges made the row bimodal (4.6 s vs 8–22 s
+        # across r15 batteries/isolations; stable after)
+        .localCheckpoint()
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = toks.join(freq, "tok")
