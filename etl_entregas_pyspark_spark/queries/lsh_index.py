@@ -125,9 +125,17 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     ex = (
         # spread the CPU-heavy shingle+md5 stage: both the batch index
         # build (single-split corpus parquet) and the replayed ingest
-        # slices arrive as 1-2 partitions at bench scale (guide §2.5)
+        # slices arrive as 1-2 partitions at bench scale (guide §2.5).
+        # Keyed on (doc_id, text) — NOT doc_id alone — so the emitted
+        # partitioning can never satisfy a caller's doc_id-keyed join
+        # distribution: this frame is returned un-checkpointed, and a
+        # doc_id hash at defaultParallelism leaking into the sink's
+        # anti-join made Spark 4.1 zip mismatched partition counts
+        # (route_dups batch: "Can't zip RDDs ... List(4, 8)").
         docs.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+            docs.sparkSession.sparkContext.defaultParallelism,
+            "doc_id",
+            "text",
         )
         .select(
             "doc_id", F.explode(word_shingles(F.col("text"))).alias("item")
