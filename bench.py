@@ -583,28 +583,43 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass
-    # ... then a SHORT summary LAST: r02's 68-query detail line overflowed
-    # the driver's tail buffer (BENCH_r02 "parsed": null), so the line the
-    # driver's tail-parser sees must stay small. Top-5 costs only.
-    top5 = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": {
-                    "n_queries": len(times),
-                    "n_errors": len(errors),
-                    "n_regressions": len(regressions),
-                    "production_total": prod_total,
-                    **top5,
-                },
-                "contrasts": contrasts,
-                "sf": sf_val,
-            }
-        )
-    )
+    # ... then a summary LAST, as FULL-fidelity as physics allows (r15
+    # VERDICT #2): the driver's stdout capture keeps only the last 2000
+    # chars and parses the last complete JSON line inside it — r02's
+    # 68-query detail line overflowed exactly that and came back
+    # "parsed": null (recorded as a bench crash), and 214 full-name rows
+    # are ~7 KB, so "the complete times map in the headline line" cannot
+    # fit. Instead: aggregates move to TOP-LEVEL keys (so PERF stops
+    # diffing them as queries) while staying duplicated inside `queries`
+    # (the driver contract forbids removing entries), demo-baseline rows
+    # are flagged, and the `queries` dict is filled SLOWEST-FIRST with as
+    # many per-query rows as keep the line under a 1900-char budget
+    # (~25-35 rows — every row that carries perf signal; the sub-second
+    # floor rows live in BENCH_DETAIL_LAST.json and the detail line).
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "n_regressions": len(regressions),
+        "production_total": prod_total,
+        "demo_baselines": sorted(DEMO_BASELINES & set(times)),
+        "queries": {
+            "n_queries": len(times),
+            "n_errors": len(errors),
+            "n_regressions": len(regressions),
+            "production_total": prod_total,
+        },
+        "contrasts": contrasts,
+        "sf": sf_val,
+    }
+    for name, sec in sorted(times.items(), key=lambda kv: (-kv[1], kv[0])):
+        summary["queries"][name] = sec
+        if len(json.dumps(summary)) > 1900:
+            del summary["queries"][name]
+            break
+    print(json.dumps(summary))
     spark.stop()
     # Always rc 0: the driver records a non-zero rc as a bench crash (r3),
     # while per-query failures are intentionally non-fatal — they are

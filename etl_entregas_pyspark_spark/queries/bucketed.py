@@ -182,6 +182,11 @@ def q150_bucketed_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", "rep_id").alias("cluster_id"),
             "n_chars",
         )
+        # TWO consumers (the canon window + the final cluster join):
+        # un-materialized, the whole fingerprint→rep→label chain above —
+        # including a second scan+md5 pass over the corpus — executed
+        # twice (q158's multi-consumer rule, r16). Three skinny columns.
+        .localCheckpoint()
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")

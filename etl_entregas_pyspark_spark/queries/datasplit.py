@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd, spread_if_narrow
 from etl_entregas_pyspark_spark.queries.similarity import _md5_int_sql, md5_int
 
 # content-hash split: reproducible across runs/engines AND stable under
@@ -103,8 +103,7 @@ def q64_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = _gram_stream(
-        d.filter(F.col("doc_id") >= _BENCH_DOCS)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_if_narrow(d.filter(F.col("doc_id") >= _BENCH_DOCS), "doc_id")
     )
     # the benchmark gram set is small → broadcast; at corpus scale this is
     # a map-side semi-join, no shuffle of the corpus grams
@@ -879,8 +878,7 @@ def q180_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = _gram_stream(
-        d.filter(F.col("doc_id") >= _BENCH_DOCS)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+        spread_if_narrow(d.filter(F.col("doc_id") >= _BENCH_DOCS), "doc_id"),
         _CONTAM_NGRAM,
     )
     per_doc = (

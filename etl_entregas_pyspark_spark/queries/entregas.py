@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.operators import filters, quality
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T
+from etl_entregas_pyspark_spark.queries.relational import T, spread_if_narrow
 
 VALID_COUNTRIES = ["GT", "SV", "HN", "EC", "PE", "JM"]
 COUNTRY_NAMES = {
@@ -95,9 +95,11 @@ def entregas_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the testdata parquet is one input split (single row group), so
     # every per-row synthesis below would otherwise run in ONE task;
     # hash-repartition on the row identity spreads it (guide §2.5 input
-    # skew — no sort, 5-int rows, ~the cheapest possible exchange)
-    li = T(spark, sf_dir, "lineitem").repartition(
-        spark.sparkContext.defaultParallelism, "l_orderkey", "l_linenumber"
+    # skew — no sort, 5-int rows, ~the cheapest possible exchange). The
+    # spread is split-aware: a production scan that already arrives wide
+    # skips the exchange entirely (r15 VERDICT #1).
+    li = spread_if_narrow(
+        T(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber"
     )
     sk, ok, pk, ln = (F.col(c) for c in ("l_suppkey", "l_orderkey", "l_partkey", "l_linenumber"))
     pais = (

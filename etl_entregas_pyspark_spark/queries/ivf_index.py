@@ -2433,6 +2433,10 @@ def q244_ann_engine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_id",
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("probed_n"))
+        # one row, THREE consumers (the ivf_flat/ivf_sq8/ivfpq cost rows
+        # below): materialize once or the cand scan + probe join runs
+        # per union branch (q158's multi-consumer rule, r16)
+        .localCheckpoint()
     )
     full_n = (
         corpus.agg(F.count(F.lit(1)).alias("c_n"))
@@ -3312,7 +3316,12 @@ def q250_ann_engine_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_scan_bytes"),
         "recall_at_k",
-    )
+    ).localCheckpoint()
+    # ^ four rows, TWO consumers (the any_fits aggregate and the ranked
+    # select below). Un-materialized, the ENTIRE q244 matrix — the
+    # brute-force truth arm plus all four engine subtrees — executed
+    # twice inside this one query (r15 VERDICT next-round #3; q158's
+    # multi-consumer rule). Four model-state rows pin ~nothing.
     # four model-state rows through two tiny windows — documented scale:
     # the ranked set is |engines|, never data-sized. When NOTHING fits
     # the budget the chooser must still name an engine (you shard the

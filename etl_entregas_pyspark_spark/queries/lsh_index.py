@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd, spread_if_narrow
 from etl_entregas_pyspark_spark.queries.similarity import (
     _A,
     _B,
@@ -125,18 +125,16 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     ex = (
         # spread the CPU-heavy shingle+md5 stage: both the batch index
         # build (single-split corpus parquet) and the replayed ingest
-        # slices arrive as 1-2 partitions at bench scale (guide §2.5).
+        # slices arrive as 1-2 partitions at bench scale (guide §2.5);
+        # split-aware — an already-wide production scan skips the
+        # exchange (r15 VERDICT #1).
         # Keyed on (doc_id, text) — NOT doc_id alone — so the emitted
         # partitioning can never satisfy a caller's doc_id-keyed join
         # distribution: this frame is returned un-checkpointed, and a
         # doc_id hash at defaultParallelism leaking into the sink's
         # anti-join made Spark 4.1 zip mismatched partition counts
         # (route_dups batch: "Can't zip RDDs ... List(4, 8)").
-        docs.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism,
-            "doc_id",
-            "text",
-        )
+        spread_if_narrow(docs, "doc_id", "text")
         .select(
             "doc_id", F.explode(word_shingles(F.col("text"))).alias("item")
         )
@@ -180,11 +178,11 @@ def _batch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, so the expensive text stage runs over the batch alone — the
     O(batch) ingest contract. localCheckpoint'ed: both the band probe and
     the verify payload consume it."""
-    batch = (
-        T(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % _BATCH_MOD == 0)
+    batch = spread_if_narrow(
         # single-split source: spread the batch's shingle+md5 stage
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # (split-aware — skipped on an already-wide scan)
+        T(spark, sf_dir, "documents").filter(F.col("doc_id") % _BATCH_MOD == 0),
+        "doc_id",
     )
     ex = (
         batch.select(
@@ -929,9 +927,9 @@ def ensure_signature_store(
     # group), so without the spread the whole shingle+md5 stage — the
     # store build's entire CPU cost — runs in ONE task (guide §2.5 input
     # skew; the q192/q203 idiom). Measured r15: build 8.5 s -> ~1.7 s.
+    # Split-aware: an already-wide production scan skips the exchange.
     ex = (
-        T(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
         .withColumn("h", md5_int(F.col("item")) % _P)
     )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.multimodal import decode_media
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd, spread_if_narrow
 
 
 @register(
@@ -122,7 +122,9 @@ def q129_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
     )
     feats = extract_features(
-        media.repartition(min(8, spark.sparkContext.defaultParallelism))
+        spread_if_narrow(
+            media, target=min(8, spark.sparkContext.defaultParallelism)
+        )
     )
     weights = F.array(*[F.lit(w) for w in _EMB_WEIGHTS])
     score = F.aggregate(
@@ -202,7 +204,9 @@ def q183_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("content"),
     )
     hashed = perceptual_hash(
-        media.repartition(min(8, spark.sparkContext.defaultParallelism))
+        spread_if_narrow(
+            media, target=min(8, spark.sparkContext.defaultParallelism)
+        )
     )
     grp = (
         hashed.groupBy("phash")

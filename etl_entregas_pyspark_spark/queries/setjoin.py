@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd, spread_if_narrow
 from etl_entregas_pyspark_spark.queries.similarity import _sh_sql, word_shingles
 
 _TAU = 0.5
@@ -88,9 +88,11 @@ def q152_setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the testdata parquet is a single input split (SCALE.md, text
     # analysis note): spread the CPU-heavy md5/tokenize stages first
     docs = (
-        T(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % _SUBSET_MOD == 0)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_if_narrow(
+            T(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % _SUBSET_MOD == 0),
+            "doc_id",
+        )
     )
     return setjoin_pairs(docs, _TAU)
 
@@ -247,9 +249,9 @@ def q158_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tools/growth_exponent.py, SCALE.md round-9 table) — the prefix
     # filter holds candidate growth linear-ish, nothing pairwise hides here
     toks = (
-        T(spark, sf_dir, "documents")
-        # single-split testdata: spread tokenization (SCALE.md note)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # single-split testdata: spread tokenization (SCALE.md note);
+        # split-aware — skipped on an already-wide scan (r15 VERDICT #1)
+        spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("tok"))
         # FOUR consumers (freq, ranked, index side, verify payload):
         # materialize the tokenize stage once — q152's `ordered` rule.

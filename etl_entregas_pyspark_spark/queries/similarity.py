@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, _rnd_sql, rnd
+from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, _rnd_sql, rnd, spread_if_narrow
 
 # MinHash parameters: 12 hash functions in 4 bands of 3 rows.
 # P(candidate | J) = 1 - (1 - J^3)^4  →  0.63 at J=0.6, 0.995 at J=0.9.
@@ -662,8 +662,7 @@ def _q54_oracle() -> str:
 )
 def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
-        T(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
         .select(
             "doc_id",
             F.transform(
@@ -1066,7 +1065,10 @@ def _q93_oracle() -> str:
     "fingerprint groupBy.",
 )
 def q93_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    # spread at the READ (split-aware): both the md5 collapse's partial
+    # aggregate and the reps-side shingle explode below are CPU-heavy text
+    # stages that would otherwise run in the single-split scan's one task
+    docs = spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
     fp = F.md5(F.lower(F.col("text")))
     # one row per distinct content; materialized once, reused by the reps
     # join, the identical-pair count, and both expansion joins
@@ -1077,7 +1079,7 @@ def q93_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = docs.join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id")
     ex = (
-        reps.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        reps
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
         .withColumn("h", md5_int(F.col("item")) % _P)
     )
@@ -1151,8 +1153,7 @@ def _q100_oracle() -> str:
 )
 def q100_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
-        T(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
         .withColumn("h", md5_int(F.col("item")) % _P)
     )
@@ -1707,23 +1708,50 @@ def semdedup_prune(
     # norms precomputed ONCE per vector (scalar column) instead of per
     # pair: sqrt(sq_norm(a)) * sqrt(sq_norm(b)) is arithmetic-identical
     # whether the factors are computed inline or joined, but inline costs
-    # two 64-element folds per PAIR — 2/3 of the pair-stage work
+    # two 64-element folds per PAIR — 2/3 of the pair-stage work.
+    # localCheckpoint: THREE consumers (both pair-join sides + the final
+    # member rollup) re-executed the centroid-assignment grid otherwise
+    # (q158's multi-consumer rule, r16)
     assigned = ivf_assign(e, cents, keep=1).select(
         "vec_id",
         "embedding",
         "centroid_id",
         F.sqrt(sq_norm(F.col("embedding"))).alias("nrm"),
+    ).localCheckpoint()
+    # SALT the centroid-keyed pair join (guide §2.5 skew): with K
+    # centroids the join would run in at most K tasks — K=8 leaves 3/4 of
+    # a 32-core stage idle and a hot cluster becomes one straggler task.
+    # Deterministic salt (pmod∘xxhash64 of the row id, §2.5's rule) splits
+    # each cluster's 'a' side n_salt ways and replicates the 'b' side per
+    # salt — the pair SET is unchanged (each (a,b) pair appears exactly
+    # once, under a's salt class). n_salt derives from cores/K; the
+    # derived-K path (q199/q200: K=ceil(sqrt(n)) >= cores at any real n)
+    # skips salting — replication would cost bytes and buy nothing.
+    dp = spark.sparkContext.defaultParallelism
+    n_salt = (
+        1
+        if n_centroids is None or n_centroids >= dp
+        else max(1, (2 * dp) // n_centroids)
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    if n_salt > 1:
+        a = assigned.withColumn(
+            "_salt_a", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salt))
+        ).alias("a")
+        b = assigned.withColumn(
+            "_salt_b", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
+        ).alias("b")
+    else:
+        a, b = assigned.alias("a"), assigned.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
+    pair_cond = (F.col("a.centroid_id") == F.col("b.centroid_id")) & (
+        F.col("b.vec_id") < F.col("a.vec_id")
+    )
+    if n_salt > 1:
+        pair_cond = pair_cond & (F.col("a._salt_a") == F.col("b._salt_b"))
     dropped = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
+        a.join(b, pair_cond)
         .filter(cos >= _SEMDEDUP_TAU)
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
@@ -1808,8 +1836,7 @@ def _q189_oracle() -> str:
 )
 def q189_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
-        T(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
         .withColumn("h", md5_int(F.col("item")) % _P)
     )
@@ -1943,7 +1970,9 @@ def label_noise_flags(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
         )
     # per-vector norm precomputed once (q182's rule): identical
-    # arithmetic, 2/3 fewer array folds in the pair stage
+    # arithmetic, 2/3 fewer array folds in the pair stage.
+    # localCheckpoint: both kNN-join sides re-executed the assignment
+    # grid + label join otherwise (q158's multi-consumer rule, r16)
     labeled = ivf_assign(e, cents, keep=1).join(
         e.select("vec_id", "label"), "vec_id"
     ).select(
@@ -1952,6 +1981,17 @@ def label_noise_flags(
         "centroid_id",
         "label",
         F.sqrt(sq_norm(F.col("embedding"))).alias("nrm"),
+    ).localCheckpoint()
+    # salt the centroid-keyed kNN join exactly like semdedup_prune's pair
+    # stage (guide §2.5): K buckets cap the stage at K tasks and leave a
+    # hot cluster as one straggler; the deterministic per-row salt splits
+    # the 'a' side and replicates 'b' per salt — the joined pair multiset
+    # is unchanged, and the later per-vec_id window is key-compatible.
+    dp = spark.sparkContext.defaultParallelism
+    n_salt = (
+        1
+        if n_centroids is None or n_centroids >= dp
+        else max(1, (2 * dp) // n_centroids)
     )
     a = labeled.select(
         F.col("vec_id").alias("vec_id"),
@@ -1959,6 +1999,7 @@ def label_noise_flags(
         "centroid_id",
         F.col("label").alias("label"),
         F.col("nrm").alias("a_nrm"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salt)).alias("a_salt"),
     )
     b = labeled.select(
         F.col("vec_id").alias("n_id"),
@@ -1966,6 +2007,7 @@ def label_noise_flags(
         F.col("centroid_id").alias("n_cid"),
         F.col("label").alias("neighbor_label"),
         F.col("nrm").alias("b_nrm"),
+        F.explode(F.array(*[F.lit(s) for s in range(n_salt)])).alias("b_salt"),
     )
     cos = dot(F.col("a_emb"), F.col("b_emb")) / (
         F.col("a_nrm") * F.col("b_nrm")
@@ -1977,7 +2019,8 @@ def label_noise_flags(
         a.join(
             b,
             (F.col("centroid_id") == F.col("n_cid"))
-            & (F.col("vec_id") != F.col("n_id")),
+            & (F.col("vec_id") != F.col("n_id"))
+            & (F.col("a_salt") == F.col("b_salt")),
         )
         .select("vec_id", "label", "neighbor_label", "n_id", cos.alias("cosine"))
         .select("*", F.row_number().over(w_knn).alias("rnk"))
@@ -2094,8 +2137,7 @@ def q192_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local-mode caveats) — and docs with no shingles drop out of the
     # groupBy exactly like the oracle's len(sh) > 0 gate
     per_doc = (
-        T(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
         .groupBy("doc_id")
         .agg(F.collect_list("item").alias("items"))
@@ -2438,8 +2480,7 @@ def _q203_oracle() -> str:
 )
 def q203_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
-        T(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
         .withColumn("h", md5_int(F.col("item")) % _P)
     )
@@ -2998,8 +3039,7 @@ def q233_lsh_band_plan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint — q192's shape; the exact same shingle sets the store
     # was built from)
     per_doc = (
-        T(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("item"))
         .groupBy("doc_id")
         .agg(F.collect_list("item").alias("items"))
@@ -3234,9 +3274,9 @@ def _q237_oracle() -> str:
 )
 def q237_lsh_bucket_valve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
-        T(spark, sf_dir, "documents")
-        # single-split source: spread the shingle+md5 stage (q192 idiom)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # single-split source: spread the shingle+md5 stage (q192 idiom;
+        # split-aware — skipped on an already-wide scan)
+        spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", "text")
     )
     ex = docs.select(
@@ -3381,8 +3421,7 @@ def q239_lsh_valve_off_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan, replicate the seed's SIGNATURE not its text) so the q237/q239
     # contrast isolates the grid cost, not shared-stage noise
     docs = (
-        T(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", "text")
     )
     ex = docs.select(

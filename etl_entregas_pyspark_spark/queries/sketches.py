@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd
+from etl_entregas_pyspark_spark.queries.relational import T, _rnd_sql, rnd, spread_if_narrow
 
 
 @register(
@@ -165,9 +165,7 @@ _RP = 2147483647
     "whose incremental form supports chunk-level dedup",
 )
 def q47_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
     chars = F.split(F.col("text"), "")
     fp = F.aggregate(
         F.transform(chars, lambda c: F.ascii(c)),

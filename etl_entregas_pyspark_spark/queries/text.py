@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_entregas_pyspark_spark.queries.registry import register
-from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, _rnd_sql, dsum, rnd
+from etl_entregas_pyspark_spark.queries.relational import T, _dsum_sql, _rnd_sql, dsum, rnd, spread_if_narrow
 
 
 @register(
@@ -216,7 +216,7 @@ def q45_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("lang").isNotNull()
             & F.col("source").isNotNull()
         )
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(lambda df: spread_if_narrow(df, "doc_id"))
         .select(
             "doc_id", "lang", "source",
             F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("item"),
@@ -720,9 +720,7 @@ def q110_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the CPU-bound shingle explode across all cores BEFORE the
     # HOF evaluation: a small parquet arrives as one input split, and a
     # single task serializing 6M grams dominates wall clock otherwise
-    d = T(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
     per_doc = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("gram")
     )
@@ -1102,9 +1100,7 @@ def q128_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at 100 TB they stay shuffles co-partitioned with the stream.",
 )
 def q141_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -1353,9 +1349,7 @@ _SPAN_W = 8  # tokens per span window (shared with q64's gram width)
 def q202_span_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_entregas_pyspark_spark.queries.datasplit import _gram_stream
 
-    d = T(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
     spans = _gram_stream(d, _SPAN_W).distinct()
     df = spans.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     per = (
@@ -1778,9 +1772,7 @@ def _q214_oracle() -> str:
 )
 def q214_span_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _SPAN_W
-    d = T(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = spread_if_narrow(T(spark, sf_dir, "documents"), "doc_id")
     base = d.select("doc_id", F.split("text", " ").alias("toks"))
     idx = F.when(
         F.size("toks") >= w,
