@@ -78,8 +78,16 @@ def metrics_frame(df: DataFrame, config: Mapping[str, Any]) -> DataFrame:
 
     Same values as the reference's sequential count-after-each-rule
     (``src/etl_entregas.py:127-169``) without re-scanning the source per
-    rule: conditional counts are ``sum(when(...))`` and the dedup ladder is
-    ``count_distinct`` over a full-row struct — all map-side partial.
+    rule: conditional counts are ``sum(when(...))``, and the dedup ladder
+    is a two-phase aggregate keyed on a 128-bit xxhash64 row fingerprint —
+    group to (fingerprint, rule flags, multiplicity) with map-side partial
+    aggregation, then one scalar rollup (details in the block comment
+    below).
+
+    Assumes every column casts injectively to string (the fingerprint
+    input): frames limited to atomic column types — which all current
+    callers are. An array/map/struct column would need the groupBy(*cols)
+    shape instead.
     """
     dq = config.get("data_quality", {})
     rules = config.get("business_rules", {}).get("delivery_types", {})

@@ -132,63 +132,78 @@ def propagate_components(pairs: DataFrame) -> DataFrame:
     (doc_a, doc_b) rows: (doc, component) with component = min reachable
     id. Shared by the q53-pair chain (q62/q72/q111) and the bucketed
     production chain (q150)."""
+    spark = pairs.sparkSession
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct().cache()
-    # materialize every round: without this the plan deepens by one
-    # join+agg per round and each `changed` action re-executes the whole
-    # accumulated lineage — O(rounds²) work. localCheckpoint (eager) cuts
-    # lineage so round N's plan is identical in shape to round 1's.
-    labels = (
-        edges.select(F.col("doc_a").alias("doc"), F.col("doc_a").alias("component"))
-        .distinct()
-        .localCheckpoint()
-    )
-
-    # min-label propagation with POINTER JUMPING: each round takes the min
-    # over graph neighbours, then compresses component -> component-of-
-    # component (label ids are doc ids, so the jump is a self-join). The
-    # jump halves remaining path lengths — convergence in O(log diameter)
-    # rounds, so 30 rounds handle any component up to ~2^30 diameter.
-    # A silently-unconverged label frame would be a WRONG drop-list (q72),
-    # so exhausting the cap raises instead of returning.
-    converged = False
-    for _ in range(30):
-        neighbor_min = (
-            labels.join(edges, labels.doc == edges.doc_a)
-            .groupBy(F.col("doc_b").alias("doc"))
-            .agg(F.min("component").alias("n_comp"))
-        )
-        propagated = labels.join(neighbor_min, "doc", "left").select(
-            "doc",
-            F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
-        )
-        jump = labels.select(
-            F.col("doc").alias("component"), F.col("component").alias("jumped")
-        )
-        new_labels = (
-            propagated.join(jump, "component", "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("component"), F.coalesce("jumped", "component")
-                ).alias("component"),
-            )
+    # size the LOOP's shuffles to the graph, not the session (guide §2.2
+    # fewer/larger partitions, §1.2 per-task work): every round below is
+    # 3 joins + an agg over two MATERIALIZED frames whose size we know —
+    # at sf0.1 the near-dup graph is ~500 edges, and running each round's
+    # exchanges at the session's 32 partitions made the round ~0.7 s of
+    # pure task-scheduling floor (measured r16; 2 rounds = half of q150's
+    # component stage). One partition per ~10k edges, floor 4, capped at
+    # the session setting so a production-scale graph is unaffected. The
+    # count() doubles as the cache materializer.
+    n_edges = edges.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(4, min(int(prev_parts), 1 + n_edges // 10_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = (
+            edges.select(F.col("doc_a").alias("doc"), F.col("doc_a").alias("component"))
+            .distinct()
             .localCheckpoint()
         )
-        # both sides are materialized, so this is a cheap shallow join,
-        # not a re-execution of the propagation lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+
+        # min-label propagation with POINTER JUMPING: each round takes the
+        # min over graph neighbours, then compresses component ->
+        # component-of-component (label ids are doc ids, so the jump is a
+        # self-join). The jump halves remaining path lengths — convergence
+        # in O(log diameter) rounds, so 30 rounds handle any component up
+        # to ~2^30 diameter. A silently-unconverged label frame would be a
+        # WRONG drop-list (q72), so exhausting the cap raises instead of
+        # returning.
+        converged = False
+        for _ in range(30):
+            neighbor_min = (
+                labels.join(edges, labels.doc == edges.doc_a)
+                .groupBy(F.col("doc_b").alias("doc"))
+                .agg(F.min("component").alias("n_comp"))
+            )
+            # carry the pre-round label through the checkpoint so the
+            # convergence check is a filter on the materialized frame —
+            # not a second doc-keyed join job per round (r16)
+            propagated = labels.join(neighbor_min, "doc", "left").select(
+                "doc",
+                F.col("component").alias("old_component"),
+                F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
+            )
+            jump = labels.select(
+                F.col("doc").alias("component"), F.col("component").alias("jumped")
+            )
+            stepped = (
+                propagated.join(jump, "component", "left")
+                .select(
+                    "doc",
+                    "old_component",
+                    F.least(
+                        F.col("component"), F.coalesce("jumped", "component")
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                stepped.filter(F.col("component") != F.col("old_component"))
+                .limit(1)
+                .count()
+            )
+            labels = stepped.select("doc", "component")
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     edges.unpersist()
     if not converged:
         raise RuntimeError(

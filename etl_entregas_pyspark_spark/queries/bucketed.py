@@ -135,8 +135,15 @@ def q150_bucketed_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, path = _bucket_table(spark)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(path, ignore_errors=True)  # external table: files outlive DROP
-    write_bucketed(raw, table, ["doc_id"], _N_BUCKETS, path=path,
-                   sort_cols=["doc_id"])
+    # cluster by the bucket key BEFORE the write (guide §6, Iceberg's
+    # write.distribution-mode=hash): repartition(N, key) uses the same
+    # pmod(murmur3) placement as bucketBy(N, key), so each of the N write
+    # tasks holds exactly one bucket and emits ONE file — instead of every
+    # input task writing a file per bucket it happens to see (single-split
+    # local scan: ONE task serially sorting+writing all 16; wide production
+    # scan: T×16 small files). Measured r16: write 0.65 → 0.45 s at sf0.1.
+    write_bucketed(raw.repartition(_N_BUCKETS, "doc_id"), table,
+                   ["doc_id"], _N_BUCKETS, path=path, sort_cols=["doc_id"])
     docs = spark.table(table)
 
     fpdf = docs.select(

@@ -1144,7 +1144,9 @@ def q231_ivf_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact argmin via map-side-partial min(struct(d2, new_cid)) — the
     # window's (d2, new_cid) ordering without sorting/shuffling the
-    # (corpus x C) grid; old_cid is constant per vec_id (guide §2.3)
+    # (corpus x C) grid; old_cid rides with first(), exact because
+    # `assigned` is keep=1 assignment output (vec_id unique, so old_cid
+    # is constant within each group — see ivf_assign's precondition)
     moved = (
         assigned.withColumnRenamed("centroid_id", "old_cid")
         .crossJoin(F.broadcast(newcent))

@@ -734,7 +734,13 @@ def ivf_assign(src: DataFrame, cent: DataFrame, keep: int = 1) -> DataFrame:
     """Nearest-centroid assignment shared by q55/q73/q75: broadcast the
     centroids, exact L2² per (vector, centroid), keep the ``keep`` nearest
     with a deterministic centroid_id tie-break. Returns
-    (vec_id, embedding, centroid_id, d2)."""
+    (vec_id, embedding, centroid_id, d2).
+
+    Precondition: ``vec_id`` is unique in ``src``. The keep==1 fast path
+    groups by vec_id and carries the embedding with ``first()`` — exact
+    for a unique id (one embedding per group); duplicate vec_ids would
+    return an arbitrary duplicate's embedding. Every caller feeds the
+    embeddings corpus or a keyed batch, both id-unique."""
     diff2 = F.aggregate(
         F.zip_with(
             F.col("embedding"),
